@@ -1,0 +1,587 @@
+"""Driver-facing query catalog over the TPC-H-ish testdata (TESTDATA.md).
+
+Each entry expresses one (or a cluster of) SURVEY.md §2 operators against the
+driver's parquet tables, with a DuckDB oracle that mirrors the Spark plan's
+arithmetic **in the same order** so double-precision results hash-match
+(aggregates are rounded at CTE boundaries to absorb summation-order ulps).
+
+Mapping of reference tables → testdata (FIXTURES.md §2):
+  orders+lineitem → vendas_financeiro (order-item grain, freight rateio)
+  part            → produtos_catalogo (costs, prefix/IN filters)
+  part.p_brand    → the parent→child hierarchy for W1-W3 allocation
+  customer        → dims for anti-join alerts / DISTINCT
+  events          → trafego_diario / queues / streams (daily grain, late data)
+  documents       → dedup + text analysis corpus
+  embeddings      → similarity search corpus
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators.allocation import AllocSpec, allocate_by_share, allocate_ratio_to_parent
+from .operators.ranking import first_per_group, rank_capture, top_k_per_group
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+    read it as raw int64 nanos and derive the day by epoch arithmetic —
+    timezone-independent, so it matches DuckDB's naive CAST(ts AS DATE)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn(
+        "event_date",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("int")),
+    )
+
+
+# ===========================================================================
+# Flagship: daily-consolidation-shaped query (SURVEY.md §3.1 over testdata)
+# part = variation dim, p_brand = parent listing, lineitem = sales fact.
+# Covers A1/A2 multi-sum, J1/J2 joins, W1 ratio allocation, W2 least-cap,
+# W3 main-child fallback, F5-F7 scalar ops.
+# ===========================================================================
+
+_FLAGSHIP_SQL = """
+WITH sales AS (
+    SELECT l_partkey,
+           CAST(SUM(l_quantity) AS BIGINT)                   AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS gross_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS discount_amount,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS tax_amount,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS net_revenue,
+           COUNT(*)                                          AS line_count
+    FROM lineitem
+    GROUP BY l_partkey
+),
+base AS (
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+           COALESCE(s.sum_qty, 0)          AS sum_qty,
+           COALESCE(s.gross_revenue, 0.0)  AS gross_revenue,
+           COALESCE(s.discount_amount, 0.0) AS discount_amount,
+           COALESCE(s.tax_amount, 0.0)     AS tax_amount,
+           COALESCE(s.net_revenue, 0.0)    AS net_revenue,
+           COALESCE(s.line_count, 0)       AS line_count,
+           ROUND(p.p_retailprice * COALESCE(s.sum_qty, 0), 2) AS inventory_cost
+    FROM part p LEFT JOIN sales s ON s.l_partkey = p.p_partkey
+),
+brand AS (
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(gross_revenue AS DECIMAL(18,2))), 2) AS DOUBLE) AS brand_gross,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS brand_value,
+           SUM(line_count)              AS brand_lines,
+           MIN(p_partkey)               AS brand_main_part
+    FROM base
+    GROUP BY p_brand
+)
+SELECT b.p_partkey AS part_id,
+       b.p_brand   AS brand,
+       b.sum_qty, b.gross_revenue, b.discount_amount, b.tax_amount,
+       b.net_revenue, b.line_count, b.inventory_cost,
+       ROUND(CASE WHEN br.brand_gross > 0
+                  THEN br.brand_value * (b.gross_revenue / br.brand_gross)
+                  WHEN b.p_partkey = br.brand_main_part THEN br.brand_value
+                  ELSE 0 END, 2) AS allocated_brand_value,
+       CAST(ROUND(CASE WHEN br.brand_gross > 0
+                  THEN LEAST(br.brand_lines * (b.gross_revenue / br.brand_gross),
+                             CAST(b.sum_qty AS DOUBLE))
+                  WHEN b.p_partkey = br.brand_main_part THEN br.brand_lines
+                  ELSE 0 END, 0) AS BIGINT) AS allocated_ad_lines
+FROM base b JOIN brand br ON b.p_brand = br.p_brand
+"""
+
+
+@register("flagship_consolidation", _FLAGSHIP_SQL)
+def flagship_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    # Money sums in DECIMAL: exact arithmetic is summation-order independent,
+    # so distributed partial aggregation matches the single-threaded oracle
+    # bit-for-bit (products of 2dp values land exactly on .005 round ties,
+    # where double accumulation order would decide the cent).
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    sales = lineitem.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum(ep), 2).cast("double").alias("gross_revenue"),
+        F.round(F.sum(ep * disc), 2).cast("double").alias("discount_amount"),
+        F.round(F.sum(ep * tax), 2).cast("double").alias("tax_amount"),
+        F.round(F.sum(ep * (F.lit(1) - disc)), 2).cast("double").alias("net_revenue"),
+        F.count("*").alias("line_count"),
+    )
+
+    base = (
+        part.join(sales, part["p_partkey"] == sales["l_partkey"], "left")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.coalesce("sum_qty", F.lit(0)).alias("sum_qty"),
+            F.coalesce("gross_revenue", F.lit(0.0)).alias("gross_revenue"),
+            F.coalesce("discount_amount", F.lit(0.0)).alias("discount_amount"),
+            F.coalesce("tax_amount", F.lit(0.0)).alias("tax_amount"),
+            F.coalesce("net_revenue", F.lit(0.0)).alias("net_revenue"),
+            F.coalesce("line_count", F.lit(0)).alias("line_count"),
+        )
+        .withColumn("inventory_cost", F.round(F.col("p_retailprice") * F.col("sum_qty"), 2))
+    )
+
+    # parent-level pre-aggregation — the reference's ETAPA 2.5, here a
+    # broadcast-joined groupBy so the rounded denominator is shared with the
+    # oracle bit-for-bit.
+    brand = base.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("gross_revenue").cast("decimal(18,2)")), 2).cast("double").alias("brand_gross"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(18,2)")), 2).cast("double").alias("brand_value"),
+        F.sum("line_count").alias("brand_lines"),
+        F.min("p_partkey").alias("brand_main_part"),
+    )
+
+    joined = base.join(F.broadcast(brand), "p_brand")
+    allocated = allocate_ratio_to_parent(
+        joined,
+        parent_key="p_brand",
+        weight="gross_revenue",
+        total_col="brand_gross",
+        specs=[
+            AllocSpec("brand_value", "allocated_brand_value", round_to=2),
+            AllocSpec("brand_lines", "allocated_ad_lines", round_to=0, cap="sum_qty"),
+        ],
+        child_id="p_partkey",
+        parent_id="brand_main_part",
+    )
+
+    return allocated.select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_brand").alias("brand"),
+        "sum_qty",
+        "gross_revenue",
+        "discount_amount",
+        "tax_amount",
+        "net_revenue",
+        "line_count",
+        "inventory_cost",
+        "allocated_brand_value",
+        F.col("allocated_ad_lines").cast("long").alias("allocated_ad_lines"),
+    )
+
+
+# ===========================================================================
+# A1: multi-sum aggregation with filter pushdown (TPC-H Q1 shape; S2/P2/F5)
+# ===========================================================================
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT)                                  AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# W6/A4: per-order ratio allocation (freight rateio over order items)
+# ===========================================================================
+
+_FREIGHT_SQL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       ROUND(CASE WHEN SUM(l.l_extendedprice) OVER (PARTITION BY l.l_orderkey) > 0
+                  THEN o.o_totalprice * l.l_extendedprice
+                       / SUM(l.l_extendedprice) OVER (PARTITION BY l.l_orderkey)
+                  ELSE 0 END, 2) AS freight_alloc
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register("freight_allocation", _FREIGHT_SQL)
+def freight_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    out = allocate_by_share(
+        joined, group_key="l_orderkey", amount="o_totalprice", share="l_extendedprice", out="freight_alloc"
+    )
+    return out.select("l_orderkey", "l_linenumber", "freight_alloc")
+
+
+# ===========================================================================
+# J5/U3: anti-join (referential-integrity alert side output)
+# ===========================================================================
+
+_ANTI_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("customers_without_orders", _ANTI_SQL)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ===========================================================================
+# A6: DISTINCT projection
+# ===========================================================================
+
+
+@register("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ===========================================================================
+# P4/P5/P6: null/empty guard + prefix NOT LIKE + IN-set filters
+# (the reference's buggy OR-precedence filter, fixed per SURVEY §7.0)
+# ===========================================================================
+
+_PART_FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+FROM part
+WHERE p_name IS NOT NULL AND p_name <> ''
+  AND p_name NOT LIKE 'small%'
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+"""
+
+
+@register("part_filters", _PART_FILTER_SQL)
+def part_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").isNotNull()
+        & (F.col("p_name") != "")
+        & ~F.col("p_name").startswith("small")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+
+
+# ===========================================================================
+# A2: aggregation on a derived coalesce key (reference line 93 semantics)
+# ===========================================================================
+
+_COALESCE_KEY_SQL = """
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority) AS grp,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority)
+"""
+
+
+@register("coalesce_key_agg", _COALESCE_KEY_SQL)
+def coalesce_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("grp", F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.col("o_orderpriority")))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+# ===========================================================================
+# T4/S2: daily tumbling-window rollup over the event stream
+# ===========================================================================
+
+_DAILY_EVENTS_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+@register("daily_event_rollup", _DAILY_EVENTS_SQL)
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_date", "event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ===========================================================================
+# T2/F1: watermark-style D-3 lateness cutoff (reference's D-3 target day)
+# ===========================================================================
+
+_WATERMARK_SQL = """
+SELECT CAST(e.ts AS DATE) AS event_date, COUNT(*) AS n_events
+FROM events e, (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events) m
+WHERE CAST(e.ts AS DATE) <= m.max_d - 3
+GROUP BY CAST(e.ts AS DATE)
+"""
+
+
+@register("watermark_d3_events", _WATERMARK_SQL)
+def watermark_d3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    max_d = e.agg(F.max("event_date").alias("max_d"))
+    return (
+        e.crossJoin(F.broadcast(max_d))
+        .filter(F.col("event_date") <= F.date_sub(F.col("max_d"), 3))
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ===========================================================================
+# S9-as-query: keyed last-wins dedup (upsert semantics; W7 first-per-group)
+# ===========================================================================
+
+_LAST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+@register("last_event_per_user", _LAST_EVENT_SQL)
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return first_per_group(
+        e, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+# ===========================================================================
+# §2.6 top-k per group
+# ===========================================================================
+
+_TOP3_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+    FROM part
+) t WHERE rnk <= 3
+"""
+
+
+@register("top3_parts_per_brand", _TOP3_SQL)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return top_k_per_group(
+        p, "p_brand", [F.col("p_retailprice").desc(), F.col("p_partkey")], 3, rank_col="rnk"
+    ).select("p_brand", "p_partkey", "p_retailprice", "rnk")
+
+
+# ===========================================================================
+# W4: position/rank capture with page arithmetic and 500-result cap
+# (reference tarefa_coletar_posicionamento.php:64-93)
+# ===========================================================================
+
+_RANK_CAPTURE_SQL = """
+SELECT event_id, CAST(posicao AS INTEGER) AS posicao,
+       CAST(FLOOR((posicao - 1) / 50) AS INTEGER) + 1 AS pagina
+FROM (
+    SELECT event_id, ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS posicao
+    FROM events
+) t WHERE posicao <= 500
+"""
+
+
+@register("rank_capture_events", _RANK_CAPTURE_SQL)
+def rank_capture_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    out = rank_capture(
+        e, order_by=[F.col("value").desc(), F.col("event_id")], page_size=50, limit=500
+    )
+    return out.select("event_id", "posicao", "pagina")
+
+
+# ===========================================================================
+# U1: distinct key-set union (active set construction)
+# ===========================================================================
+
+_UNION_SQL = """
+SELECT DISTINCT l_partkey AS part_id FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+UNION
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@register("union_active_parts", _UNION_SQL)
+def union_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    early = li.filter(F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    late = li.filter(F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+    return (
+        early.select(F.col("l_partkey").alias("part_id"))
+        .union(late.select("l_partkey"))
+        .distinct()
+    )
+
+
+# ===========================================================================
+# W7/P8: deterministic first row per group (loop-break first-match)
+# ===========================================================================
+
+_FIRST_LINE_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+    FROM lineitem
+) t WHERE rn = 1
+"""
+
+
+@register("first_lineitem_per_order", _FIRST_LINE_SQL)
+def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return first_per_group(li, "l_orderkey", ["l_shipdate", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+# ===========================================================================
+# F10: JSON field extraction + aggregation (events.props payload)
+# ===========================================================================
+
+_JSON_SQL = """
+SELECT props->>'$.k' AS k_str,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+FROM events
+GROUP BY props->>'$.k'
+"""
+
+
+@register("json_props_extract", _JSON_SQL)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        e.withColumn("k_str", k)
+        .groupBy("k_str")
+        .agg(F.count("*").alias("n"), F.sum(k.cast("long")).alias("k_sum"))
+    )
+
+
+# ===========================================================================
+# Dedup (exact): hash-groupBy canonicalization over documents
+# ===========================================================================
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact_documents", _DEDUP_EXACT_SQL)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ===========================================================================
+# Text analysis v1: token count + vowel ratio (engine-parity formulation)
+# ===========================================================================
+
+_TOKEN_SQL = """
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+            END AS BIGINT) AS token_count,
+       ROUND(CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS vowel_ratio
+FROM documents
+"""
+
+
+@register("doc_token_stats", _TOKEN_SQL)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + F.lit(1)
+    )
+    vowels = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", ""))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        tokens.cast("long").alias("token_count"),
+        F.round(vowels.cast("double") / F.length(F.col("text")), 4).alias("vowel_ratio"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

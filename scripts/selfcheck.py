@@ -1,0 +1,110 @@
+"""Driver-style correctness harness: run every ``queries()`` entry on Spark
+and its ``oracle_sql()`` on DuckDB over the same parquet, compare row count,
+column names, and values (order-insensitive; floats exact-compared first,
+then reported by max abs diff when not identical).
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline_etl_ecommerce_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differ: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sv_f, dv_f = sv.astype(float), dv.astype(float)
+            exact = ((sv_f == dv_f) | (sv_f.isna() & dv_f.isna())).all()
+            if not exact:
+                diff = (sv_f - dv_f).abs().max()
+                problems.append(f"column {c}: float mismatch, max abs diff = {diff}")
+        else:
+            if not (sv.astype(str) == dv.astype(str)).all():
+                n_bad = int((sv.astype(str) != dv.astype(str)).sum())
+                problems.append(f"column {c}: {n_bad} value mismatches")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("selfcheck", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    # --- t1 smoke ---
+    smoke = entrymod.entry(spark)
+    n = smoke.count()
+    print(f"[smoke] entry() -> {n} rows, {len(smoke.columns)} cols: {smoke.columns}")
+    assert n > 0
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: duckdb error: {str(ex)[:300]}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures.append(name)
+            print(f"[FAIL] {name}: rows={len(sdf)}")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(f"[ok] {name}: {len(sdf)} rows, {len(sdf.columns)} cols match exactly")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""Tests for keyed sinks (SURVEY.md §2.1 S9-S13)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.sources.sinks import (
+    dedupe_last_wins,
+    insert_if_absent,
+    keyed_update,
+    merge_upsert,
+    overwrite_date_partitions,
+    upsert_to_path,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, ts long")
+
+
+def test_merge_upsert_replaces_matched_keys(spark):
+    old = _df(spark, [("a", 1, 1), ("b", 2, 1)])
+    new = _df(spark, [("b", 20, 2), ("c", 30, 2)])
+    got = {r["k"]: r["v"] for r in merge_upsert(old, new, ["k"]).collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_merge_upsert_last_wins_within_batch(spark):
+    old = _df(spark, [("a", 1, 1)])
+    new = _df(spark, [("a", 10, 2), ("a", 99, 5), ("a", 50, 3)])
+    got = merge_upsert(old, new, ["k"], order_by=["ts"]).collect()
+    assert len(got) == 1 and got[0]["v"] == 99
+
+
+def test_insert_if_absent_ignores_existing(spark):
+    existing = _df(spark, [("a", 1, 1)])
+    new = _df(spark, [("a", 10, 2), ("b", 20, 2), ("b", 21, 3)])
+    got = {r["k"]: r["v"] for r in insert_if_absent(existing, new, ["k"]).collect()}
+    assert set(got) == {"b"}  # 'a' ignored; 'b' deduped to one row
+
+
+def test_keyed_update_does_not_insert(spark):
+    target = _df(spark, [("a", 1, 1), ("b", 2, 1)])
+    updates = _df(spark, [("b", 20, 2), ("zzz", 99, 2)])
+    got = {r["k"]: r["v"] for r in keyed_update(target, updates, ["k"], ["v"]).collect()}
+    assert got == {"a": 1, "b": 20}  # 'zzz' not inserted (S12 update-only)
+
+
+def test_dedupe_last_wins(spark):
+    df = _df(spark, [("a", 1, 1), ("a", 2, 9), ("a", 3, 5)])
+    got = dedupe_last_wins(df, ["k"], ["ts"]).collect()
+    assert len(got) == 1 and got[0]["v"] == 2
+
+
+def test_upsert_to_path_roundtrip(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "mart")
+    upsert_to_path(_df(spark, [("a", 1, 1), ("b", 2, 1)]), path, ["k"])
+    upsert_to_path(_df(spark, [("b", 20, 2), ("c", 30, 2)]), path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_overwrite_date_partitions_touches_only_delta_days(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "daily")
+    base = spark.createDataFrame(
+        [("2025-08-01", "a", 1), ("2025-08-02", "b", 2)], "d string, k string, v int"
+    )
+    base.write.partitionBy("d").parquet(path)
+    delta = spark.createDataFrame([("2025-08-02", "b", 99)], "d string, k string, v int")
+    overwrite_date_partitions(delta, path, "d")
+    # partition values are type-inferred on read (string -> date), so compare as str
+    got = {(str(r["d"]), r["k"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("2025-08-01", "a"): 1, ("2025-08-02", "b"): 99}
