@@ -16,10 +16,17 @@ SP_TZ = "America/Sao_Paulo"
 
 def parse_locale_double(col: str | Column) -> Column:
     """F4: pt-BR decimal-comma numeric parse (reference
-    ``tarefa_sincronizar_catalogo_tiny.php:81`` — ``str_replace(',', '.')``
-    then float cast; malformed input → NULL)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, ",", ".").cast("double")
+    ``tarefa_sincronizar_catalogo_tiny.php:81``).
+
+    The reference's ``(float)str_replace(',', '.')`` silently truncates
+    thousands-separated input ('1.234,56' → 1.234); we strip the thousands
+    dots when a decimal comma is present (documented fix, SURVEY §7.0).
+    Plain dot-decimal and integer strings pass through; malformed → NULL."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cleaned = F.when(
+        c.contains(","), F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", ".")
+    ).otherwise(c)
+    return cleaned.cast("double")
 
 
 def to_sp_timestamp(col: str | Column) -> Column:
@@ -27,11 +34,12 @@ def to_sp_timestamp(col: str | Column) -> Column:
     (reference ``tarefa_coletar_financas.php:79-98``). Malformed dates parse
     to NULL, mirroring the reference's try/catch → NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    # to_timestamp honors the embedded offset and yields an instant; with the
-    # session tz pinned to America/Sao_Paulo (session.py) its rendering — and
-    # any to_date() day-grain derived from it — is SP wall-clock, matching the
+    # try_to_timestamp honors the embedded offset and yields an instant (NULL
+    # on malformed input, like the reference's try/catch); with the session tz
+    # pinned to America/Sao_Paulo (session.py) its rendering — and any
+    # to_date() day-grain derived from it — is SP wall-clock, matching the
     # reference's DateTime::setTimezone conversion.
-    return F.to_timestamp(c)
+    return F.try_to_timestamp(c)
 
 
 def day_of(col: str | Column) -> Column:

@@ -160,7 +160,7 @@ def consolidate_daily(
         parent_id="id_anuncio_pai",
     )
 
-    int_cols = {"impressoes_ads", "cliques_ads", "vendas_ads_qtd", "visitas_totais"}
+    int_cols = {"impressoes_ads", "cliques_ads", "vendas_ads_qtd", "vendas_totais_qtd", "visitas_totais"}
     return allocated.select(
         day.alias("data_relatorio"),
         F.col("id_anuncio_pai").alias("id_anuncio"),

@@ -1,0 +1,85 @@
+"""Queue semantics: producers (INSERT IGNORE dedup) and batch claim.
+
+Spark restatement of the reference's MySQL work queues (SURVEY.md §2.10 T5,
+§2.1 S10/S14): producers enqueue only keys absent from the queue; workers
+claim a bounded batch of pending rows (status ``pendente`` → ``processando``)
+and mark them ``concluido``/``erro`` when done. In batch mode the claim is a
+deterministic id-ordered limit; the streaming runner replaces this whole
+mechanism with checkpointed micro-batches (see ``streaming.runner``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.sinks import insert_if_absent
+
+
+def enqueue_traffic(anuncios: DataFrame, existing: DataFrame, target_date: dt.date | str) -> DataFrame:
+    """Producer for traffic tasks (reference ``tarefa_popular_fila_trafego.php``):
+    DISTINCT active parent listings × the D-3 target day, deduped against the
+    queue via left_anti (INSERT IGNORE)."""
+    candidates = (
+        anuncios.filter(F.col("status") == "active")
+        .select("id_anuncio_pai")
+        .distinct()
+        .select(
+            F.col("id_anuncio_pai").alias("id_anuncio"),
+            F.lit(str(target_date)).cast("date").alias("data_metrica"),
+        )
+    )
+    return insert_if_absent(existing.select("id_anuncio", "data_metrica"), candidates, ["id_anuncio", "data_metrica"])
+
+
+def enqueue_stock(catalogo: DataFrame, target_date: dt.date | str) -> DataFrame:
+    """Producer for inventory tasks (reference ``tarefa_popular_fila_estoque.php``).
+
+    The reference's WHERE clause has an operator-precedence bug (``... AND
+    tipo='S' OR tipo='K'`` lets 'K' rows bypass the NULL/EMB guards); we
+    implement the intended ``tipo_produto IN ('S','K')`` with all guards
+    applied (SURVEY.md §2.2 P6, fixed per §7.0)."""
+    return (
+        catalogo.filter(
+            F.col("sku").isNotNull()
+            & (F.col("sku") != "")
+            & ~F.col("sku").startswith("EMB")
+            & F.col("tipo_produto").isin("S", "K")
+        )
+        .select(
+            "sku",
+            "id_produto_tiny",
+            F.lit(str(target_date)).cast("date").alias("data_snapshot"),
+        )
+        .distinct()
+    )
+
+
+def claim_batch(queue: DataFrame, batch_size: int = 50) -> tuple[DataFrame, DataFrame]:
+    """Worker-side claim (reference ``UPDATE ... SET status='processando'
+    WHERE status='pendente' LIMIT n``): returns (claimed, queue_after) — the
+    id-ordered first ``batch_size`` pending rows, and the queue with their
+    status transitioned. Deterministic where the reference relied on MySQL
+    scan order."""
+    pending_ids = (
+        queue.filter(F.col("status") == "pendente")
+        .orderBy("id")
+        .limit(batch_size)
+        .select("id")
+    )
+    claimed = queue.join(F.broadcast(pending_ids), "id", "left_semi").withColumn(
+        "status", F.lit("processando")
+    ).withColumn("data_processamento", F.current_timestamp())
+    rest = queue.join(F.broadcast(pending_ids), "id", "left_anti")
+    return claimed, rest.unionByName(claimed)
+
+
+def mark_done(queue: DataFrame, done_ids: DataFrame, status: str = "concluido") -> DataFrame:
+    """Transition claimed rows to their terminal status (S14)."""
+    flagged = queue.join(F.broadcast(done_ids.select("id")), "id", "left_semi").withColumn(
+        "status", F.lit(status)
+    )
+    untouched = queue.join(F.broadcast(done_ids.select("id")), "id", "left_anti")
+    return untouched.unionByName(flagged)

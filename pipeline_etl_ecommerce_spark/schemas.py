@@ -39,8 +39,10 @@ def _f(name: str, dtype, nullable: bool = True) -> StructField:
 # --------------------------------------------------------------------------
 
 # reference tarefa_sincronizar_catalogo_tiny.php:39-47, worker_sincronizar_catalogo.php:28-37
+# sku is the upsert key but stays nullable at the schema level: upstream rows
+# can arrive keyless and are filtered by the pipelines (P4 guards).
 PRODUTOS_CATALOGO = _st(
-    _f("sku", StringType(), False),
+    _f("sku", StringType()),
     _f("id_produto_tiny", LongType()),
     _f("nome_produto", StringType()),
     _f("tipo_produto", StringType()),  # 'S' simple | 'K' kit | 'V' variation
@@ -251,6 +253,7 @@ MELI_LISTING = _st(
     _f("category_id", StringType()),
     _f("shipping", _st(_f("logistic_type", StringType()))),
     _f("seller_custom_field", StringType()),
+    _f("inventory_id", StringType()),
     _f("attributes", ArrayType(_ATTRIBUTE)),
     _f(
         "variations",
