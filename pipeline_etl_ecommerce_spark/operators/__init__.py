@@ -1,5 +1,15 @@
 from .allocation import AllocSpec, allocate_ratio_to_parent, allocate_by_share
 from .ranking import first_per_group, top_k_per_group, rank_capture
+from .dedupe import (
+    exact_dedup,
+    minhash_band_keys,
+    minhash_candidate_pairs,
+    simhash32,
+    ngram_jaccard_pairs,
+)
+from .similarity import cosine_topk, lsh_bucket_topk, embedding_norms
+from .textstats import lang_id, quality_features, token_count, bpe_ish_token_count, fingerprint
+from .multimodal import extract_features, documents_as_media
 
 __all__ = [
     "AllocSpec",
@@ -8,4 +18,19 @@ __all__ = [
     "first_per_group",
     "top_k_per_group",
     "rank_capture",
+    "exact_dedup",
+    "minhash_band_keys",
+    "minhash_candidate_pairs",
+    "simhash32",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "embedding_norms",
+    "lang_id",
+    "quality_features",
+    "token_count",
+    "bpe_ish_token_count",
+    "fingerprint",
+    "extract_features",
+    "documents_as_media",
 ]

@@ -1,0 +1,154 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all built scale-first:
+
+- exact: hash-groupBy canonicalization — one shuffle on the content hash.
+- MinHash + LSH: shingle → k min-hashes → banded bucket keys → bucket
+  equi-join for candidate pairs. The join is on (band, bucket) so candidate
+  generation is linear-ish in corpus size instead of O(n²); at 100 TB the
+  bucket join shuffles only (doc_id, band_key) pairs, never the text.
+- SimHash: 32-bit near-dup signature from per-token hash bit votes; pairs
+  within small Hamming distance are near-dups. Signature build is one
+  explode + groupBy (map-side combinable sums).
+- n-gram Jaccard: exact set similarity for verifying candidate pairs
+  (array_intersect/array_union on deduped shingle arrays — JVM-side).
+
+Everything is native Column expressions (md5/array/higher-order functions);
+hash functions are md5-based so an external SQL oracle can reproduce results
+bit-for-bit (lexicographic min over hex digests is a valid uniform min-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(col: str | Column) -> Column:
+    """Exact-dedup key: md5 over the raw UTF-8 bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonicalize exact duplicates: min id per content hash + copy count."""
+    return (
+        df.withColumn("text_hash", content_hash(text_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def char_shingles(col: str | Column, k: int = 5) -> Column:
+    """Array of all k-char shingles (positions 1..len-k+1; at least one)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: c.substr(i, F.lit(k)))
+
+
+def minhash(shingles: Column, hash_index: int) -> Column:
+    """One min-hash: lexicographic min of md5('<i>|' + shingle) digests."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{hash_index}|"), s).cast("binary")))
+    )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) rows: ``bands`` LSH bucket keys per document,
+    each hashing ``num_hashes // bands`` min-hash values. Documents sharing a
+    band_key in any band are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    shingled = df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, k).alias("sh"))
+    mh = [minhash(F.col("sh"), h).alias(f"mh{h}") for h in range(num_hashes)]
+    sigs = shingled.select("doc_id", *mh)
+    per_band = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        per_band.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *parts).cast("binary")).alias("band_key"),
+            )
+        )
+    out = per_band[0]
+    for other in per_band[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def minhash_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) from the band-bucket equi-join.
+
+    This is the scale path: a self-join on (band, band_key) — shuffle on the
+    bucket key, quadratic only within a bucket, never across the corpus."""
+    left = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
+    right = band_keys.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash: tokens vote ±1 per bit position; bit j of the signature
+    is set when the vote sum is positive. Bit source: the high bit of each of
+    the first 32 hex digits of md5(token) — reproducible in any engine with
+    md5 + substring.
+
+    Plan shape: explode tokens → single groupBy with 32 conditional sums
+    (partial aggregation map-side) → bit recombination. One shuffle."""
+    tokens = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    tokenized = df.select(F.col(id_col).alias("doc_id"), tokens.alias("tok")).filter(F.col("tok") != "")
+    digest = F.md5(F.col("tok").cast("binary"))
+    high_bits = ("8", "9", "a", "b", "c", "d", "e", "f")
+    votes = [
+        F.sum(
+            F.when(F.substring(digest, j + 1, 1).isin(*high_bits), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    agg = tokenized.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(32):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, max_id: int | None = None
+) -> DataFrame:
+    """Exact k-gram Jaccard similarity for all pairs (a < b), optionally
+    bounded to ids < max_id. Quadratic — meant for verifying LSH candidates
+    or bounded subsets, not full-corpus sweeps (that's what the LSH path is
+    for)."""
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    grams = base.select(
+        F.col(id_col).alias("gid"), F.array_distinct(char_shingles(text_col, k)).alias("grams")
+    )
+    a = grams.select(F.col("gid").alias("doc_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("gid").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

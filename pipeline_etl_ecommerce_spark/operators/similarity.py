@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set × corpus cross join; dot products via ``F.aggregate`` over
+  zipped arrays (JVM-side, no Python). Use only with a bounded query set.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH signatures
+  bucket the corpus; candidates come from a bucket equi-join, then exact
+  cosine re-ranks within buckets. At 100 TB the cross join disappears; the
+  shuffle key is the bucket signature.
+
+Cosine is computed in double precision with a fixed left-to-right summation
+(array order), so results are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def embedding_norms(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    v = _dvec(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(norm(v), 6).alias("l2_norm"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-matches).
+
+    queries: same schema as corpus; keep it small (broadcast side)."""
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), _dvec(F.col(vec_col)).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH: one bit per plane (sign of the dot product),
+    packed into a string key. Planes are plain Python floats baked into the
+    plan as literals — deterministic and broadcast-free."""
+    bits = []
+    for p in planes:
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-ranks them. Recall depends on the plane count (more planes →
+    smaller buckets → faster + lower recall)."""
+    sig_c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        _dvec(F.col(vec_col)).alias("cv"),
+        hyperplane_signature(_dvec(F.col(vec_col)), planes).alias("bucket"),
+    )
+    sig_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("qv"),
+        hyperplane_signature(_dvec(F.col(vec_col)), planes).alias("bucket"),
+    )
+    scored = (
+        sig_q.join(sig_c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — the per-document stats a training-data pipeline
+computes at corpus scale.
+
+All native expressions (regexp/length/md5) so they run inside whole-stage
+codegen and reproduce exactly in a SQL oracle. Per-document work only — no
+shuffles; at 100 TB these are pure map stages pipelined into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language (n-gram heuristic; word-boundary matched)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is|to|in)\b",
+    "es": r"\b(el|la|los|las|que|y|es)\b",
+    "pt": r"\b(o|os|um|uma|que|e|de|da|do)\b",
+    "fr": r"\b(le|les|des|et|est|une)\b",
+}
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return {lang: _count_matches(c, pat) for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Predict language by argmax of marker-word counts; deterministic
+    tie-break by the LANG_MARKERS declaration order. 'und' when no marker
+    matches at all."""
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    out = df.select(F.col(id_col).alias("doc_id"), *[scores[lg].alias(f"score_{lg}") for lg in langs])
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier languages win ties (>= beats later ones)
+    for lg in reversed(langs):
+        cond = F.col(f"score_{lg}") > 0
+        better = F.col(f"score_{lg}") >= best_score
+        best = F.when(cond & better, F.lit(lg)).otherwise(best)
+        best_score = F.greatest(F.col(f"score_{lg}"), best_score)
+    return out.withColumn("predicted_lang", best)
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count (0 for blank text)."""
+    c = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation, the
+    cheap proxy for a BPE tokenizer's length (regex segmentation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), F.lit(0))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / alpha-ratio / digit-ratio / whitespace-ratio / mean token
+    length / stopword-ratio features + a composite [0,1] quality score."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(c, r"[^ ]", "")).cast("double")
+    toks = token_count(c)
+    stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(LANG_MARKERS["en"]), F.lit(0))).cast("double")
+    alpha_ratio = F.round(alpha / n, 6)
+    digit_ratio = F.round(digits / n, 6)
+    space_ratio = F.round(spaces / n, 6)
+    mean_tok_len = F.round((n - spaces) / F.greatest(toks.cast("double"), F.lit(1.0)), 6)
+    stop_ratio = F.round(stop / F.greatest(toks.cast("double"), F.lit(1.0)), 6)
+    # composite: reward alpha + a sane mean token length, punish digit soup
+    score = F.round(
+        F.least(
+            F.greatest(
+                alpha_ratio * 0.6
+                + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.3).otherwise(0.0)
+                + F.least(stop_ratio, F.lit(0.5)) * 0.2
+                - digit_ratio * 0.4,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        toks.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Normalized content fingerprint: md5 of the lowercased text with all
+    non-alphanumerics stripped — robust to whitespace/punctuation edits."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", "").cast("binary"))

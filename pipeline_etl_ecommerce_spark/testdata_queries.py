@@ -585,3 +585,245 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE)
+
+
+# ===========================================================================
+# Batch 2: LLM-data-pipeline operators — dedup, similarity, text analysis,
+# multimodal plumbing (BASELINE.json north-star; first-class components).
+# ===========================================================================
+
+from .operators.dedupe import (  # noqa: E402
+    minhash_band_keys,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from .operators.multimodal import documents_as_media, extract_features  # noqa: E402
+from .operators.similarity import cosine_topk, embedding_norms  # noqa: E402
+from .operators.textstats import lang_id, quality_features, fingerprint, bpe_ish_token_count  # noqa: E402
+
+_MINHASH_BANDS_SQL = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                          i -> substr(text, i, 5)) AS shingles
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
+           list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
+           list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
+           list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
+    FROM sh
+)
+SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig
+UNION ALL
+SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig
+"""
+
+
+@register("minhash_band_buckets", _MINHASH_BANDS_SQL)
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2)
+
+
+_MINHASH_PAIRS_SQL = _MINHASH_BANDS_SQL.replace(
+    "SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig\nUNION ALL\nSELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig",
+    """bk AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+).replace(")\nbk AS (", "),\nbk AS (")
+
+
+@register("minhash_candidate_pairs", _MINHASH_PAIRS_SQL)
+def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST(power(2, {j}) AS BIGINT) ELSE CAST(0 AS BIGINT) END" for j in range(32))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+    WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM votes
+"""
+
+
+@register("simhash_documents", _simhash_sql())
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash32(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_JACCARD_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                        i -> substr(text, i, 3))) AS grams
+    FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a, g b WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3, max_id=150)
+
+
+_KNN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS cand_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+scored AS (
+    SELECT q.query_id, c.cand_id,
+           ROUND(list_aggregate(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))), 6) AS cos_sim
+    FROM q, c WHERE q.query_id <> c.cand_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+    FROM scored
+) t WHERE rnk <= 3
+"""
+
+
+@register("knn_cosine_top3", _KNN_SQL)
+def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+_NORMS_SQL = """
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(sqrt(list_aggregate(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                                x -> x * x), 'sum')), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+@register("embedding_norms", _NORMS_SQL)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+
+
+_LANG_SQL = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in)\\b')) AS INTEGER) AS score_en,
+           CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|y|es)\\b')) AS INTEGER) AS score_es,
+           CAST(len(regexp_extract_all(lower(text), '\\b(o|os|um|uma|que|e|de|da|do)\\b')) AS INTEGER) AS score_pt,
+           CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|et|est|une)\\b')) AS INTEGER) AS score_fr
+    FROM documents
+)
+SELECT doc_id, score_en, score_es, score_pt, score_fr,
+       CASE WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_pt AND score_en >= score_fr THEN 'en'
+            WHEN score_es > 0 AND score_es >= score_pt AND score_es >= score_fr THEN 'es'
+            WHEN score_pt > 0 AND score_pt >= score_fr THEN 'pt'
+            WHEN score_fr > 0 THEN 'fr'
+            ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+@register("lang_id_heuristic", _LANG_SQL)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_QUALITY_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in)\b')) AS DOUBLE) AS stop
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_actual,
+           toks AS n_tokens,
+           ROUND(alpha / n, 6) AS alpha_ratio,
+           ROUND(digits / n, 6) AS digit_ratio,
+           ROUND(spaces / n, 6) AS space_ratio,
+           ROUND((n - spaces) / greatest(CAST(toks AS DOUBLE), 1.0), 6) AS mean_token_len,
+           ROUND(stop / greatest(CAST(toks AS DOUBLE), 1.0), 6) AS stopword_ratio
+    FROM t
+)
+SELECT doc_id, n_chars_actual, n_tokens, alpha_ratio, digit_ratio, space_ratio,
+       mean_token_len, stopword_ratio,
+       ROUND(least(greatest(alpha_ratio * 0.6
+                            + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 0.3 ELSE 0.0 END
+                            + least(stopword_ratio, 0.5) * 0.2
+                            - digit_ratio * 0.4, 0.0), 1.0), 6) AS quality_score
+FROM r
+"""
+
+
+@register("text_quality_score", _QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fingerprint"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       'ok' AS decode_status
+FROM documents
+"""
+
+
+@register("multimodal_decode_stub", _MULTIMODAL_SQL)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(d))

@@ -1,0 +1,121 @@
+"""Unit tests for the LLM-data-pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.operators.dedupe import (
+    exact_dedup,
+    minhash_band_keys,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from pipeline_etl_ecommerce_spark.operators.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_features,
+)
+from pipeline_etl_ecommerce_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from pipeline_etl_ecommerce_spark.operators.textstats import lang_id, quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "el perro corre por la calle y es muy rapido"),
+        (5, "completamente diferente texto sobre otra cosa que nada tiene"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert got[1] == 2  # docs 1+2 collapse
+    assert got[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    bands = minhash_band_keys(docs, "text", "doc_id", k=5, num_hashes=4, bands=2)
+    assert bands.count() == 5 * 2  # one row per doc per band
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(bands).collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 5) not in pairs and (2, 5) not in pairs  # unrelated docs don't
+
+
+def test_simhash_near_dups_have_close_signatures(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash32(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_15 = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_13 < ham_15  # near dup closer than unrelated
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 5)] < 0.2
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=3).collect()
+    order = [r["cand_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert order == [2, 3, 4]  # by descending cosine
+    top = {r["cand_id"]: r["cos_sim"] for r in got}
+    assert top[2] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert top[4] == -1.0
+
+
+def test_lsh_bucket_topk_recall_on_aligned_vectors(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [-1.0, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") == 1), planes, k=3).collect()
+    cands = {r["cand_id"] for r in got}
+    assert cands == {2}  # same bucket as query; opposite vector pruned
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["predicted_lang"] for r in lang_id(docs, "text", "doc_id").collect()}
+    assert got[1] == "en"
+    assert got[4] == "es"
+
+
+def test_quality_features_bounds(docs):
+    rows = quality_features(docs, "text", "doc_id").collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_multimodal_plumbing_and_stub(spark, docs):
+    feats = {r["media_id"]: r.asDict() for r in extract_features(documents_as_media(docs)).collect()}
+    assert feats[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog".encode())
+    assert feats[1]["decode_status"] == "ok"
+    assert feats[1]["content_hash"] == feats[2]["content_hash"]
+    # the real decoder is stubbed in this environment
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    # and a kernel that raises NotImplementedError degrades gracefully per-row
+    degraded = extract_features(documents_as_media(docs), kernel=decode_image).collect()
+    assert all(r["decode_status"] == "decoder_unavailable" for r in degraded)
