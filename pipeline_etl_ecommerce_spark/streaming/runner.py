@@ -1,0 +1,149 @@
+"""Incremental / streaming layer (SURVEY.md §2.10).
+
+The reference's incrementality is cron + MySQL queue tables + idempotent
+upserts: workers lock ≤50 pending rows, process, mark done (T5); the
+consolidation targets D-3 so late ads data has settled (T2); finance imports
+re-scan a 7-day window and converge by keyed upsert (T3); commented-out
+backfill loops reprocess history (T7).
+
+Spark-first restatement:
+
+- queues → a file/Delta streaming source with checkpointing:
+  ``read_json_stream`` + ``run_upsert_stream`` (foreachBatch MERGE). The
+  checkpoint replaces the status column; at-least-once delivery + idempotent
+  keyed upsert = the reference's exact fault-tolerance contract.
+- allowed lateness → ``withWatermark`` on the event time (T2's D-3 becomes a
+  '3 days' watermark on a 1-day tumbling window).
+- stateful dedup → ``dropDuplicatesWithinWatermark`` (S10's INSERT IGNORE as
+  a stream).
+- backfill → parameterized re-runs of the daily batch transform (T7); safe
+  because every sink is a keyed upsert.
+
+Scale: state store size is bounded by the watermark horizon × key
+cardinality; shuffle partitions govern state-store parallelism, so they are
+sized once at stream start (not per-batch).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..sources.sinks import upsert_to_path
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, schema: StructType, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over JSON-lines payload drops (the connector lands
+    API pages as files; each file is the reference's "queue batch").
+    ``maxFilesPerTrigger`` is the batch-size knob that replaces LIMIT 50."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def daily_rollup_stream(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    aggs: list,
+    watermark: str = "3 days",
+) -> DataFrame:
+    """T2+T4: 1-day tumbling window with allowed lateness = ``watermark``
+    (the reference's D-3 rule: aggregate a day only once ads data settled).
+    Emits one row per (day, keys); late rows update the same key via the
+    downstream upsert.
+
+    Day boundaries follow the SESSION timezone: ``F.window('1 day')`` tumbles
+    on UTC epoch boundaries, which puts an America/Sao_Paulo evening into the
+    wrong calendar day — so we quantize event time with ``date_trunc`` (tz-
+    aware) and watermark/group on the quantized column, which Spark accepts
+    as the event-time attribute."""
+    day = F.date_trunc("DAY", F.col(ts_col))
+    out = (
+        events.withColumn("__day", day)
+        .withWatermark("__day", watermark)
+        .groupBy(F.col("__day"), *key_cols)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "__day"]
+    return out.select(F.to_date(F.col("__day")).alias("event_date"), *rest)
+
+
+def dedup_stream(events: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 day") -> DataFrame:
+    """S10 as a stream: keyed insert-if-absent with state bounded by the
+    watermark horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_upsert_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    *,
+    order_by: list | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch + keyed MERGE: every micro-batch upserts into the target
+    (idempotent under replay — the reference's ON DUPLICATE KEY UPDATE
+    contract, T5). ``Trigger.AvailableNow`` drains pending input then stops,
+    which is exactly the cron-batch execution model."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_to_path(batch_df, target_path, keys, order_by)
+
+    # update mode: aggregates are re-emitted whenever a batch changes them
+    # (append mode would hold rows until the watermark closes the window —
+    # the keyed upsert makes re-emission idempotent, so update is the right
+    # contract for MERGE sinks).
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_day_targets(
+    processed_days: DataFrame | None, *, today: dt.date, lateness_days: int = 3, lookback_days: int = 7
+) -> list[dt.date]:
+    """Which days should a scheduled batch run process?  The reference's rule
+    set: the settled day (D-``lateness_days``) plus any day in the lookback
+    window not yet processed (T2/T3). ``processed_days``: single date column
+    or None."""
+    done: set[dt.date] = set()
+    if processed_days is not None:
+        done = {r[0] for r in processed_days.collect()}
+    targets = []
+    for delta in range(lateness_days, lateness_days + lookback_days):
+        d = today - dt.timedelta(days=delta)
+        if d not in done or delta == lateness_days:
+            targets.append(d)
+    return sorted(targets)
+
+
+def backfill(
+    dates: Iterable[dt.date | str],
+    run_day: Callable[[dt.date | str], DataFrame],
+    sink: Callable[[DataFrame], None],
+) -> int:
+    """T7: reprocess a date range through a daily batch transform. Safe to
+    re-run because every sink is a keyed upsert (idempotent convergence)."""
+    n = 0
+    for d in dates:
+        sink(run_day(d))
+        n += 1
+    return n

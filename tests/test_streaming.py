@@ -1,0 +1,140 @@
+"""Streaming/incremental layer tests (SURVEY.md §2.10): file-source streams,
+watermarked daily rollups, checkpointed idempotent upsert sinks, stateful
+dedup, backfill."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.streaming.runner import (
+    backfill,
+    daily_rollup_stream,
+    dedup_stream,
+    incremental_day_targets,
+    read_json_stream,
+    run_upsert_stream,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_daily_rollup_upsert(spark, tmp_path):
+    src = str(tmp_path / "in")
+    target = str(tmp_path / "mart")
+    ckpt1 = str(tmp_path / "ckpt1")
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2025-08-01T10:00:00", "user_id": 1, "value": 10.0},
+            {"event_id": 2, "ts": "2025-08-01T11:00:00", "user_id": 1, "value": 5.0},
+            {"event_id": 3, "ts": "2025-08-02T09:00:00", "user_id": 2, "value": 7.0},
+        ],
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA)
+    stream = read_json_stream(spark, src, schema)
+    assert stream.isStreaming
+    rolled = daily_rollup_stream(
+        stream,
+        ts_col="ts",
+        key_cols=["user_id"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        watermark="3 days",
+    )
+    q = run_upsert_stream(rolled, target, ["event_date", "user_id"], ckpt1)
+    q.awaitTermination(120)
+
+    got = {(str(r["event_date"]), r["user_id"]): (r["n"], r["total"]) for r in spark.read.parquet(target).collect()}
+    assert got == {("2025-08-01", 1): (2, 15.0), ("2025-08-02", 2): (1, 7.0)}
+
+    # late-arriving row for 08-01 in a second batch: checkpoint resumes, the
+    # keyed upsert converges the same mart key instead of duplicating it
+    _write_batch(src, "b2.json", [{"event_id": 4, "ts": "2025-08-01T12:00:00", "user_id": 1, "value": 1.0}])
+    q2 = run_upsert_stream(
+        daily_rollup_stream(
+            read_json_stream(spark, src, schema),
+            ts_col="ts",
+            key_cols=["user_id"],
+            aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+            watermark="3 days",
+        ),
+        target,
+        ["event_date", "user_id"],
+        ckpt1,
+    )
+    q2.awaitTermination(120)
+    got2 = {(str(r["event_date"]), r["user_id"]): (r["n"], r["total"]) for r in spark.read.parquet(target).collect()}
+    # watermark state kept the day open; the updated aggregate replaced the old row
+    assert got2[("2025-08-01", 1)] == (3, 16.0)
+    assert len(got2) == 2
+
+
+def test_dedup_stream_drops_repeated_keys(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2025-08-01T10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 1, "ts": "2025-08-01T10:05:00", "user_id": 1, "value": 2.0},
+            {"event_id": 2, "ts": "2025-08-01T10:06:00", "user_id": 2, "value": 3.0},
+        ],
+    )
+    from pyspark.sql.types import StructType
+
+    stream = read_json_stream(spark, src, StructType.fromDDL(SCHEMA))
+    deduped = dedup_stream(stream, ["event_id"], "ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_incremental_day_targets(spark):
+    today = dt.date(2025, 8, 13)
+    # nothing processed: settled day D-3 plus the whole lookback window
+    targets = incremental_day_targets(None, today=today, lateness_days=3, lookback_days=4)
+    assert targets == [dt.date(2025, 8, 7), dt.date(2025, 8, 8), dt.date(2025, 8, 9), dt.date(2025, 8, 10)]
+    # with history: only unprocessed days + always the settled day
+    done = spark.createDataFrame([(dt.date(2025, 8, 9),), (dt.date(2025, 8, 8),)], "d date")
+    targets2 = incremental_day_targets(done, today=today, lateness_days=3, lookback_days=4)
+    assert targets2 == [dt.date(2025, 8, 7), dt.date(2025, 8, 10)]
+
+
+def test_backfill_runner(spark, tmp_path):
+    target = str(tmp_path / "bf")
+    days = [dt.date(2025, 8, d) for d in (1, 2, 3)]
+
+    def run_day(d):
+        return spark.createDataFrame([(str(d), 1)], "day string, v int")
+
+    from pipeline_etl_ecommerce_spark.sources.sinks import upsert_to_path
+
+    n = backfill(days, run_day, lambda df: upsert_to_path(df, target, ["day"]))
+    assert n == 3
+    # re-run converges (idempotent)
+    backfill(days, run_day, lambda df: upsert_to_path(df, target, ["day"]))
+    assert spark.read.parquet(target).count() == 3
