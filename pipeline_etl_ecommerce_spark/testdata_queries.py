@@ -645,7 +645,11 @@ FROM bk a JOIN bk b
 @register("minhash_candidate_pairs", _MINHASH_PAIRS_SQL)
 def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2))
+    # persist the signatures: the pair self-join reads them twice, and with a
+    # broadcast build side there is no exchange to reuse — without the persist
+    # every md5 minhash is computed twice (measured 2x wall-clock at sf0.1).
+    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
+    return minhash_candidate_pairs(bk)
 
 
 def _simhash_sql() -> str:
@@ -827,3 +831,121 @@ FROM documents
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return extract_features(documents_as_media(d))
+
+
+# ===========================================================================
+# Batch 3: hierarchy rollup (A3), self-join (J7), insert-if-absent (S10)
+# ===========================================================================
+
+from .sources.sinks import insert_if_absent  # noqa: E402
+
+_REGION_ROLLUP_SQL = """
+WITH nat AS (
+    SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS nation_balance
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name, n.n_regionkey
+),
+reg AS (
+    SELECT n_regionkey,
+           CAST(ROUND(SUM(CAST(COALESCE(nation_balance, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS region_balance,
+           SUM(n_customers) AS region_customers,
+           MIN(n_nationkey) AS main_nation
+    FROM nat GROUP BY n_regionkey
+)
+SELECT r.r_name AS region, n.n_name AS nation, n.n_customers,
+       COALESCE(n.nation_balance, 0.0) AS nation_balance,
+       ROUND(CASE WHEN rg.region_balance > 0
+                  THEN rg.region_customers * (COALESCE(n.nation_balance, 0.0) / rg.region_balance)
+                  WHEN n.n_nationkey = rg.main_nation THEN rg.region_customers
+                  ELSE 0 END, 0) AS allocated_customers
+FROM nat n
+JOIN reg rg ON n.n_regionkey = rg.n_regionkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+"""
+
+
+@register("region_customer_rollup", _REGION_ROLLUP_SQL)
+def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 parent rollup + W1/W3 allocation over the nation→region hierarchy
+    (FIXTURES.md §2 mapping for the reference's variation→parent rollup)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    customer = _t(spark, sf_dir, "customer")
+
+    nat = (
+        nation.join(customer, customer["c_nationkey"] == nation["n_nationkey"], "left")
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("nation_balance"),
+        )
+    )
+    reg = nat.groupBy("n_regionkey").agg(
+        F.round(F.sum(F.coalesce(F.col("nation_balance"), F.lit(0.0)).cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("region_balance"),
+        F.sum("n_customers").alias("region_customers"),
+        F.min("n_nationkey").alias("main_nation"),
+    )
+    joined = (
+        nat.withColumn("nation_balance", F.coalesce(F.col("nation_balance"), F.lit(0.0)))
+        .join(F.broadcast(reg), "n_regionkey")
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    allocated = allocate_ratio_to_parent(
+        joined,
+        parent_key="n_regionkey",
+        weight="nation_balance",
+        total_col="region_balance",
+        specs=[AllocSpec("region_customers", "allocated_customers", round_to=0)],
+        child_id="n_nationkey",
+        parent_id="main_nation",
+    )
+    return allocated.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        "nation_balance",
+        F.col("allocated_customers").cast("double").alias("allocated_customers"),
+    )
+
+
+_SUPPLIER_PAIRS_SQL = """
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey AS nationkey
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""
+
+
+@register("supplier_same_nation_pairs", _SUPPLIER_PAIRS_SQL)
+def supplier_same_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-style self-join (the reference's id→sku parent resolution shape)."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_nationkey").alias("nk_b"))
+    return (
+        a.join(b, (F.col("nationkey") == F.col("nk_b")) & (F.col("supp_a") < F.col("supp_b")))
+        .select("supp_a", "supp_b", "nationkey")
+    )
+
+
+_NEW_USERS_SQL = """
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+latest AS (SELECT DISTINCT user_id FROM events, mx WHERE CAST(ts AS DATE) = d),
+prior AS (SELECT DISTINCT user_id FROM events, mx WHERE CAST(ts AS DATE) < d)
+SELECT l.user_id FROM latest l WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.user_id = l.user_id)
+"""
+
+
+@register("insert_if_absent_users", _NEW_USERS_SQL)
+def insert_if_absent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 INSERT IGNORE semantics through the actual sink helper: last-day
+    user keys not present on any prior day."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("event_date").alias("d"))
+    with_max = e.crossJoin(F.broadcast(mx))
+    latest = with_max.filter(F.col("event_date") == F.col("d")).select("user_id")
+    prior = with_max.filter(F.col("event_date") < F.col("d")).select("user_id")
+    return insert_if_absent(prior, latest, ["user_id"])
