@@ -949,3 +949,25 @@ def insert_if_absent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = with_max.filter(F.col("event_date") == F.col("d")).select("user_id")
     prior = with_max.filter(F.col("event_date") < F.col("d")).select("user_id")
     return insert_if_absent(prior, latest, ["user_id"])
+
+
+# ===========================================================================
+# E4/E5 + W5: posexplode (array element + 1-based ordinal rank)
+# ===========================================================================
+
+_POSEXPLODE_SQL = """
+SELECT vec_id,
+       CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS rank_pos,
+       unnest(embedding) AS val
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@register("posexplode_embeddings", _POSEXPLODE_SQL)
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E5 + W5: index-as-rank via posexplode (the reference's trends list
+    position and search-page position arithmetic)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", (F.col("pos") + 1).cast("int").alias("rank_pos"), "val"
+    )

@@ -1,0 +1,59 @@
+"""Plan-regression guards: the physical plans the engine promises.
+
+These assert the *shape* of execution — broadcasts chosen, filters pushed to
+the parquet scan, no Python in JVM paths — so a refactor that silently turns
+a broadcast join into a sort-merge join or knocks a filter off the scan fails
+loudly instead of costing 10x at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_etl_ecommerce_spark import testdata_queries as tq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_explain(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_flagship_uses_broadcast_joins_only(spark):
+    plan = _executed_plan(tq.QUERIES["flagship_consolidation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast, never SMJ
+
+
+def test_part_filters_push_to_scan(spark):
+    full = _full_explain(tq.QUERIES["part_filters"](spark, SF))
+    assert "PushedFilters" in full
+    assert "StringStartsWith(p_name,small)" in full  # NOT LIKE reaches the scan
+    assert "In(p_brand" in full  # IN-set reaches the scan
+
+
+def test_no_python_in_jvm_paths(spark):
+    for name in ("flagship_consolidation", "freight_allocation", "minhash_band_buckets",
+                 "simhash_documents", "knn_cosine_top3", "text_quality_score"):
+        plan = _executed_plan(tq.QUERIES[name](spark, SF))
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+
+
+def test_multimodal_is_arrow_batched(spark):
+    plan = _executed_plan(tq.QUERIES["multimodal_decode_stub"](spark, SF))
+    # mapInPandas shows up as MapInPandas (Arrow), NOT BatchEvalPython (pickle)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_daily_scan_prunes_columns(spark):
+    # a 3-column projection over the 16-column lineitem must read 4 cols max
+    full = _full_explain(tq.QUERIES["freight_allocation"](spark, SF))
+    read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "no ReadSchema in plan"
+    lineitem_reads = [ln for ln in read_schema if "l_orderkey" in ln]
+    assert lineitem_reads and "l_shipdate" not in lineitem_reads[0]  # unused cols pruned
