@@ -1,0 +1,118 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path for
+similarity search when hyperplane-LSH recall isn't enough.
+
+Classic two-stage design:
+1. coarse quantizer: k centroids; every corpus vector is assigned to its
+   nearest centroid (one pass; assignment is a vectorized numpy matmul in an
+   Arrow-batched pandas UDF — 64-dim × k=16 per batch, the textbook case
+   where a vectorized kernel beats k HOF expressions);
+2. search: a query probes its ``nprobe`` nearest centroids and brute-forces
+   only those inverted lists — the cross join shrinks by ~k/nprobe.
+
+Centroids are chosen deterministically (the lowest-id vectors, then one
+Lloyd refinement pass computed distributively with groupBy means) so results
+are reproducible run-to-run — no RNG, no Date.now.
+
+At 100 TB: centroids are a broadcast table; assignment is a map stage;
+inverted lists are the partitioning key, so a probe touches nprobe/k of the
+data. Re-clustering is an offline job, not a per-query cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from .similarity import cosine
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_centroids(corpus: DataFrame, *, k: int = 16, vec_col: str = "embedding", id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic coarse quantizer: seed with the k lowest-id vectors,
+    refine with one distributed Lloyd step (mean of assigned vectors)."""
+    seeds = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).toPandas()[vec_col].tolist()
+    )
+    seed_m = _normalize(np.array([list(map(float, v)) for v in seeds]))
+
+    assigned = assign_clusters(corpus, seed_m.tolist(), vec_col=vec_col, id_col=id_col)
+    # one Lloyd step: per-cluster elementwise mean, computed distributively
+    dim = seed_m.shape[1]
+    sums = assigned.select(
+        "cluster", F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    ).groupBy("cluster").agg(
+        F.array(*[F.sum(F.col("v")[i]) for i in range(dim)]).alias("vsum"),
+        F.count("*").alias("n"),
+    )
+    rows = sums.collect()
+    out = seed_m.copy()
+    for r in rows:
+        out[r["cluster"]] = np.array(r["vsum"]) / r["n"]
+    return _normalize(out).tolist()
+
+
+def assign_clusters(
+    corpus: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Map stage: nearest-centroid id per vector via a vectorized Arrow UDF
+    (numpy matmul over each record batch)."""
+    cm = _normalize(np.array(centroids, dtype=np.float64)).T  # dim × k
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = _normalize(np.array(vecs.tolist(), dtype=np.float64))  # batch × dim
+        return pd.Series(np.argmax(m @ cm, axis=1).astype("int32"))
+
+    return corpus.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists per query, exact cosine
+    re-rank within them. Output: (query_id, cand_id, cos_sim, rnk)."""
+    cm = _normalize(np.array(centroids, dtype=np.float64)).T
+
+    @pandas_udf("array<int>")
+    def probe_clusters(vecs: pd.Series) -> pd.Series:
+        m = _normalize(np.array(vecs.tolist(), dtype=np.float64))
+        order = np.argsort(-(m @ cm), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        dvec(F.col(vec_col)).alias("qv"),
+        F.explode(probe_clusters(F.col(vec_col))).alias("cluster"),
+    )
+    c = assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("cand_id"), dvec(F.col(vec_col)).alias("cv"), "cluster"
+    )
+    scored = (
+        q.join(c, "cluster")  # inverted-list join replaces the cross join
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

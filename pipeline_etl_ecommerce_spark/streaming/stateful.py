@@ -1,0 +1,48 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference's queue workers keep per-key progress in MySQL status columns
+(SURVEY.md §2.10 T5). The Spark-native generalization is arbitrary per-key
+state in the state store; this module implements a running per-key
+accumulator — event count + value total carried across micro-batches — the
+building block for "how much have we processed for listing X" bookkeeping
+without any external table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _accumulate(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals: emits the updated (count, total)
+    for every user seen in each micro-batch; state persists in the
+    checkpointed state store across batches and restarts."""
+    # append mode: each emission is a standalone row (the running snapshot at
+    # that batch); pairs with append-only sinks like parquet. Semantically the
+    # downstream consumer keeps the row with the highest n_events per key, or
+    # routes through a keyed upsert sink.
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

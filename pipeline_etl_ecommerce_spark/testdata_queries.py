@@ -971,3 +971,19 @@ def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
         "vec_id", (F.col("pos") + 1).cast("int").alias("rank_pos"), "val"
     )
+
+
+# ===========================================================================
+# IVF ANN — rows-only check (k-means-lite coarse quantizer + inverted-list
+# probe is not SQL-expressible; the exact-cosine baseline knn_cosine_top3 is
+# the oracle-checked counterpart).
+# ===========================================================================
+
+from .operators.ivf import ivf_topk, train_centroids  # noqa: E402
+
+
+@register("ivf_ann_top3")
+def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, k=16)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=3, nprobe=4)
