@@ -609,13 +609,16 @@ WITH sh AS (
                           i -> substr(text, i, 5)) AS shingles
     FROM documents
 ),
+dig AS (
+    SELECT doc_id, list_transform(shingles, s -> md5(s)) AS dg FROM sh
+),
 sig AS (
     SELECT doc_id,
-           list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
-           list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
-           list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
-           list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
-    FROM sh
+           list_aggregate(list_transform(dg, d -> substr(d, 1, 8)), 'min') AS mh0,
+           list_aggregate(list_transform(dg, d -> substr(d, 9, 8)), 'min') AS mh1,
+           list_aggregate(list_transform(dg, d -> substr(d, 17, 8)), 'min') AS mh2,
+           list_aggregate(list_transform(dg, d -> substr(d, 25, 8)), 'min') AS mh3
+    FROM dig
 )
 SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig
 UNION ALL
