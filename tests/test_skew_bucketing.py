@@ -1,0 +1,82 @@
+"""Tests for skew salting (result parity + scatter) and bucketed joins
+(shuffle elimination verified in the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.operators.skew import (
+    deterministic_salt,
+    salted_groupby_agg,
+    salted_join,
+)
+from pipeline_etl_ecommerce_spark.sources.bucketing import bucketed_join_ready, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one mega-key holding 90% of rows + a tail
+    rows = [("hot", float(i % 7), i) for i in range(900)] + [
+        (f"k{i}", float(i), i) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "k string, v double, x long")
+
+
+def test_salted_agg_matches_plain_agg(spark, skewed):
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in skewed.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: (r["sum_v"], r["n"])
+        for r in salted_groupby_agg(skewed, ["k"], ["v"], n_salts=8, count_col="n").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][0] == pytest.approx(plain[k][0])
+        assert salted[k][1] == plain[k][1]
+
+
+def test_salt_actually_scatters_the_hot_key(spark, skewed):
+    n = (
+        skewed.withColumn("s", deterministic_salt(["x"], 8))
+        .filter(F.col("k") == "hot")
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n == 8  # the hot key occupies all salt buckets
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H"), ("k1", "A"), ("k2", "B")], "k string, label string")
+    plain = sorted((r["k"], r["x"], r["label"]) for r in skewed.join(dim, "k").collect())
+    salted = sorted((r["k"], r["x"], r["label"]) for r in salted_join(skewed, dim, "k", n_salts=4).collect())
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+    write_bucketed(a, "bt_a", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "bt_b", ["k"], num_buckets=4, sort_cols=["k"])
+    # force the non-broadcast path: tiny test tables auto-broadcast, which
+    # makes the planner ignore bucketing ("Bucketed: false (disabled by query
+    # planner)"); at real scale neither side broadcasts and bucketing is what
+    # kills the shuffle.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join_ready(spark, "bt_a", "bt_b", ["k"])
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: the shuffle was paid at write time
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
