@@ -109,3 +109,27 @@ def test_catalog_parent_sku_and_locale_parse(spark):
     assert rows["FILHO-1"]["custo_produto"] == pytest.approx(1234.56)  # F4 note: '1.234,56'
     assert rows["PAI-1"]["custo_produto"] == pytest.approx(10.50)
     assert rows["ORFAO-1"]["custo_produto"] == 0.0
+
+
+def test_catalog_worker_outcome_routing(spark):
+    from pipeline_etl_ecommerce_spark.plans.catalog import process_catalog_tasks
+
+    tasks = spark.createDataFrame([(1, 10), (2, 20), (3, 30), (4, 40)], "id long, id_produto_tiny long")
+    details = spark.createDataFrame(
+        [
+            (10, "OK", None, None, "SKU-A", "Prod A", "789", "4,50"),   # sku from codigo fallback
+            (20, "OK", None, "", "", "Prod B", None, "1,00"),           # empty sku+codigo -> erro
+            (30, "NOK", "token invalido", None, None, None, None, None),  # API failure
+            # 40: no detail row at all -> erro (API failure path)
+        ],
+        "id_produto_tiny long, status string, erro string, sku string, codigo string, nome string, gtin string, preco_custo string",
+    )
+    catalog_rows, outcomes = process_catalog_tasks(tasks, details)
+    cat = {r["sku"]: r.asDict() for r in catalog_rows.collect()}
+    out = {r["id"]: (r["status"], r["mensagem_erro"]) for r in outcomes.collect()}
+    assert set(cat) == {"SKU-A"}
+    assert cat["SKU-A"]["custo_produto"] == 4.5 and cat["SKU-A"]["ean"] == "789"
+    assert out[1] == ("concluido", None)
+    assert out[2] == ("erro", "Produto sem SKU ou Código no Tiny")
+    assert out[3][0] == "erro" and "token invalido" in out[3][1]
+    assert out[4][0] == "erro" and "Erro desconhecido" in out[4][1]
