@@ -44,13 +44,31 @@ def dedupe_last_wins(df: DataFrame, keys: list[str], order_by: list | None = Non
     )
 
 
+def _null_safe_key_cond(left_alias: str, right_alias: str, keys: list[str]):
+    """Null-safe key equality for the merge joins: NULL key components must
+    match each other (MySQL's dup-key check treats the row identity by
+    position, and the reference's keys — e.g. vendas' nullable id_variacao —
+    contain NULLs). A plain equi-join would never match NULL = NULL, so every
+    re-run would duplicate those rows."""
+    cond = None
+    for k in keys:
+        c = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def merge_upsert(old: DataFrame, new: DataFrame, keys: list[str], order_by: list | None = None) -> DataFrame:
     """``INSERT ... ON DUPLICATE KEY UPDATE`` semantics (SURVEY.md §2.1 S9):
     rows of ``old`` whose key appears in ``new`` are replaced; unseen keys
     survive; ``new`` is deduped by key first (last-wins with ``order_by``).
+    Key comparison is null-safe (NULL components are part of the identity).
     """
     fresh = dedupe_last_wins(new, keys, order_by)
-    kept = old.join(fresh.select(*keys).distinct(), on=keys, how="left_anti")
+    kept = old.alias("__old").join(
+        fresh.select(*keys).distinct().alias("__new"),
+        _null_safe_key_cond("__old", "__new", keys),
+        "left_anti",
+    )
     return kept.unionByName(fresh.select(*old.columns))
 
 
@@ -58,9 +76,14 @@ def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> Da
     """``INSERT IGNORE`` (SURVEY.md §2.1 S10; reference
     ``tarefa_popular_fila_trafego.php:42-51``): only rows whose key is absent
     from ``existing`` are appended; first occurrence wins within ``new``.
+    Null-safe on key components like ``merge_upsert``.
     """
     candidates = new.dropDuplicates(keys)
-    return candidates.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+    return candidates.alias("__new").join(
+        existing.select(*keys).distinct().alias("__old"),
+        _null_safe_key_cond("__new", "__old", keys),
+        "left_anti",
+    )
 
 
 def keyed_update(target: DataFrame, updates: DataFrame, keys: list[str], set_cols: list[str]) -> DataFrame:

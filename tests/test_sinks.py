@@ -73,3 +73,24 @@ def test_overwrite_date_partitions_touches_only_delta_days(spark, tmp_path):
     # partition values are type-inferred on read (string -> date), so compare as str
     got = {(str(r["d"]), r["k"]): r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {("2025-08-01", "a"): 1, ("2025-08-02", "b"): 99}
+
+
+def test_merge_upsert_null_safe_keys(spark):
+    # nullable key component (e.g. vendas' id_variacao): NULL must match NULL
+    # or every re-run duplicates those rows
+    schema = "k1 long, k2 string, v int"
+    old = spark.createDataFrame([(1, None, 10), (1, "a", 20)], schema)
+    new = spark.createDataFrame([(1, None, 99)], schema)
+    got = {(r["k1"], r["k2"]): r["v"] for r in merge_upsert(old, new, ["k1", "k2"]).collect()}
+    assert got == {(1, None): 99, (1, "a"): 20}
+    # idempotent: upserting the same batch again changes nothing
+    twice = merge_upsert(merge_upsert(old, new, ["k1", "k2"]), new, ["k1", "k2"])
+    assert twice.count() == 2
+
+
+def test_insert_if_absent_null_safe_keys(spark):
+    schema = "k1 long, k2 string, v int"
+    existing = spark.createDataFrame([(1, None, 10)], schema)
+    new = spark.createDataFrame([(1, None, 99), (2, None, 5)], schema)
+    got = {(r["k1"], r["k2"]) for r in insert_if_absent(existing, new, ["k1", "k2"]).collect()}
+    assert got == {(2, None)}
