@@ -92,13 +92,18 @@ def keyed_update(target: DataFrame, updates: DataFrame, keys: list[str], set_col
     missing from ``target`` are NOT inserted.
     """
     upd = updates.dropDuplicates(keys).select(
-        *keys, *[F.col(c).alias(f"__new_{c}") for c in set_cols]
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__new_{c}") for c in set_cols],
     )
-    joined = target.join(upd, on=keys, how="left")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else cond & c
+    joined = target.join(upd, cond, "left")
     out = joined
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
-    return out.drop(*[f"__new_{c}" for c in set_cols])
+    return out.drop(*[f"__k_{k}" for k in keys], *[f"__new_{c}" for c in set_cols])
 
 
 # --------------------------------------------------------------------------
