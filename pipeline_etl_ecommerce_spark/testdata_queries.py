@@ -990,3 +990,126 @@ def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = train_centroids(emb, k=16)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), centroids, k=3, nprobe=4)
+
+
+# ===========================================================================
+# Batch 4: end-to-end near-dup dedup — LSH candidates -> Jaccard verify ->
+# canonicalization; SimHash Hamming pairing. (NOTES.md round-1 follow-ups.)
+# ===========================================================================
+
+from .operators.dedupe import (  # noqa: E402
+    canonicalize_one_step,
+    connected_components,
+    simhash_near_pairs,
+    verify_candidate_pairs,
+)
+
+_VERIFIED_PAIRS_SQL = _MINHASH_BANDS_SQL.rstrip().replace(
+    "SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig\nUNION ALL\nSELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig",
+    """bk AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                        i -> substr(text, i, 3))) AS g
+    FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.6""",
+).replace(")\nbk AS (", "),\nbk AS (")
+
+
+@register("near_dup_verified_pairs", _VERIFIED_PAIRS_SQL)
+def near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
+    pairs = minhash_candidate_pairs(bk)
+    return verify_candidate_pairs(d, pairs, "text", "doc_id", k=3, threshold=0.6)
+
+
+_CANONICAL_SQL = _VERIFIED_PAIRS_SQL.replace(
+    """SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.6""",
+    """verified AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.6
+),
+partners AS (
+    SELECT doc_a AS doc, doc_b AS partner FROM verified
+    UNION ALL
+    SELECT doc_b AS doc, doc_a AS partner FROM verified
+),
+mins AS (SELECT doc, MIN(partner) AS min_partner FROM partners GROUP BY doc)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.min_partner, d.doc_id)) AS canonical_id
+FROM documents d LEFT JOIN mins m ON m.doc = d.doc_id""",
+)
+# the verified CTE closes the WITH chain, so 'grams' needs a trailing comma fix
+_CANONICAL_SQL = _CANONICAL_SQL.replace(
+    "    FROM documents\n)\nverified AS (", "    FROM documents\n),\nverified AS ("
+)
+
+
+@register("near_dup_canonical_ids", _CANONICAL_SQL)
+def near_dup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
+    verified = verify_candidate_pairs(
+        d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
+    )
+    return canonicalize_one_step(d, verified, "doc_id")
+
+
+def _simhash_pairs_sql() -> str:
+    base = _simhash_sql().rstrip()
+    # wrap the signature query as a CTE and band it into 4 bytes
+    return f"""
+WITH sigs AS (
+{base}
+),
+banded AS (
+    SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_byte
+    FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_byte = b.band_byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+@register("simhash_near_pairs", _simhash_pairs_sql())
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash32(_t(spark, sf_dir, "documents"), "text", "doc_id").persist()
+    out = simhash_near_pairs(sigs, max_hamming=4)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register("near_dup_components")
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the verified near-dup relation (iterative label
+    propagation — not SQL-expressible; rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
+    verified = verify_candidate_pairs(
+        d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
+    ).persist()
+    return connected_components(verified)

@@ -119,3 +119,39 @@ def test_multimodal_plumbing_and_stub(spark, docs):
     # and a kernel that raises NotImplementedError degrades gracefully per-row
     degraded = extract_features(documents_as_media(docs), kernel=decode_image).collect()
     assert all(r["decode_status"] == "decoder_unavailable" for r in degraded)
+
+
+def test_lsh_verify_and_canonicalize_end_to_end(docs):
+    from pipeline_etl_ecommerce_spark.operators.dedupe import (
+        canonicalize_one_step,
+        minhash_band_keys,
+        minhash_candidate_pairs,
+        verify_candidate_pairs,
+    )
+
+    bk = minhash_band_keys(docs, "text", "doc_id")
+    verified = verify_candidate_pairs(docs, minhash_candidate_pairs(bk), "text", "doc_id", threshold=0.6)
+    vp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(1, 2)] == 1.0  # exact dup survives verification
+    assert all(j >= 0.6 for j in vp.values())
+    canon = {r["doc_id"]: r["canonical_id"] for r in canonicalize_one_step(docs, verified, "doc_id").collect()}
+    assert canon[2] == 1  # dup points at its canonical
+    assert canon[5] == 5  # unrelated doc is its own canonical
+
+
+def test_connected_components_closes_chains(spark):
+    from pipeline_etl_ecommerce_spark.operators.dedupe import connected_components
+
+    # chain 1-2, 2-3 and separate pair 7-8: closure must give {1,2,3}->1, {7,8}->7
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_simhash_near_pairs_finds_near_dups(docs):
+    from pipeline_etl_ecommerce_spark.operators.dedupe import simhash32, simhash_near_pairs
+
+    sigs = simhash32(docs, "text", "doc_id")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(sigs, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0  # identical docs: distance 0
+    assert (1, 5) not in pairs  # unrelated docs: far apart
