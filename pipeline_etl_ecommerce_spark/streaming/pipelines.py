@@ -1,0 +1,52 @@
+"""Streaming versions of the domain pipelines (SURVEY.md §2.10 T5 → native).
+
+The reference's traffic queue (producer INSERT IGNORE → worker batch claim →
+API fetch → upsert) becomes one checkpointed stream: task drops land as
+JSON-lines files, each micro-batch joins them against the payload tables and
+MERGEs into ``trafego_diario``. The checkpoint replaces the status lifecycle
+entirely — a crashed run resumes from the last committed batch, and the
+keyed upsert makes redelivery idempotent (the reference's exact
+at-least-once + idempotent-write contract, minus the stranded
+'processando' rows it leaks on crash; SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..plans.traffic import process_traffic_tasks
+from ..sources.sinks import upsert_to_path
+from .runner import read_json_stream
+
+TASK_SCHEMA = StructType.fromDDL("id bigint, id_anuncio string, data_metrica date")
+
+
+def traffic_stream(
+    spark: SparkSession,
+    task_dir: str,
+    visits: DataFrame,
+    ads_metrics: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Consume traffic-task drops as a stream; each micro-batch runs the
+    worker transform (J9 day-matched visits + ads metric defaults) and
+    upserts the daily traffic mart keyed (id_anuncio, data_metrica)."""
+    tasks = read_json_stream(spark, task_dir, TASK_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = process_traffic_tasks(batch_df, visits, ads_metrics)
+        upsert_to_path(out, target_path, ["id_anuncio", "data_metrica"])
+
+    return (
+        tasks.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -138,3 +138,47 @@ def test_backfill_runner(spark, tmp_path):
     # re-run converges (idempotent)
     backfill(days, run_day, lambda df: upsert_to_path(df, target, ["day"]))
     assert spark.read.parquet(target).count() == 3
+
+
+def test_traffic_stream_pipeline(spark, tmp_path):
+    """Queue-as-stream: task file drops -> worker transform per micro-batch ->
+    idempotent mart upsert; resume from checkpoint on the second drop."""
+    import datetime as dt
+
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import traffic_stream
+
+    D = "2025-08-10"
+    task_dir = str(tmp_path / "tasks")
+    mart = str(tmp_path / "trafego")
+    ckpt = str(tmp_path / "ckpt_t")
+    os.makedirs(task_dir)
+
+    visits = spark.createDataFrame(
+        [("MLB1", [{"date": D + "T00:00:00Z", "total": 42}])],
+        "id_anuncio string, results array<struct<date:string,total:int>>",
+    )
+    ads = spark.createDataFrame(
+        [("MLB1", dt.date(2025, 8, 10), 10, 100, 5.5, 3, 200.0, 7)],
+        "id_anuncio string, data_metrica date, clicks int, prints int, cost double, units_quantity int, total_amount double, organic_items_quantity int",
+    )
+
+    def drop(name, rows):
+        with open(os.path.join(task_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop("b1.json", [{"id": 1, "id_anuncio": "MLB1", "data_metrica": D}])
+    traffic_stream(spark, task_dir, visits, ads, mart, ckpt).awaitTermination(120)
+    got = {r["id_anuncio"]: r.asDict() for r in spark.read.parquet(mart).collect()}
+    assert got["MLB1"]["visitas_totais"] == 42 and got["MLB1"]["cliques_ads"] == 10
+
+    # second drop: new task + a REPLAY of task 1 -> resume, converge, no dups
+    drop("b2.json", [
+        {"id": 1, "id_anuncio": "MLB1", "data_metrica": D},
+        {"id": 2, "id_anuncio": "MLB2", "data_metrica": D},
+    ])
+    traffic_stream(spark, task_dir, visits, ads, mart, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(mart).collect()
+    assert len(rows) == 2  # MLB1 converged (no duplicate), MLB2 added with zero defaults
+    got2 = {r["id_anuncio"]: r.asDict() for r in rows}
+    assert got2["MLB2"]["visitas_totais"] == 0 and got2["MLB1"]["visitas_totais"] == 42
