@@ -57,3 +57,20 @@ def test_daily_scan_prunes_columns(spark):
     assert read_schema, "no ReadSchema in plan"
     lineitem_reads = [ln for ln in read_schema if "l_orderkey" in ln]
     assert lineitem_reads and "l_shipdate" not in lineitem_reads[0]  # unused cols pruned
+
+
+def test_sql_surface_over_registered_catalog(spark):
+    from pipeline_etl_ecommerce_spark.sources.readers import register_catalog
+
+    views = register_catalog(spark, SF)
+    assert "lineitem" in views and "documents" in views
+    got = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+        GROUP BY l_returnflag
+        """
+    ).collect()
+    assert len(got) > 0 and all(r["revenue"] > 0 for r in got)
