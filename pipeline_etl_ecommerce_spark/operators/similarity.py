@@ -127,3 +127,31 @@ def lsh_bucket_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at corpus scale: vectors
+    sharing a hyperplane-LSH bucket are candidates (nearby vectors land on
+    the same side of most planes), exact cosine filters at ``threshold``.
+    All-pairs within buckets — quadratic only per bucket, like the MinHash
+    band join."""
+    sig = corpus.select(
+        F.col(id_col).alias("vid"),
+        _dvec(F.col(vec_col)).alias("v"),
+        hyperplane_signature(_dvec(F.col(vec_col)), planes).alias("bucket"),
+    )
+    a = sig.select(F.col("bucket"), F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    b = sig.select(F.col("bucket"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

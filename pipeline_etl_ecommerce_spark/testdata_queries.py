@@ -1113,3 +1113,56 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
     ).persist()
     return connected_components(verified)
+
+
+# ===========================================================================
+# Embedding-cosine near-dup pairs: hyperplane-LSH buckets + exact cosine.
+# Planes are deterministic literals (math.sin recipe) inlined into BOTH the
+# Spark plan and the SQL text, so the bucket keys match bit-for-bit.
+# ===========================================================================
+
+import math  # noqa: E402
+
+from .operators.similarity import embedding_near_dup_pairs  # noqa: E402
+
+_EMB_DIM = 64
+_N_PLANES = 6
+PLANES = [
+    [round(math.sin(0.1 + 7.0 * b + 13.0 * i), 6) for i in range(_EMB_DIM)]
+    for b in range(_N_PLANES)
+]
+
+
+def _emb_near_dup_sql() -> str:
+    plane_sql = []
+    for b, p in enumerate(PLANES):
+        lits = ", ".join(repr(x) for x in p)
+        plane_sql.append(
+            f"CASE WHEN list_aggregate(list_transform(list_zip(v, [{lits}]::DOUBLE[]), x -> x[1] * x[2]), 'sum') >= 0 THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(plane_sql)
+    return f"""
+WITH sig AS (
+    SELECT vec_id AS vid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           {bucket} AS bucket
+    FROM embeddings
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos_sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))) >= 0.3
+"""
+
+
+@register("embedding_near_dup_pairs", _emb_near_dup_sql())
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic random embeddings have no true near-dups (max in-bucket
+    # cosine ~0.48), so the catalog entry uses 0.3 — "most similar pairs" —
+    # to keep the oracle check non-vacuous.
+    return embedding_near_dup_pairs(emb, PLANES, threshold=0.3)

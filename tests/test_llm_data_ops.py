@@ -155,3 +155,21 @@ def test_simhash_near_pairs_finds_near_dups(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(sigs, max_hamming=4).collect()}
     assert pairs[(1, 2)] == 0  # identical docs: distance 0
     assert (1, 5) not in pairs  # unrelated docs: far apart
+
+
+def test_embedding_near_dup_pairs(spark):
+    from pipeline_etl_ecommerce_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-dup of 1
+            (3, [0.0, 1.0]),      # orthogonal
+            (4, [-1.0, 0.0]),     # opposite bucket
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb, planes, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(k == (1, 2) for k in pairs)  # nothing else passes the threshold
