@@ -1031,12 +1031,30 @@ WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
 ).replace(")\nbk AS (", "),\nbk AS (")
 
 
+# The near-dup family (verified pairs, canonicalization, components) shares
+# one materialized verification side-table per (session, sf_dir) — the
+# signatures-as-side-table design: at scale these would be a persisted mart
+# keyed by corpus version, not recomputed per downstream query.
+_NEAR_DUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _NEAR_DUP_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
+        vp = verify_candidate_pairs(
+            d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
+        ).persist()
+        vp.count()  # materialize now so upstream cached state can be dropped
+        bk.unpersist()
+        _NEAR_DUP_CACHE[key] = vp
+    return _NEAR_DUP_CACHE[key]
+
+
 @register("near_dup_verified_pairs", _VERIFIED_PAIRS_SQL)
 def near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
-    pairs = minhash_candidate_pairs(bk)
-    return verify_candidate_pairs(d, pairs, "text", "doc_id", k=3, threshold=0.6)
+    return _verified_pairs(spark, sf_dir)
 
 
 _CANONICAL_SQL = _VERIFIED_PAIRS_SQL.replace(
@@ -1070,11 +1088,7 @@ _CANONICAL_SQL = _CANONICAL_SQL.replace(
 @register("near_dup_canonical_ids", _CANONICAL_SQL)
 def near_dup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
-    verified = verify_candidate_pairs(
-        d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
-    )
-    return canonicalize_one_step(d, verified, "doc_id")
+    return canonicalize_one_step(d, _verified_pairs(spark, sf_dir), "doc_id")
 
 
 def _simhash_pairs_sql() -> str:
@@ -1107,12 +1121,7 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the verified near-dup relation (iterative label
     propagation — not SQL-expressible; rows-only check)."""
-    d = _t(spark, sf_dir, "documents")
-    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
-    verified = verify_candidate_pairs(
-        d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
-    ).persist()
-    return connected_components(verified)
+    return connected_components(_verified_pairs(spark, sf_dir))
 
 
 # ===========================================================================
