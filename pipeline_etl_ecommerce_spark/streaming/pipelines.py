@@ -50,3 +50,73 @@ def traffic_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+STOCK_TASK_SCHEMA = StructType.fromDDL("id bigint, sku string, id_produto_tiny bigint, data_snapshot date")
+CATALOG_TASK_SCHEMA = StructType.fromDDL("id bigint, id_produto_tiny bigint")
+
+
+def inventory_stream(
+    spark: SparkSession,
+    task_dir: str,
+    tiny_stock: DataFrame,
+    mapa: DataFrame,
+    listings: DataFrame,
+    inventory_stock: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Inventory queue as a stream (reference ``worker_processar_estoque``):
+    each micro-batch of (sku, day) tasks resolves Tiny warehouse balances and
+    the fulfillment-stock chain, upserting ``estoque_diario``."""
+    from ..plans.inventory import process_stock_tasks
+
+    tasks = read_json_stream(spark, task_dir, STOCK_TASK_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = process_stock_tasks(batch_df, tiny_stock, mapa, listings, inventory_stock)
+        upsert_to_path(out, target_path, ["sku", "data_snapshot"])
+
+    return (
+        tasks.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def catalog_stream(
+    spark: SparkSession,
+    task_dir: str,
+    details: DataFrame,
+    catalog_path: str,
+    outcomes_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Catalog queue as a stream (reference ``worker_sincronizar_catalogo``):
+    per micro-batch, valid detail payloads upsert ``produtos_catalogo`` and
+    every task's outcome (concluido / erro + mensagem) lands in an outcomes
+    mart — the durable replacement for the reference's status columns."""
+    from ..plans.catalog import process_catalog_tasks
+
+    tasks = read_json_stream(spark, task_dir, CATALOG_TASK_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog_rows, outcomes = process_catalog_tasks(batch_df, details)
+        upsert_to_path(catalog_rows, catalog_path, ["sku"])
+        upsert_to_path(outcomes, outcomes_path, ["id"])
+
+    return (
+        tasks.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

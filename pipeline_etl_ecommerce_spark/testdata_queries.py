@@ -1035,11 +1035,11 @@ WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
 # one materialized verification side-table per (session, sf_dir) — the
 # signatures-as-side-table design: at scale these would be a persisted mart
 # keyed by corpus version, not recomputed per downstream query.
-_NEAR_DUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_NEAR_DUP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEAR_DUP_CACHE:
         d = _t(spark, sf_dir, "documents")
         bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()

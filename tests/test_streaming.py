@@ -182,3 +182,44 @@ def test_traffic_stream_pipeline(spark, tmp_path):
     assert len(rows) == 2  # MLB1 converged (no duplicate), MLB2 added with zero defaults
     got2 = {r["id_anuncio"]: r.asDict() for r in rows}
     assert got2["MLB2"]["visitas_totais"] == 0 and got2["MLB1"]["visitas_totais"] == 42
+
+
+def test_inventory_and_catalog_streams(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import catalog_stream, inventory_stream
+    from pipeline_etl_ecommerce_spark import schemas
+
+    # --- inventory stream ---
+    tdir = str(tmp_path / "stock_tasks")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "b1.json"), "w") as f:
+        f.write(json.dumps({"id": 1, "sku": "SKU-1", "id_produto_tiny": 1, "data_snapshot": "2025-08-10"}) + "\n")
+    tiny = spark.createDataFrame(
+        [("SKU-1", [{"deposito": {"nome": "Geral", "saldo": 9.0}}])],
+        "sku string, depositos array<struct<deposito:struct<nome:string,saldo:double>>>",
+    )
+    mapa = spark.createDataFrame([], schemas.MAPA_PRODUTOS_ANUNCIOS)
+    listings = spark.createDataFrame([], schemas.MELI_LISTING)
+    inv = spark.createDataFrame([], "inventory_id string, total int")
+    inventory_stream(
+        spark, tdir, tiny, mapa, listings, inv, str(tmp_path / "estoque"), str(tmp_path / "ckpt_i")
+    ).awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "estoque")).collect()
+    assert len(rows) == 1 and rows[0]["estoque_geral_tiny"] == 9 and rows[0]["estoque_full_ml"] == 0
+
+    # --- catalog stream ---
+    cdir = str(tmp_path / "cat_tasks")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "b1.json"), "w") as f:
+        f.write(json.dumps({"id": 1, "id_produto_tiny": 10}) + "\n")
+        f.write(json.dumps({"id": 2, "id_produto_tiny": 99}) + "\n")
+    details = spark.createDataFrame(
+        [(10, "OK", None, "SKU-X", None, "Prod X", None, "3,00")],
+        "id_produto_tiny long, status string, erro string, sku string, codigo string, nome string, gtin string, preco_custo string",
+    )
+    catalog_stream(
+        spark, cdir, details, str(tmp_path / "cat"), str(tmp_path / "outcomes"), str(tmp_path / "ckpt_c")
+    ).awaitTermination(120)
+    cat = {r["sku"]: r["custo_produto"] for r in spark.read.parquet(str(tmp_path / "cat")).collect()}
+    outcomes = {r["id"]: r["status"] for r in spark.read.parquet(str(tmp_path / "outcomes")).collect()}
+    assert cat == {"SKU-X": 3.0}
+    assert outcomes == {1: "concluido", 2: "erro"}
