@@ -72,7 +72,12 @@ def minhash_band_keys(
     if num_hashes > 4:
         raise ValueError("num_hashes > 4 needs wider digests (md5 hex has 4 disjoint 8-char slices)")
     rows_per_band = num_hashes // bands
-    shingled = df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, k).alias("sh"))
+    # dedup shingles BEFORE digesting: array_min is unaffected by duplicates,
+    # and natural text repeats many k-grams, so this drops a large fraction
+    # of the md5 calls (the dominant cost of signature building)
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(char_shingles(text_col, k)).alias("sh")
+    )
     # digest each shingle ONCE; the k hash functions are disjoint hex slices
     # of that digest (a separate projection so the md5 array isn't inlined
     # and recomputed per min-hash expression)
@@ -124,12 +129,17 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Plan shape: explode tokens → single groupBy with 32 conditional sums
     (partial aggregation map-side) → bit recombination. One shuffle."""
     tokens = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
-    tokenized = df.select(F.col(id_col).alias("doc_id"), tokens.alias("tok")).filter(F.col("tok") != "")
-    digest = F.md5(F.col("tok").cast("binary"))
+    tokenized = (
+        df.select(F.col(id_col).alias("doc_id"), tokens.alias("tok"))
+        .filter(F.col("tok") != "")
+        # digest ONCE per token in its own projection — referencing md5(tok)
+        # inside all 32 vote aggregates would re-hash every token 32 times
+        .select("doc_id", F.md5(F.col("tok").cast("binary")).alias("dg"))
+    )
     high_bits = ("8", "9", "a", "b", "c", "d", "e", "f")
     votes = [
         F.sum(
-            F.when(F.substring(digest, j + 1, 1).isin(*high_bits), 1).otherwise(-1)
+            F.when(F.substring(F.col("dg"), j + 1, 1).isin(*high_bits), 1).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(32)
     ]
@@ -189,9 +199,20 @@ def verify_candidate_pairs(
     the dominant cost otherwise (measured 18s -> ~4s at sf0.1). Correct while
     the gram table of CANDIDATE docs fits the broadcast budget; for corpora
     past that, set False for the shuffle-join plan."""
-    grams = df.select(
-        F.col(id_col).alias("gid"), F.array_distinct(char_shingles(text_col, k)).alias("grams")
-    ).persist()  # read twice (both sides of the pair join): shingle once
+    pairs = pairs.persist()
+    # only docs that appear in a candidate pair need gram sets — semi-join the
+    # corpus down BEFORE shingling so the (expensive) gram build and the
+    # broadcast both scale with the candidate set, not the corpus
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("gid"))
+        .unionByName(pairs.select(F.col("doc_b").alias("gid")))
+        .distinct()
+    )
+    grams = (
+        df.join(cand_ids, F.col(id_col) == F.col("gid"), "left_semi")
+        .select(F.col(id_col).alias("gid"), F.array_distinct(char_shingles(text_col, k)).alias("grams"))
+        .persist()  # read twice (both sides of the pair join): shingle once
+    )
     if broadcast_grams:
         grams = F.broadcast(grams)
     ga = grams.select(F.col("gid").alias("doc_a"), F.col("grams").alias("grams_a"))
@@ -258,6 +279,10 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # checkpoint BEFORE the convergence probe: the probe and the next
+        # round then both read the materialized result instead of executing
+        # the round's join+agg twice (one run for the changed-count action,
+        # one for the checkpoint).
         updated = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
@@ -267,9 +292,10 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
                 ),
                 "component_id",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_component") != F.col("component_id")).limit(1).count()
-        labels = updated.select("doc_id", F.col("new_component").alias("component_id")).localCheckpoint()
+        labels = updated.select("doc_id", F.col("new_component").alias("component_id"))
         if changed == 0:
             break
     return labels

@@ -142,16 +142,23 @@ def embedding_near_dup_pairs(
     the same side of most planes), exact cosine filters at ``threshold``.
     All-pairs within buckets — quadratic only per bucket, like the MinHash
     band join."""
+    # norm once per VECTOR in the signature stage, not once per PAIR in the
+    # bucket join — the pair stage then does a single dot product + divide
+    # (identical floating-point arithmetic, so oracle parity is preserved)
     sig = corpus.select(
         F.col(id_col).alias("vid"),
         _dvec(F.col(vec_col)).alias("v"),
         hyperplane_signature(_dvec(F.col(vec_col)), planes).alias("bucket"),
-    )
-    a = sig.select(F.col("bucket"), F.col("vid").alias("vec_a"), F.col("v").alias("va"))
-    b = sig.select(F.col("bucket"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    ).withColumn("nv", norm(F.col("v")))
+    a = sig.select(F.col("bucket"), F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = sig.select(F.col("bucket"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

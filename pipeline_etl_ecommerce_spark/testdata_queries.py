@@ -628,8 +628,7 @@ SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig
 
 @register("minhash_band_buckets", _MINHASH_BANDS_SQL)
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2)
+    return _band_keys(spark, sf_dir)
 
 
 _MINHASH_PAIRS_SQL = _MINHASH_BANDS_SQL.replace(
@@ -647,12 +646,11 @@ FROM bk a JOIN bk b
 
 @register("minhash_candidate_pairs", _MINHASH_PAIRS_SQL)
 def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    # persist the signatures: the pair self-join reads them twice, and with a
-    # broadcast build side there is no exchange to reuse — without the persist
-    # every md5 minhash is computed twice (measured 2x wall-clock at sf0.1).
-    bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
-    return minhash_candidate_pairs(bk)
+    # the persisted band-key side-table matters twice over: the pair
+    # self-join reads it on both sides (broadcast build has no exchange to
+    # reuse — without a persist every md5 minhash runs twice), and the other
+    # minhash entries share the same materialization.
+    return minhash_candidate_pairs(_band_keys(spark, sf_dir))
 
 
 def _simhash_sql() -> str:
@@ -678,7 +676,7 @@ SELECT doc_id, {bits} AS simhash FROM votes
 
 @register("simhash_documents", _simhash_sql())
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash32(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return _simhash_sigs(spark, sf_dir)
 
 
 _JACCARD_SQL = """
@@ -1031,25 +1029,57 @@ WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
 ).replace(")\nbk AS (", "),\nbk AS (")
 
 
-# The near-dup family (verified pairs, canonicalization, components) shares
-# one materialized verification side-table per (session, sf_dir) — the
-# signatures-as-side-table design: at scale these would be a persisted mart
-# keyed by corpus version, not recomputed per downstream query.
-_NEAR_DUP_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Signature side-tables, shared per (session, sf_dir): MinHash band keys,
+# SimHash signatures, and the verified near-dup pair set are each computed
+# ONCE and persisted, then every downstream catalog entry reads the
+# materialized table. This is the signatures-as-a-mart design: at scale these
+# are persisted tables keyed by corpus version, not recomputed per query.
+_SIDE_TABLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _side_table(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SIDE_TABLES:
+        df = build().persist()
+        df.count()  # materialize eagerly so callers never re-run the lineage
+        _SIDE_TABLES[key] = df
+    return _SIDE_TABLES[key]
+
+
+def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "minhash_band_keys",
+        lambda: minhash_band_keys(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", k=5, num_hashes=4, bands=2
+        ),
+    )
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "simhash32",
+        lambda: simhash32(_t(spark, sf_dir, "documents"), "text", "doc_id"),
+    )
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEAR_DUP_CACHE:
-        d = _t(spark, sf_dir, "documents")
-        bk = minhash_band_keys(d, "text", "doc_id", k=5, num_hashes=4, bands=2).persist()
-        vp = verify_candidate_pairs(
-            d, minhash_candidate_pairs(bk), "text", "doc_id", k=3, threshold=0.6
-        ).persist()
-        vp.count()  # materialize now so upstream cached state can be dropped
-        bk.unpersist()
-        _NEAR_DUP_CACHE[key] = vp
-    return _NEAR_DUP_CACHE[key]
+    return _side_table(
+        spark,
+        sf_dir,
+        "near_dup_verified_pairs",
+        lambda: verify_candidate_pairs(
+            _t(spark, sf_dir, "documents"),
+            minhash_candidate_pairs(_band_keys(spark, sf_dir)),
+            "text",
+            "doc_id",
+            k=3,
+            threshold=0.6,
+        ),
+    )
 
 
 @register("near_dup_verified_pairs", _VERIFIED_PAIRS_SQL)
@@ -1112,8 +1142,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 
 @register("simhash_near_pairs", _simhash_pairs_sql())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = simhash32(_t(spark, sf_dir, "documents"), "text", "doc_id").persist()
-    out = simhash_near_pairs(sigs, max_hamming=4)
+    out = simhash_near_pairs(_simhash_sigs(spark, sf_dir), max_hamming=4)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -1154,17 +1183,16 @@ def _emb_near_dup_sql() -> str:
 WITH sig AS (
     SELECT vec_id AS vid,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-           {bucket} AS bucket
+           {bucket} AS bucket,
+           sqrt(list_aggregate(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x), 'sum')) AS nv
     FROM embeddings
 )
 SELECT a.vid AS vec_a, b.vid AS vec_b,
        ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
-             / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-                * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos_sim
+             / (a.nv * b.nv), 6) AS cos_sim
 FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vid < b.vid
 WHERE list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
-      / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))) >= 0.3
+      / (a.nv * b.nv) >= 0.3
 """
 
 
