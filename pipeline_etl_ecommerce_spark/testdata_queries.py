@@ -1147,6 +1147,44 @@ def near_dup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_one_step(d, _verified_pairs(spark, sf_dir), "doc_id")
 
 
+# End-to-end training-data curation: quality gate + near-dup canonical keep,
+# composed as ONE declarative plan (the full LSH -> verify -> canonicalize
+# chain feeds a join, no intermediate actions). Nested-WITH subqueries reuse
+# the canonical and quality oracle SQL verbatim.
+_CURATED_SQL = f"""
+WITH canon AS (
+{_CANONICAL_SQL}
+),
+q AS (
+{_QUALITY_SQL}
+)
+SELECT q.doc_id, q.n_tokens, q.quality_score
+FROM q JOIN canon c ON c.doc_id = q.doc_id
+WHERE c.doc_id = c.canonical_id AND q.n_tokens >= 30 AND q.alpha_ratio >= 0.8
+"""
+
+
+@register("curated_documents", _CURATED_SQL)
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the curation pipeline a 100 TB pretraining ingest would run daily:
+    # near-dup canonicalization keeps one doc per duplicate cluster
+    # (doc_id == canonical_id), then length/alpha quality gates drop junk.
+    # Reuses the shared verified-pairs side table, so the LSH chain runs
+    # once per session even though three catalog entries consume it.
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d, "text", "doc_id")
+    canon = canonicalize_one_step(d, _verified_pairs(spark, sf_dir), "doc_id")
+    return (
+        q.join(canon, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("n_tokens") >= 30)
+            & (F.col("alpha_ratio") >= 0.8)
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
 def _simhash_pairs_sql() -> str:
     base = _simhash_sql().rstrip()
     # wrap the signature query as a CTE and band it into 4 bytes
