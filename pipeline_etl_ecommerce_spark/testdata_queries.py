@@ -860,6 +860,52 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(d))
 
 
+# resize: the fake kernel truncates the payload to the width×height pixel
+# budget, so the oracle is a substr+md5 — which is exactly the point: the
+# Arrow batch plumbing is verified end-to-end even with a stub kernel.
+_MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+       CAST(least(length(text), 64 * 48) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 64 * 48)) AS content_hash,
+       'ok' AS resize_status
+FROM documents
+"""
+
+
+@register("multimodal_resize_stub", _MULTIMODAL_RESIZE_SQL)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_media
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(d), width=64, height=48)
+
+
+# frame sampling: one-to-many mapInPandas — each doc yields 4 "frames"
+# (contiguous integer-division chunks of the payload in the fake kernel);
+# the oracle reproduces the chunk boundaries with substr arithmetic.
+_MULTIMODAL_FRAMES_SQL = """
+SELECT d.doc_id AS media_id,
+       CAST(i.frame_index AS BIGINT) AS frame_index,
+       CAST((i.frame_index + 1) * length(text) // 4
+            - i.frame_index * length(text) // 4 AS BIGINT) AS n_bytes,
+       md5(substr(text,
+                  i.frame_index * length(text) // 4 + 1,
+                  (i.frame_index + 1) * length(text) // 4
+                  - i.frame_index * length(text) // 4)) AS frame_hash,
+       'ok' AS sample_status
+FROM documents d, (SELECT unnest(generate_series(0, 3)) AS frame_index) i
+"""
+
+
+@register("multimodal_frame_sample", _MULTIMODAL_FRAMES_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), n_frames=4)
+
+
 # ===========================================================================
 # Batch 3: hierarchy rollup (A3), self-join (J7), insert-if-absent (S10)
 # ===========================================================================

@@ -121,6 +121,46 @@ def test_multimodal_plumbing_and_stub(spark, docs):
     assert all(r["decode_status"] == "decoder_unavailable" for r in degraded)
 
 
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    import hashlib
+
+    from pipeline_etl_ecommerce_spark.operators.multimodal import (
+        fake_frame_sample,
+        resize_image,
+        resize_media,
+        sample_frames,
+        sample_video_frames,
+    )
+
+    media = documents_as_media(docs)
+    text1 = "the quick brown fox jumps over the lazy dog"
+
+    resized = {r["media_id"]: r.asDict() for r in resize_media(media, width=4, height=2).collect()}
+    assert resized[1]["n_bytes"] == 8  # truncated to the 4x2 pixel budget
+    assert resized[1]["content_hash"] == hashlib.md5(text1[:8].encode()).hexdigest()
+    assert resized[1]["resize_status"] == "ok"
+
+    frames = sample_frames(media, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) == 4 for v in by_doc.values())  # one-to-many: 4 rows per doc
+    assert sum(r["n_bytes"] for r in by_doc[1]) == len(text1)  # chunks tile the payload
+    # chunk boundaries are integer-division, matching the kernel directly
+    expect = fake_frame_sample(text1.encode(), 4)
+    got = sorted(by_doc[1], key=lambda r: r["frame_index"])
+    assert [r["frame_hash"] for r in got] == [f["frame_hash"] for f in expect]
+
+    # real kernels are stubbed; the batch path degrades per-row, not per-job
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 64, 48)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00", 4)
+    degraded = sample_frames(media, n_frames=4, kernel=sample_video_frames).collect()
+    assert all(r["sample_status"] == "decoder_unavailable" for r in degraded)
+    assert len(degraded) == docs.count()  # one placeholder row per media
+
+
 def test_lsh_verify_and_canonicalize_end_to_end(docs):
     from pipeline_etl_ecommerce_spark.operators.dedupe import (
         canonicalize_one_step,
