@@ -11,6 +11,8 @@ re-running LSH over the full corpus.
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pipeline_etl_ecommerce_spark.operators.dedupe import (
@@ -68,6 +70,37 @@ def test_incremental_pairs_see_delta_delta_and_delta_old(spark, corpus):
     inc = _pair_set(incremental_candidate_pairs(old_bk.unionByName(delta_bk), delta_bk))
     assert (1, 6) in inc or (2, 6) in inc  # delta doc pairs with an old near-dup
     assert all(a < b for a, b in inc)  # orientation normalized
+
+
+WORDS = ["fox", "dog", "cat", "perro", "calle", "rapido", "lento", "texto", "the", "muy"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    split=st.integers(min_value=1, max_value=7),
+)
+def test_incremental_composition_property(spark, texts, split):
+    """For ANY corpus and ANY old/delta split point:
+    pairs(old) ∪ incremental(mart, delta) == pairs(full)."""
+    corpus = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    split = min(split, len(texts) - 1)
+    old = corpus.filter(F.col("doc_id") < split)
+    delta = corpus.filter(F.col("doc_id") >= split)
+
+    kw = dict(k=3, num_hashes=4, bands=2)
+    old_bk = minhash_band_keys(old, "text", "doc_id", **kw)
+    delta_bk = minhash_band_keys(delta, "text", "doc_id", **kw)
+    full_bk = minhash_band_keys(corpus, "text", "doc_id", **kw)
+
+    old_pairs = _pair_set(minhash_candidate_pairs(old_bk))
+    inc_pairs = _pair_set(incremental_candidate_pairs(old_bk.unionByName(delta_bk), delta_bk))
+    full_pairs = _pair_set(minhash_candidate_pairs(full_bk))
+    assert old_pairs | inc_pairs == full_pairs
 
 
 def test_signature_mart_upsert_replaces_changed_docs(spark, corpus, tmp_path):

@@ -43,6 +43,16 @@ def test_no_python_in_jvm_paths(spark):
         assert "Python" not in plan, f"{name} fell off the JVM path"
 
 
+def test_near_dup_joins_never_go_cartesian(spark):
+    # the LSH family's whole point is replacing O(n^2) with bucket equi-joins;
+    # a dropped join key would silently reintroduce the cross product
+    for name in ("minhash_candidate_pairs", "minhash_incremental_pairs",
+                 "simhash_near_pairs", "embedding_near_dup_pairs"):
+        plan = _executed_plan(tq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi-join keys"
+
+
 def test_multimodal_is_arrow_batched(spark):
     plan = _executed_plan(tq.QUERIES["multimodal_decode_stub"](spark, SF))
     # mapInPandas shows up as MapInPandas (Arrow), NOT BatchEvalPython (pickle)
