@@ -110,3 +110,35 @@ def fingerprint(text: str | Column) -> Column:
     non-alphanumerics stripped — robust to whitespace/punctuation edits."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]", "").cast("binary"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    k-gram (rolling hash stand-in: an 8-hex slice of md5), then select the
+    MINIMUM hash of each ``window`` consecutive k-grams. Any shared substring
+    of length >= k + window - 1 between two documents is guaranteed to share
+    at least one selected fingerprint, so matching on the (much smaller)
+    selected set finds partial overlaps exact shingle sets would drown in.
+
+    Output: one row per (doc_id, distinct selected fingerprint) — a join on
+    ``fp`` is the plagiarism/containment candidate generator, the same
+    bucket-equi-join scale shape as the MinHash band join.
+
+    Plan shape: per-row higher-order functions (map-only, no shuffle except
+    the final distinct-explode), md5 computed once per k-gram."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams, lambda g: F.substring(F.md5(g.cast("binary")), 1, 8)).alias("hs"),
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size(F.col("hs")) - (window - 1), F.lit(1)))
+    selected = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(F.col("hs"), i, window)))
+    )
+    return hashed.select("doc_id", F.explode(selected).alias("fp"))

@@ -845,6 +845,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# winnowing (MOSS): rolling k-gram hashes -> min per sliding window ->
+# distinct selected fingerprints; shared substrings of length >= k+window-1
+# are guaranteed to share a fingerprint
+_WINNOW_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                          i -> substr(md5(substr(text, i, 5)), 1, 8)) AS hs
+    FROM documents
+),
+sel AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                          i -> list_min(hs[i:i+3])) AS sels
+    FROM h
+)
+SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_SQL)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5, window=4)
+
+
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -121,6 +121,28 @@ def test_multimodal_plumbing_and_stub(spark, docs):
     assert all(r["decode_status"] == "decoder_unavailable" for r in degraded)
 
 
+def test_winnowing_guarantee_and_selectivity(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import winnow_fingerprints
+
+    shared = "unmistakably shared passage of text"  # len 35 >= k + window - 1
+    rows = [
+        (1, f"alpha opening words {shared} and a first unique tail"),
+        (2, f"totally different preamble here {shared} second distinct ending"),
+        (3, "no overlap with anything else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    by_doc = {
+        i: {r["fp"] for r in rows_}
+        for i, rows_ in ((i, fps.filter(F.col("doc_id") == i).collect()) for i in (1, 2, 3))
+    }
+    # the winnowing guarantee: docs sharing a long substring share a fingerprint
+    assert by_doc[1] & by_doc[2]
+    # selectivity: far fewer fingerprints than k-grams
+    n_grams = len(rows[0][1]) - 4
+    assert len(by_doc[1]) < n_grams / 2
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     import hashlib
 
