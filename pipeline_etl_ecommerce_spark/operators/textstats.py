@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # marker stopwords per language (n-gram heuristic; word-boundary matched)
 LANG_MARKERS: dict[str, str] = {
@@ -142,3 +143,28 @@ def winnow_fingerprints(
         F.transform(starts, lambda i: F.array_min(F.slice(F.col("hs"), i, window)))
     )
     return hashed.select("doc_id", F.explode(selected).alias("fp"))
+
+
+def winnow_containment_pairs(
+    fps: DataFrame, *, max_df: int = 10, min_shared: int = 2
+) -> DataFrame:
+    """Containment/plagiarism candidate pairs from winnowing fingerprints:
+    documents sharing at least ``min_shared`` RARE fingerprints.
+
+    Ubiquitous fingerprints (document frequency > ``max_df``) are dropped
+    first — they are boilerplate ("stop fingerprints", the fingerprint
+    analogue of stopwords) and would otherwise make the self-join quadratic
+    in the hottest buckets. The df computation is a window count partitioned
+    by fp, so the pair join that follows reuses the same hash partitioning
+    (one logical shuffle on fp end-to-end)."""
+    w = Window.partitionBy("fp")
+    rare = fps.withColumn("df", F.count("*").over(w)).filter(F.col("df") <= max_df)
+    a = rare.select("fp", F.col("doc_id").alias("doc_a"))
+    b = rare.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -865,11 +865,43 @@ SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel
 """
 
 
-@register("winnow_fingerprints", _WINNOW_SQL)
-def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import winnow_fingerprints
 
-    return winnow_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5, window=4)
+    return _side_table(
+        spark,
+        sf_dir,
+        "winnow_fps",
+        lambda: winnow_fingerprints(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", k=5, window=4
+        ),
+    )
+
+
+@register("winnow_fingerprints", _WINNOW_SQL)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnow_fps(spark, sf_dir)
+
+
+# containment candidates: pairs sharing >= 2 RARE fingerprints (df <= 10 —
+# the "stop fingerprint" cut that keeps the fp self-join linear-ish)
+_WINNOW_PAIRS_SQL = _WINNOW_SQL.replace(
+    "SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel",
+    """fps AS (SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel),
+dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b USING (fp) JOIN dfreq USING (fp)
+WHERE dfreq.df <= 10 AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2""",
+).replace(")\nfps AS (", "),\nfps AS (")
+
+
+@register("winnow_containment_pairs", _WINNOW_PAIRS_SQL)
+def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import winnow_containment_pairs
+
+    return winnow_containment_pairs(_winnow_fps(spark, sf_dir), max_df=10, min_shared=2)
 
 
 _MULTIMODAL_SQL = """

@@ -143,6 +143,29 @@ def test_winnowing_guarantee_and_selectivity(spark):
     assert len(by_doc[1]) < n_grams / 2
 
 
+def test_winnow_containment_pairs(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "a sufficiently long plagiarized passage appearing twice"
+    rows = [
+        (1, f"first document intro {shared} first document ending"),
+        (2, f"second document preamble {shared} second document close"),
+        (3, "zebra quartz vortex lunar biome crisp anvil"),
+        (4, "maple ferry nimbus octave plume wicker dune"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_containment_pairs(fps, max_df=3, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # overlapping docs pair up
+    assert not any(3 in p or 4 in p for p in pairs)  # unrelated docs don't
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     import hashlib
 
