@@ -89,6 +89,60 @@ def inventory_stream(
     )
 
 
+DOC_SCHEMA = StructType.fromDDL("doc_id bigint, text string")
+
+
+def document_ingest_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    corpus_path: str,
+    signature_mart_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 4,
+    bands: int = 2,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingest with INCREMENTAL near-dup detection — the
+    100 TB shape of the MinHash pipeline wired into Structured Streaming.
+
+    Per micro-batch of document drops:
+    1. upsert the docs into the corpus mart (re-delivery idempotent);
+    2. hash ONLY the batch and upsert its band keys into the signature mart
+       (``update_signature_mart`` — doc_id × band keyed);
+    3. join the batch's band keys against the WHOLE mart
+       (``incremental_candidate_pairs``) and upsert the new candidate pairs.
+
+    Every new doc is therefore paired against the entire historical corpus
+    at delta × mart cost, and the pair mart converges to exactly what a
+    full-corpus LSH recompute would produce (the composition invariant
+    asserted by tests/test_incremental_minhash.py)."""
+    from ..operators.dedupe import incremental_candidate_pairs, update_signature_mart
+
+    docs = read_json_stream(spark, drop_dir, DOC_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates(["doc_id"])
+        upsert_to_path(batch, corpus_path, ["doc_id"])
+        delta_bk = update_signature_mart(
+            batch, signature_mart_path, "text", "doc_id", k=k, num_hashes=num_hashes, bands=bands
+        )
+        mart = spark.read.parquet(signature_mart_path)
+        new_pairs = incremental_candidate_pairs(mart, delta_bk)
+        upsert_to_path(new_pairs, pairs_path, ["doc_a", "doc_b"])
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def catalog_stream(
     spark: SparkSession,
     task_dir: str,

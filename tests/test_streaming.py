@@ -184,6 +184,47 @@ def test_traffic_stream_pipeline(spark, tmp_path):
     assert got2["MLB2"]["visitas_totais"] == 0 and got2["MLB1"]["visitas_totais"] == 42
 
 
+def test_document_ingest_stream_incremental_near_dup(spark, tmp_path):
+    """Streaming corpus ingest: each micro-batch hashes only its docs,
+    upserts the signature mart, and pairs the delta against the WHOLE
+    historical corpus — cross-batch near-dups must surface."""
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import document_ingest_stream
+
+    drop_dir = str(tmp_path / "drops")
+    corpus = str(tmp_path / "corpus")
+    sig_mart = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt_d")
+    os.makedirs(drop_dir)
+
+    def drop(name, rows):
+        with open(os.path.join(drop_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    args = (spark, drop_dir, corpus, sig_mart, pairs, ckpt)
+    drop("d1.json", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "completamente diferente texto sobre otra cosa"},
+    ])
+    document_ingest_stream(*args).awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2
+    assert spark.read.parquet(sig_mart).count() == 2 * 2  # 2 docs x 2 bands
+    assert not os.path.exists(pairs) or spark.read.parquet(pairs).count() == 0
+
+    # second drop: a near-dup of doc 1 plus a replay of doc 2
+    drop("d2.json", [
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 2, "text": "completamente diferente texto sobre otra cosa"},
+    ])
+    document_ingest_stream(*args).awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3  # replay converged
+    assert spark.read.parquet(sig_mart).count() == 3 * 2
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 3) in got  # CROSS-BATCH near-dup found at delta x mart cost
+    assert not any(2 in p for p in got)  # unrelated doc pairs with nothing
+
+
 def test_inventory_and_catalog_streams(spark, tmp_path):
     from pipeline_etl_ecommerce_spark.streaming.pipelines import catalog_stream, inventory_stream
     from pipeline_etl_ecommerce_spark import schemas
