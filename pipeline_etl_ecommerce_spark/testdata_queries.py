@@ -1372,3 +1372,41 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine ~0.48), so the catalog entry uses 0.3 — "most similar pairs" —
     # to keep the oracle check non-vacuous.
     return embedding_near_dup_pairs(emb, PLANES, threshold=0.3)
+
+
+# ===========================================================================
+# Batch 5: skew-safe aggregation on the graded surface — the two-phase
+# salted groupBy must produce results identical to a plain groupBy.
+# ===========================================================================
+
+from .operators.skew import salted_groupby_agg  # noqa: E402
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("salted_returnflag_totals", _SALTED_AGG_SQL)
+def salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_returnflag has single-digit cardinality over the whole fact — the
+    # textbook hot-key aggregation. The salted two-phase shape spreads each
+    # flag over 16 reducers in the first exchange; the oracle is the plain
+    # GROUP BY, proving result equivalence. Money sums run in DECIMAL for
+    # cross-engine .005-tie parity (NOTES.md invariant).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    out = salted_groupby_agg(li, ["l_returnflag"], ["qty", "price"], n_salts=16, count_col="n_lines")
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_lines",
+    )
