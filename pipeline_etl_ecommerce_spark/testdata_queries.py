@@ -1410,3 +1410,36 @@ def salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "n_lines",
     )
+
+
+from .operators.skew import salted_join  # noqa: E402
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (
+    SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_label FROM lineitem
+)
+SELECT d.flag_label,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+GROUP BY d.flag_label
+"""
+
+
+@register("salted_join_flag_counts", _SALTED_JOIN_SQL)
+def salted_join_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the salted-join shape for a hot fact key against a non-broadcastable
+    # dim: the dim replicates once per salt, the fact scatters
+    # deterministically, and the join key becomes (key, salt) — so one hot
+    # key occupies n_salts partitions. Oracle = the plain equi-join,
+    # proving result equivalence.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+    )
+    joined = salted_join(li, dim, "l_returnflag", n_salts=8)
+    return joined.groupBy("flag_label").agg(
+        F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
+    )
