@@ -1443,3 +1443,43 @@ def salted_join_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("flag_label").agg(
         F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
     )
+
+
+# ===========================================================================
+# Batch 6: deterministic sampling/splitting — training-data split assignment
+# must be reproducible bit-for-bit in any engine (no seeded RNG).
+# ===========================================================================
+
+from .operators.sampling import deterministic_split, stratified_sample  # noqa: E402
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("train_val_test_split", _SPLIT_SQL)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identity-hash split: stable across runs/engines/partitionings — a doc
+    # can never migrate between splits when the corpus is re-sharded, and
+    # delta ingests join the same scheme statelessly. Map-only, no shuffle.
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_split(d, "doc_id", train=0.8, val=0.1).select("doc_id", "split")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+"""
+
+
+@register("stratified_doc_sample", _STRATIFIED_SQL)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ~20% of EVERY language independently (the hash mixes the stratum into
+    # the identity), for language-balanced corpus subsets.
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", "doc_id", fraction=0.2).select("doc_id", "lang")

@@ -1,0 +1,72 @@
+"""Deterministic sampling/splitting: stability, proportions, stratification
+independence, and per-stratum reweighting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.operators.sampling import (
+    _hex_threshold,
+    deterministic_split,
+    downsample_by_weight,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "pt" if i % 3 else "en") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hex_threshold_edges():
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(0.8) == "cccccccc"
+    assert _hex_threshold(1.0) == "g"  # greater than any hex string
+    assert "ffffffff" < "g"
+
+
+def test_split_is_stable_and_proportional(corpus):
+    s1 = {r["doc_id"]: r["split"] for r in deterministic_split(corpus, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in deterministic_split(corpus, "doc_id").collect()}
+    assert s1 == s2  # no RNG anywhere: bit-identical across runs
+    n = len(s1)
+    frac = {name: sum(1 for v in s1.values() if v == name) / n for name in ("train", "val", "test")}
+    assert frac["train"] == pytest.approx(0.8, abs=0.05)
+    assert frac["val"] == pytest.approx(0.1, abs=0.03)
+    assert frac["test"] == pytest.approx(0.1, abs=0.03)
+    # assignment survives re-partitioning (identity-only, not layout)
+    s3 = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(corpus.repartition(7, "lang"), "doc_id").collect()
+    }
+    assert s3 == s1
+
+
+def test_stratified_sample_hits_every_stratum_at_rate(corpus):
+    out = stratified_sample(corpus, "lang", "doc_id", fraction=0.25)
+    rates = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang in totals:
+        assert rates.get(lang, 0) / totals[lang] == pytest.approx(0.25, abs=0.07)
+
+
+def test_downsample_by_weight(corpus):
+    out = downsample_by_weight(corpus, "lang", "doc_id", {"pt": 0.1}, default=1.0)
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept["en"] == totals["en"]  # default 1.0 keeps everything
+    assert kept["pt"] / totals["pt"] == pytest.approx(0.1, abs=0.04)
