@@ -1483,3 +1483,37 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identity), for language-balanced corpus subsets.
     d = _t(spark, sf_dir, "documents")
     return stratified_sample(d, "lang", "doc_id", fraction=0.2).select("doc_id", "lang")
+
+
+from .operators.packing import pack_sequences  # noqa: E402
+from .operators.textstats import token_count  # noqa: E402
+
+_PACK_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_excl
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_excl // 512 AS BIGINT) AS pack_id,
+       CAST(cum_excl % 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+@register("packed_sequences", _PACK_SQL)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing for training: docs laid end-to-end per source shard,
+    # pack = floor(start_offset / 512-token budget). One window per shard —
+    # parallelism is the shard count, no global sort.
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    return pack_sequences(counted, "doc_id", "n_tokens", budget=512, shard_col="source")

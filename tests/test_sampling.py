@@ -58,6 +58,26 @@ def test_stratified_sample_hits_every_stratum_at_rate(corpus):
         assert rates.get(lang, 0) / totals[lang] == pytest.approx(0.25, abs=0.07)
 
 
+def test_pack_sequences_semantics(spark):
+    from pipeline_etl_ecommerce_spark.operators.packing import pack_sequences
+
+    rows = [  # (id, shard, tokens)
+        (1, "a", 300), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+        (5, "b", 600),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r["doc_id"]: r.asDict() for r in
+           pack_sequences(df, "doc_id", "n_tokens", budget=512, shard_col="source").collect()}
+    # shard a: offsets 0, 300, 600, 900 -> packs 0, 0, 1, 1
+    assert [got[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert got[2]["pack_offset"] == 300  # doc 2 starts mid-pack
+    assert got[3]["pack_offset"] == 88  # 600 % 512
+    # shards pack independently
+    assert got[5]["pack_id"] == 0 and got[5]["pack_offset"] == 0
+    # docs are never split: each doc appears exactly once
+    assert len(got) == 5
+
+
 def test_downsample_by_weight(corpus):
     out = downsample_by_weight(corpus, "lang", "doc_id", {"pt": 0.1}, default=1.0)
     kept = {
