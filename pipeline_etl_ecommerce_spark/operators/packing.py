@@ -37,3 +37,32 @@ def pack_sequences(
     return df.withColumn("pack_id", F.floor(cum_excl / budget).cast("long")).withColumn(
         "pack_offset", (cum_excl % budget).cast("long")
     )
+
+
+def assemble_packs(
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_col: str,
+    *,
+    shard_col: str | None = None,
+    separator: str = " ",
+) -> DataFrame:
+    """Materialize each pack as ONE training sequence: group by
+    (shard, pack_id), concatenate member texts in id order.
+
+    Order inside the pack must be deterministic and ``collect_list`` gives
+    no ordering guarantee under a shuffle, so members are collected as
+    (id, text) structs and ``array_sort``ed (struct ordering = field order,
+    id first) before joining — reproducible regardless of partitioning.
+    One shuffle on (shard, pack_id), which the upstream window already
+    partitioned by shard."""
+    keys = ([shard_col] if shard_col else []) + ["pack_id"]
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+    )
+    return packed.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("pack_tokens"),
+        F.concat_ws(separator, F.transform(members, lambda s: s["t"])).alias("packed_text"),
+    )

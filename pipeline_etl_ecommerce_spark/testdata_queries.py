@@ -1517,3 +1517,45 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     counted = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
     return pack_sequences(counted, "doc_id", "n_tokens", budget=512, shard_col="source")
+
+
+from .operators.packing import assemble_packs  # noqa: E402
+
+_ASSEMBLED_SQL = r"""
+WITH t AS (
+    SELECT doc_id, source, text,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, text, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_excl
+    FROM t
+)
+SELECT source, CAST(cum_excl // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_hash
+FROM c
+GROUP BY source, CAST(cum_excl // 512 AS BIGINT)
+"""
+
+
+@register("assembled_packs", _ASSEMBLED_SQL)
+def assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pack assignments -> actual training sequences: concat member texts in
+    # id order (array_sort over structs — collect_list alone is
+    # order-nondeterministic under shuffles). The hash of each assembled
+    # sequence is oracle-checked, so in-pack ordering is verified
+    # bit-for-bit.
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id", "source", "text", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(counted, "doc_id", "n_tokens", budget=512, shard_col="source")
+    out = assemble_packs(packed, "doc_id", "text", "n_tokens", shard_col="source")
+    return out.select(
+        "source", "pack_id", "n_docs", "pack_tokens",
+        F.md5(F.col("packed_text").cast("binary")).alias("text_hash"),
+    )

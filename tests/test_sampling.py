@@ -78,6 +78,28 @@ def test_pack_sequences_semantics(spark):
     assert len(got) == 5
 
 
+def test_assemble_packs_order_is_deterministic(spark):
+    from pipeline_etl_ecommerce_spark.operators.packing import assemble_packs, pack_sequences
+
+    rows = [(i, "a", f"doc{i}", 200) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=512, shard_col="source")
+    out = {r["pack_id"]: r.asDict()
+           for r in assemble_packs(packed, "doc_id", "text", "n_tokens", shard_col="source").collect()}
+    # offsets 0,200,400,600,800,1000 -> packs 0,0,0,1,1,1
+    assert out[0]["packed_text"] == "doc1 doc2 doc3"
+    assert out[1]["packed_text"] == "doc4 doc5 doc6"
+    assert out[0]["n_docs"] == 3 and out[0]["pack_tokens"] == 600
+    # adversarial partitioning cannot change in-pack order
+    scrambled = assemble_packs(
+        packed.repartition(5).sortWithinPartitions(F.col("doc_id").desc()),
+        "doc_id", "text", "n_tokens", shard_col="source",
+    )
+    assert {r["pack_id"]: r["packed_text"] for r in scrambled.collect()} == {
+        k: v["packed_text"] for k, v in out.items()
+    }
+
+
 def test_downsample_by_weight(corpus):
     out = downsample_by_weight(corpus, "lang", "doc_id", {"pt": 0.1}, default=1.0)
     kept = {
