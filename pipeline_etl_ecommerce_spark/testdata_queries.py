@@ -1365,13 +1365,24 @@ WHERE list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum'
 """
 
 
+def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic random embeddings have no true near-dups (max in-bucket
+    # cosine ~0.48), so the catalog entries use 0.3 — "most similar pairs" —
+    # to keep the oracle check non-vacuous. Shared side table: the pair set
+    # feeds both the pairs query and the multimodal curation chain.
+    return _side_table(
+        spark,
+        sf_dir,
+        "embedding_near_dup_pairs",
+        lambda: embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"), PLANES, threshold=0.3
+        ),
+    )
+
+
 @register("embedding_near_dup_pairs", _emb_near_dup_sql())
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    # synthetic random embeddings have no true near-dups (max in-bucket
-    # cosine ~0.48), so the catalog entry uses 0.3 — "most similar pairs" —
-    # to keep the oracle check non-vacuous.
-    return embedding_near_dup_pairs(emb, PLANES, threshold=0.3)
+    return _emb_pairs(spark, sf_dir)
 
 
 # ===========================================================================
@@ -1558,4 +1569,46 @@ def assembled_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "pack_id", "n_docs", "pack_tokens",
         F.md5(F.col("packed_text").cast("binary")).alias("text_hash"),
+    )
+
+
+# Full multimodal curation: text near-dup canonical keep + quality gates
+# (curated_documents) MINUS embedding near-dups of lower-id docs. Each
+# stage's SQL is reused verbatim as a nested-WITH subquery.
+def _curated_full_sql() -> str:
+    return f"""
+WITH cur AS (
+{_CURATED_SQL}
+),
+ep AS (
+{_emb_near_dup_sql()}
+),
+partners AS (
+    SELECT vec_a AS doc, vec_b AS partner FROM ep
+    UNION ALL
+    SELECT vec_b AS doc, vec_a AS partner FROM ep
+),
+emb_canon AS (SELECT doc, MIN(partner) AS min_partner FROM partners GROUP BY doc)
+SELECT cur.doc_id, cur.n_tokens, cur.quality_score
+FROM cur LEFT JOIN emb_canon e ON e.doc = cur.doc_id
+WHERE e.doc IS NULL OR cur.doc_id <= e.min_partner
+"""
+
+
+@register("curated_documents_multimodal", _curated_full_sql())
+def curated_documents_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the complete curation chain a multimodal corpus would run: text-level
+    # near-dup canonicalization + quality gates, then embedding-level
+    # near-dup removal (keep the lowest-id member of each embedding pair
+    # cluster). Embeddings join documents on vec_id == doc_id.
+    base = curated_documents(spark, sf_dir)
+    pairs = _emb_pairs(spark, sf_dir)
+    partners = pairs.select(F.col("vec_a").alias("doc"), F.col("vec_b").alias("partner")).unionByName(
+        pairs.select(F.col("vec_b").alias("doc"), F.col("vec_a").alias("partner"))
+    )
+    emb_canon = partners.groupBy("doc").agg(F.min("partner").alias("min_partner"))
+    return (
+        base.join(emb_canon, base["doc_id"] == emb_canon["doc"], "left")
+        .filter(F.col("doc").isNull() | (F.col("doc_id") <= F.col("min_partner")))
+        .select("doc_id", "n_tokens", "quality_score")
     )
