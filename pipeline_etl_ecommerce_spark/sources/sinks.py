@@ -158,3 +158,24 @@ def upsert_to_path(new: DataFrame, path: str, keys: list[str], order_by: list | 
     # so the write must complete before the old data is dropped).
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def compact_path(spark, path: str, *, target_partitions: int | None = None) -> int:
+    """Compact a parquet mart's small files (the debris a checkpointed
+    streaming upsert leaves after many micro-batches): rewrite the path with
+    ``target_partitions`` output files via read → coalesce → write-to-temp →
+    atomic swap. Content is byte-identical, only the file layout changes.
+
+    Defaults to one file per 128 MB of on-disk data (min 1) — the parquet
+    row-group sweet spot, and the same math a 100 TB table maintenance job
+    would run per partition. Returns the number of output partitions."""
+    size = 0
+    for root, _, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n = target_partitions or max(1, size // (128 << 20))
+    df = spark.read.parquet(path).coalesce(int(n))
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return int(n)

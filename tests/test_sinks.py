@@ -94,3 +94,22 @@ def test_insert_if_absent_null_safe_keys(spark):
     new = spark.createDataFrame([(1, None, 99), (2, None, 5)], schema)
     got = {(r["k1"], r["k2"]) for r in insert_if_absent(existing, new, ["k1", "k2"]).collect()}
     assert got == {(2, None)}
+
+
+def test_compact_path_preserves_content(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.sources.sinks import append_to_path, compact_path
+
+    path = str(tmp_path / "mart")
+    # simulate streaming debris: many tiny appends -> many tiny files
+    for i in range(8):
+        append_to_path(spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"), path)
+    import glob
+
+    files_before = glob.glob(f"{path}/*.parquet")
+    before = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert len(files_before) >= 8
+
+    n = compact_path(spark, path, target_partitions=2)
+    files_after = glob.glob(f"{path}/*.parquet")
+    assert n == 2 and len(files_after) <= 2
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == before
