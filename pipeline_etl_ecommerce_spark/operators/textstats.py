@@ -145,6 +145,66 @@ def winnow_fingerprints(
     return hashed.select("doc_id", F.explode(selected).alias("fp"))
 
 
+def train_lang_profiles(
+    df: DataFrame, text_col: str, lang_col: str, *, n: int = 3, top_k: int = 50
+) -> DataFrame:
+    """Train a character-n-gram language profile table IN the engine: the
+    ``top_k`` most document-frequent n-grams per language (deterministic
+    tie-break by gram). One groupBy + one per-language top-k window; the
+    result is a tiny (langs × top_k) broadcastable model table — the classic
+    Cavnar-Trenkle n-gram profile, distributable because document frequency
+    is just a count."""
+    from .dedupe import char_shingles
+
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.array_distinct(char_shingles(F.lower(F.col(text_col)), n))).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_docs").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("lang", "gram")
+    )
+
+
+def classify_lang_ngram(
+    df: DataFrame, profiles: DataFrame, text_col: str, id_col: str, *, n: int = 3
+) -> DataFrame:
+    """Apply trained n-gram profiles: each doc's distinct n-grams join the
+    broadcast profile table, overlap counts per language are ranked, argmax
+    wins (ties broken by language name; no overlap at all → 'und').
+    Map-side join against the model + one groupBy per doc — the inference
+    shape that scales to any corpus size."""
+    from .dedupe import char_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(char_shingles(F.lower(F.col(text_col)), n))).alias("gram"),
+    )
+    overlap = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_overlap").desc(), F.col("lang"))
+    best = (
+        overlap.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"), "n_overlap")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
 def winnow_containment_pairs(
     fps: DataFrame, *, max_df: int = 10, min_shared: int = 2
 ) -> DataFrame:

@@ -1612,3 +1612,72 @@ def curated_documents_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc").isNull() | (F.col("doc_id") <= F.col("min_partner")))
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+# ===========================================================================
+# Batch 7: train + apply a character-n-gram language classifier fully in the
+# engine — profiles learned on the hash-split train set, applied to test.
+# ===========================================================================
+
+from .operators.sampling import deterministic_split as _dsplit  # noqa: E402
+from .operators.textstats import classify_lang_ngram, train_lang_profiles  # noqa: E402
+
+_NGRAM_LANG_SQL = r"""
+WITH split AS (
+    SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS is_train
+    FROM documents
+),
+tg AS (
+    SELECT lang,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 2, 1)),
+               i -> substr(lower(text), i, 3)))) AS gram
+    FROM split WHERE is_train
+),
+counts AS (SELECT lang, gram, count(*) AS n_docs FROM tg GROUP BY lang, gram),
+prof AS (
+    SELECT lang, gram FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, gram) AS rnk
+        FROM counts) WHERE rnk <= 50
+),
+test AS (SELECT * FROM split WHERE NOT is_train),
+dg AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 2, 1)),
+               i -> substr(lower(text), i, 3)))) AS gram
+    FROM test
+),
+ov AS (
+    SELECT doc_id, prof.lang, count(*) AS n_overlap
+    FROM dg JOIN prof USING (gram) GROUP BY doc_id, prof.lang
+),
+best AS (
+    SELECT doc_id, lang, n_overlap FROM (
+        SELECT doc_id, lang, n_overlap,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, lang) AS rnk
+        FROM ov) WHERE rnk = 1
+)
+SELECT t.doc_id, t.lang AS true_lang,
+       COALESCE(b.lang, 'und') AS predicted_lang,
+       CAST(COALESCE(b.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM test t LEFT JOIN best b USING (doc_id)
+"""
+
+
+@register("ngram_lang_classifier", _NGRAM_LANG_SQL)
+def ngram_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end in-engine ML: character-trigram profiles (top-50 per lang by
+    # document frequency) are TRAINED on the deterministic hash-split train
+    # set and APPLIED to the held-out test set via a broadcast model-table
+    # join. NOTE: the synthetic lang label is independent of the text (all
+    # docs share one vocabulary), so chance-level accuracy here is the
+    # data's ceiling — the oracle pins the exact train/apply pipeline, and
+    # tests/test_llm_data_ops proves real discrimination on real languages.
+    d = _dsplit(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.0)
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") != "train")
+    profiles = train_lang_profiles(train, "text", "lang", n=3, top_k=50)
+    out = classify_lang_ngram(test, profiles, "text", "doc_id", n=3)
+    return test.select("doc_id", F.col("lang").alias("true_lang")).join(out, "doc_id")

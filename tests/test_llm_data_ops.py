@@ -121,6 +121,33 @@ def test_multimodal_plumbing_and_stub(spark, docs):
     assert all(r["decode_status"] == "decoder_unavailable" for r in degraded)
 
 
+def test_ngram_classifier_learns_real_languages(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import (
+        classify_lang_ngram,
+        train_lang_profiles,
+    )
+
+    train_rows = [
+        (1, "en", "the cat sat on the mat and the dog barked at the moon all night"),
+        (2, "en", "she walked through the garden while the birds sang in the trees"),
+        (3, "pt", "o gato sentou no tapete e o cachorro latiu para a lua toda a noite"),
+        (4, "pt", "ela caminhou pelo jardim enquanto os passaros cantavam nas arvores"),
+        (5, "de", "die katze sass auf der matte und der hund bellte den mond an"),
+        (6, "de", "sie ging durch den garten waehrend die voegel in den baeumen sangen"),
+    ]
+    test_rows = [
+        (10, "en", "the sun rose over the hills and the children played in the park"),
+        (11, "pt", "o sol nasceu sobre as colinas e as criancas brincaram no parque"),
+        (12, "de", "die sonne ging ueber den huegeln auf und die kinder spielten im park"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, lang string, text string")
+    test = spark.createDataFrame(test_rows, "doc_id long, lang string, text string")
+    profiles = train_lang_profiles(train, "text", "lang", n=3, top_k=40)
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in classify_lang_ngram(test, profiles, "text", "doc_id", n=3).collect()}
+    assert got == {10: "en", 11: "pt", 12: "de"}  # 3/3 on held-out real text
+
+
 def test_winnowing_guarantee_and_selectivity(spark):
     from pipeline_etl_ecommerce_spark.operators.textstats import winnow_fingerprints
 
