@@ -1681,3 +1681,66 @@ def ngram_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = train_lang_profiles(train, "text", "lang", n=3, top_k=50)
     out = classify_lang_ngram(test, profiles, "text", "doc_id", n=3)
     return test.select("doc_id", F.col("lang").alias("true_lang")).join(out, "doc_id")
+
+
+# ===========================================================================
+# Batch 8: lexical retrieval — BM25 relevance and per-doc tf-idf keywords.
+# ===========================================================================
+
+from .operators.retrieval import bm25_scores, tfidf_top_terms  # noqa: E402
+
+_BM25_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term != '' GROUP BY doc_id),
+consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE term IN ('spark', 'shuffle', 'broadcast')
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       count(*) AS n_terms_matched,
+       ROUND(SUM(ln(1 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))), 6) AS score
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c
+GROUP BY tf.doc_id
+"""
+
+
+@register("bm25_query_scores", _BM25_SQL)
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 against a fixed query — the topical-filter shape: one tf shuffle,
+    # df/avgdl broadcast, score entirely in the JVM.
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, "text", "doc_id", ["spark", "shuffle", "broadcast"])
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, ROUND(tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+    FROM scored) WHERE rnk <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", top_k=3)
