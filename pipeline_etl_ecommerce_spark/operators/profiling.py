@@ -1,0 +1,66 @@
+"""Data-quality profiling: per-column statistics and sketch-based
+approximate profiles.
+
+A pipeline feeding a 100 TB corpus needs cheap answers to "did this
+ingest look like yesterday's?" — row counts, null rates, distinct
+cardinalities, value ranges per column. Two tiers:
+
+- ``profile_columns``: EXACT stats in one aggregation pass (exact
+  count-distinct per column expands rows per aggregate — fine for dims and
+  CI-sized data, and it is the oracle-checkable tier).
+- ``sketch_profile``: the 100 TB tier — HyperLogLog ``approx_count_distinct``
+  and t-digest quantiles, single pass, constant memory per partition,
+  mergeable sketches (map-side partials combine like any other agg).
+  Estimates are engine-specific, so this tier is rows-only for the oracle
+  and is instead tested against exact values with an error tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per profiled column: total rows, non-null count, exact
+    distinct count, min/max rendered as strings (min/max computed in the
+    native type FIRST — a string-typed min over integers would order
+    lexicographically)."""
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_non_null, n_distinct, min_value, max_value)",
+        "__n_rows as n_rows",
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_col: str,
+    numeric_col: str,
+    distinct_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group approximate profile: HLL distinct estimate of
+    ``distinct_col`` and t-digest quantiles of ``numeric_col``. This is the
+    shape that survives 100 TB: one shuffle on the group key, sketches
+    merged map-side, no row expansion."""
+    qs = list(quantiles)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+        F.percentile_approx(numeric_col, qs, 10000).alias("approx_quantiles"),
+    )

@@ -145,6 +145,57 @@ def winnow_fingerprints(
     return hashed.select("doc_id", F.explode(selected).alias("fp"))
 
 
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    fraction of tokens taken by the single most frequent token, and fraction
+    of bigrams taken by the most frequent bigram. High top-fractions flag
+    boilerplate / keyword-stuffed / degenerate-generation text that length
+    and alpha-ratio checks miss.
+
+    Shape: explode → two-level groupBy per n-gram order. Both aggregations
+    partial-aggregate map-side and land on the same ``doc_id`` hash
+    partitioning, so the final join reuses one exchange. No Python, no HOF
+    lambdas in the hot aggregation (see the SimHash perf note in NOTES.md)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    uni = base.select("doc_id", F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    ustat = ucnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("c").alias("top_c"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        " ELSE array() END"
+    )
+    big = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    bcnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bstat = bcnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_b"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        ustat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+            F.round(F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.coalesce(
+                F.round(F.col("top_b").cast("double") / F.col("n_bigrams"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def train_lang_profiles(
     df: DataFrame, text_col: str, lang_col: str, *, n: int = 3, top_k: int = 50
 ) -> DataFrame:

@@ -1744,3 +1744,187 @@ SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
 @register("tfidf_top_terms", _TFIDF_SQL)
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", top_k=3)
+
+
+# ===========================================================================
+# Batch 3: corpus-hygiene operators — repetition quality, PII, train/test
+# decontamination, column profiling, deterministic shuffle-sharding.
+# ===========================================================================
+
+from .operators.decontam import contamination_report  # noqa: E402
+from .operators.privacy import pii_counts, pii_redaction_sql, redact_documents  # noqa: E402
+from .operators.profiling import profile_columns, sketch_profile  # noqa: E402
+from .operators.sharding import shuffle_shards  # noqa: E402
+from .operators.textstats import repetition_features  # noqa: E402
+
+_REPETITION_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+ucnt AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+ustat AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(max(c) AS BIGINT) AS top_c
+    FROM ucnt GROUP BY 1
+),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM base WHERE len(toks) >= 2
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_bigrams FROM bcnt GROUP BY 1)
+SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens,
+       ROUND(CAST(u.n_distinct_tokens AS DOUBLE) / u.n_tokens, 6) AS distinct_ratio,
+       ROUND(CAST(u.top_c AS DOUBLE) / u.n_tokens, 6) AS top_token_frac,
+       COALESCE(ROUND(CAST(b.top_b AS DOUBLE) / b.n_bigrams, 6), 0.0) AS top_bigram_frac
+FROM ustat u LEFT JOIN bstat b USING (doc_id)
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_SQL)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition gates: top-token / top-bigram mass flags
+    # boilerplate and degenerate text that length/alpha checks miss.
+    return repetition_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _pii_scan_sql() -> str:
+    from .operators.privacy import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS)
+    return f"SELECT doc_id,\n       {cols},\n       CAST({total} AS BIGINT) AS n_pii\nFROM documents"
+
+
+@register("pii_scan", _pii_scan_sql())
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RE2-safe patterns so the identical regex text runs on Java regex and
+    # DuckDB; pure map stage pipelined into the scan.
+    return pii_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       {pii_redaction_sql()} AS redacted_text,
+       CAST(CASE WHEN {pii_redaction_sql()} <> text THEN 1 ELSE 0 END AS INTEGER)
+           AS was_redacted
+FROM documents
+"""
+
+
+@register("pii_redacted_documents", _PII_REDACT_SQL)
+def pii_redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_documents(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _decontam_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return f"""
+WITH sp AS (
+    SELECT doc_id, text,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, split,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+    FROM sp WHERE split IN ('train', 'test')
+),
+grams AS (
+    SELECT doc_id, split,
+           unnest(list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+                                               i -> {gram}))) AS gram
+    FROM toks WHERE len(t) >= {n}
+),
+test_g AS (SELECT DISTINCT gram FROM grams WHERE split = 'test'),
+train_g AS (SELECT doc_id, gram FROM grams WHERE split = 'train'),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM train_g GROUP BY 1),
+hits AS (
+    SELECT doc_id, count(*) AS n_contaminated_grams
+    FROM train_g JOIN test_g USING (gram) GROUP BY 1
+)
+SELECT h.doc_id,
+       CAST(h.n_contaminated_grams AS BIGINT) AS n_contaminated_grams,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       ROUND(CAST(h.n_contaminated_grams AS DOUBLE) / p.n_grams, 6) AS contaminated_frac
+FROM hits h JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("decontamination_report", _decontam_sql(5))
+def decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/test benchmark-leakage check over the identity-hash split: the
+    # eval side's distinct 5-gram set is broadcast; the corpus side never
+    # shuffles on gram.
+    d = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.1)
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+    return contamination_report(train, test, "text", "doc_id", n=5)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows, COUNT({c}) AS n_non_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value, CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("column_profile", _PROFILE_SQL)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact tier of the data-quality profiler (one agg pass + stack unpivot);
+    # the 100 TB tier is sketch_profile_lineitem below.
+    return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@register("sketch_profile_lineitem")  # rows-only: HLL/t-digest estimates are engine-specific
+def sketch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sketch_profile(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_partkey"
+    )
+    return df.select(
+        "l_returnflag", "n_rows", "approx_distinct",
+        F.round(F.element_at("approx_quantiles", 1), 2).alias("p50"),
+        F.round(F.element_at("approx_quantiles", 2), 2).alias("p95"),
+    )
+
+
+_SHARD_SQL = """
+WITH h AS (
+    SELECT doc_id, substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+    FROM documents
+),
+s AS (
+    SELECT doc_id, h8,
+           CASE WHEN h8 < '20000000' THEN 0 WHEN h8 < '40000000' THEN 1
+                WHEN h8 < '60000000' THEN 2 WHEN h8 < '80000000' THEN 3
+                WHEN h8 < 'a0000000' THEN 4 WHEN h8 < 'c0000000' THEN 5
+                WHEN h8 < 'e0000000' THEN 6 ELSE 7 END AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h8, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
+@register("shuffle_shards_docs", _SHARD_SQL)
+def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic epoch shuffle: shard = hash high bits, pos = hash rank
+    # within shard — reproducible random order with shard-level parallelism.
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8, seed="0")

@@ -1,0 +1,134 @@
+"""Unit tests for the corpus-hygiene operators: repetition quality, PII
+detection/redaction, train/test decontamination, column profiling,
+sketch profiles, deterministic shuffle-sharding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_etl_ecommerce_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+from pipeline_etl_ecommerce_spark.operators.privacy import (
+    pii_counts,
+    redact_documents,
+)
+from pipeline_etl_ecommerce_spark.operators.profiling import (
+    profile_columns,
+    sketch_profile,
+)
+from pipeline_etl_ecommerce_spark.operators.sharding import shuffle_shards
+from pipeline_etl_ecommerce_spark.operators.textstats import repetition_features
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith+x@mail.co.uk today"),
+        (2, "my ssn is 123-45-6789 and phone 555-123-4567 ok"),
+        (3, "server at 192.168.1.10 responded"),
+        (4, "nothing sensitive here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts(pii_docs):
+    got = {r["doc_id"]: r for r in pii_counts(pii_docs, "text", "doc_id").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_pii"] == 2
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1 and got[2]["n_pii"] == 2
+    assert got[3]["n_ipv4"] == 1
+    assert got[4]["n_pii"] == 0
+
+
+def test_redaction_replaces_every_span(pii_docs):
+    got = {r["doc_id"]: r for r in redact_documents(pii_docs, "text", "doc_id").collect()}
+    assert got[1]["redacted_text"] == "contact me at <EMAIL> or <EMAIL> today"
+    assert "<SSN>" in got[2]["redacted_text"] and "<PHONE>" in got[2]["redacted_text"]
+    assert "123" not in got[2]["redacted_text"]
+    assert got[3]["redacted_text"] == "server at <IP> responded"
+    assert got[4]["was_redacted"] == 0
+    assert got[4]["redacted_text"] == "nothing sensitive here at all"
+
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "a a a a"),  # one token repeated
+        (2, "w x y z"),  # all distinct
+        (3, "go go go stop stop run"),
+        (4, "solo"),  # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df, "text", "doc_id").collect()}
+    assert got[1]["top_token_frac"] == 1.0 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["distinct_ratio"] == 1.0 and got[2]["top_token_frac"] == 0.25
+    assert got[3]["n_tokens"] == 6 and got[3]["top_token_frac"] == 0.5
+    # "go go" appears twice out of 5 bigrams
+    assert got[3]["top_bigram_frac"] == 0.4
+    assert got[4]["n_tokens"] == 1 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_and_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 3-grams
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in contamination_report(train, test, "text", "doc_id", n=3).collect()}
+    assert set(rep) == {1, 3}
+    assert rep[1]["n_contaminated_grams"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert rep[3]["n_contaminated_grams"] == 1
+    clean = decontaminate(train, test, "text", "doc_id", n=3)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "a", 30), (4, None, 40)],
+        "id long, cat string, v int",
+    )
+    got = {r["column_name"]: r for r in profile_columns(df, ["id", "cat", "v"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_distinct"] == 4
+    assert got["cat"]["n_non_null"] == 3 and got["cat"]["n_distinct"] == 2
+    # min/max computed in native type BEFORE string render: 10 < 9 lexicographically
+    assert got["v"]["min_value"] == "10" and got["v"]["max_value"] == "40"
+
+
+def test_sketch_profile_tracks_exact_within_tolerance(spark, sf_dir=None):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r
+        for r in sketch_profile(li, "l_returnflag", "l_extendedprice", "l_partkey").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"), F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()
+    }
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_distinct"] - e["d"]) / e["d"] < 0.1
+        assert abs(g["approx_quantiles"][0] - e["p50"]) / e["p50"] < 0.05
+
+
+def test_shuffle_shards_deterministic_balanced_dense(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", n_shards=8, seed="s1")
+    b = shuffle_shards(df, "doc_id", n_shards=8, seed="s1")
+    assert a.exceptAll(b).count() == 0  # same seed -> identical layout
+    c = shuffle_shards(df, "doc_id", n_shards=8, seed="s2")
+    moved = a.join(c, ["doc_id", "shard", "pos"]).count()
+    assert moved < 50  # different seed -> essentially a fresh permutation
+    sizes = [r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 2000 / 8 * 0.6  # hash-balanced
+    # positions are dense 1..n within every shard
+    dense = a.groupBy("shard").agg(F.max("pos").alias("mx"), F.count("*").alias("n"))
+    assert dense.filter(F.col("mx") != F.col("n")).count() == 0
