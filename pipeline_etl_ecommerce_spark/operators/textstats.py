@@ -279,3 +279,34 @@ def winnow_containment_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 20
+) -> DataFrame:
+    """Exact corpus heavy hitters: the k most frequent tokens with their
+    occurrence and document frequencies, ranked. Ties break by term so the
+    result is a total order (engine-portable).
+
+    Scale shape: explode → ONE groupBy(term) (map-side partial agg; doc
+    frequency via count(distinct) resolves inside the same aggregation
+    pass via Spark's distinct-agg expand) → global top-k. The top-k is
+    orderBy+limit, which Spark executes as TakeOrderedAndProject — each
+    partition keeps only its local k candidates, so nothing resembling a
+    global sort materializes. The final rank window runs on k rows."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    term_stats = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    topk = term_stats.orderBy(F.col("n_occurrences").desc(), F.col("term")).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return topk.select(
+        "term", "n_occurrences", "n_docs", F.row_number().over(w).cast("int").alias("rnk")
+    )

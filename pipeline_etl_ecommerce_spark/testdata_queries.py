@@ -1928,3 +1928,236 @@ def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within shard — reproducible random order with shard-level parallelism.
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return shuffle_shards(d, "doc_id", n_shards=8, seed="0")
+
+
+# ===========================================================================
+# Batch 4: event-time analytics (sessionization, as-of attribution, keyed
+# range join) and multi-level OLAP (rollup / cube / pivot, heavy hitters).
+# ===========================================================================
+
+from .operators.asof import asof_join, range_join  # noqa: E402
+from .operators.olap import cube_agg, pivot_agg, rollup_agg  # noqa: E402
+from .operators.sessions import session_stats  # noqa: E402
+from .operators.textstats import vocab_top_terms  # noqa: E402
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute idle gap, microseconds
+# events.parquet is TIMESTAMP(NANOS): Spark reads raw int64 nanos, DuckDB
+# truncates to its native microsecond timestamps — so event-time queries
+# run on MICROSECONDS on both engines (floor(ns/1000) == epoch_us).
+_HOUR_US = 3_600_000_000
+
+_SESSIONS_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tns, value FROM events),
+f AS (
+    SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+                     OR tns - lag(tns) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS is_start
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+),
+s AS (
+    SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_index
+    FROM f
+)
+SELECT user_id, session_index, COUNT(*) AS n_events,
+       MIN(tns) AS session_start, MAX(tns) AS session_end,
+       MAX(tns) - MIN(tns) AS duration,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("event_sessions", _SESSIONS_SQL)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization: one shuffle on user_id shared by the lag
+    # window, the running session counter, and the per-session aggregation.
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "value",
+    )
+    return session_stats(
+        e, "user_id", "ts_us", gap=_GAP_US, value_col="value", tiebreak_cols=["event_id"]
+    )
+
+
+_LAST_TOUCH_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tns FROM events),
+p AS (SELECT event_id, user_id, tns FROM e WHERE event_type = 'purchase'),
+t AS (
+    SELECT user_id, tns, event_id, event_type
+    FROM e WHERE event_type IN ('click', 'view')
+    QUALIFY row_number() OVER (PARTITION BY user_id, tns ORDER BY event_id DESC) = 1
+)
+SELECT p.event_id, p.user_id, p.tns AS purchase_ts,
+       t.event_id AS touch_event_id, t.event_type AS touch_type,
+       t.tns AS touch_ts, p.tns - t.tns AS us_since_touch
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tns >= t.tns
+"""
+
+
+@register("last_touch_attribution", _LAST_TOUCH_SQL)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # backward-inclusive as-of join via the union+window plan (one shuffle,
+    # no row expansion) — vs DuckDB's native ASOF JOIN as the oracle.
+    e = _events(spark, sf_dir)
+    ts_us = F.expr("ts DIV 1000")  # integer div: ts/1000 in DOUBLE loses ULPs at 1e18
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("purchase_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        ts_us.alias("touch_ts_src"),
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("touch_ts"),
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        ["user_id"],
+        "purchase_ts",
+        "touch_ts_src",
+        payload_cols=["touch_event_id", "touch_type", "touch_ts"],
+        right_tiebreak="touch_event_id",
+        prefix="",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts", "touch_event_id", "touch_type",
+        "touch_ts", (F.col("purchase_ts") - F.col("touch_ts")).alias("us_since_touch"),
+    )
+
+
+_CLICKS_BEFORE_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tns FROM events),
+p AS (SELECT event_id, user_id, tns FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, tns FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.tns AS purchase_ts,
+       CAST(COUNT(c.tns) AS BIGINT) AS n_clicks_prev_hour
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.tns >= p.tns - {_HOUR_US} AND c.tns < p.tns
+GROUP BY 1, 2, 3
+"""
+
+
+@register("clicks_before_purchase", _CLICKS_BEFORE_SQL)
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyed time-range join via coarse time-cell equi-join + exact refine;
+    # left join of the counts back keeps zero-click purchases.
+    e = _events(spark, sf_dir)
+    ts_us = F.expr("ts DIV 1000")  # integer div: ts/1000 in DOUBLE loses ULPs at 1e18
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("purchase_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("click_ts")
+    )
+    pairs = range_join(
+        p, c, ["user_id"], "purchase_ts", "click_ts",
+        lo=-_HOUR_US, hi=0, bucket=_HOUR_US,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_clicks_prev_hour"))
+    return p.join(counts, "event_id", "left").select(
+        "event_id", "user_id", "purchase_ts",
+        F.coalesce("n_clicks_prev_hour", F.lit(0)).cast("long").alias("n_clicks_prev_hour"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_returnflag_status", _ROLLUP_SQL)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-standard ROLLUP in one Expand+aggregate pass — the generalization
+    # of the reference's hand-built variation→parent re-aggregation (A3).
+    li = _t(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        ],
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_status_priority", _CUBE_SQL)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total_price"),
+        ],
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("pivot_status_qty", _PIVOT_SQL)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit-value pivot (static schema — no value-discovery scan job)
+    li = _t(spark, sf_dir, "lineitem")
+    out = pivot_agg(
+        li, ["l_returnflag"], "l_linestatus", ["F", "O"],
+        F.sum("l_quantity"), out_prefix="qty_",
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("qty_F", F.lit(0.0)).cast("long").alias("qty_F"),
+        F.coalesce("qty_O", F.lit(0.0)).cast("long").alias("qty_O"),
+    )
+
+
+_VOCAB_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+stats AS (
+    SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY 1
+),
+topk AS (SELECT * FROM stats ORDER BY n_occurrences DESC, term LIMIT 20)
+SELECT term, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS INTEGER) AS rnk
+FROM topk
+"""
+
+
+@register("corpus_top_terms", _VOCAB_SQL)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact heavy hitters: TakeOrderedAndProject top-k, never a global sort
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=20)
