@@ -20,6 +20,8 @@ bit-for-bit (lexicographic min over hex digests is a valid uniform min-hash).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -405,4 +407,45 @@ def simhash_near_pairs(signatures: DataFrame, *, max_hamming: int = 4) -> DataFr
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_cols: Sequence[str],
+    length_bucket: int = 20,
+    prefix_len: int = 60,
+    max_dist: int = 5,
+) -> DataFrame:
+    """Blocked fuzzy near-pairs by Levenshtein distance on a normalized
+    text prefix: pairs (a < b) in the same block — ``block_cols`` plus a
+    document-length bucket — with ``levenshtein(prefix_a, prefix_b) <=
+    max_dist``.
+
+    Blocking is part of the declared semantics (as with LSH banding): the
+    quadratic comparison runs only inside a block, so cost is
+    sum-over-blocks |B|² rather than corpus². The length bucket uses the
+    stored character count, keeping block population data-independent of
+    the prefix truncation. Levenshtein runs JVM-side (unit-cost edit
+    distance, identical definition in DuckDB) inside whole-stage codegen.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        F.floor(F.length(norm) / F.lit(length_bucket)).alias("__lb"),
+        F.substring(norm, 1, prefix_len).alias("__pfx"),
+    )
+    keys = [*block_cols, "__lb"]
+    a = base.select(*keys, F.col("doc_id").alias("doc_a"), F.col("__pfx").alias("__pa"))
+    b = base.select(*keys, F.col("doc_id").alias("doc_b"), F.col("__pfx").alias("__pb"))
+    return (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("__pa", "__pb").cast("long"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("doc_a", "doc_b", "edit_dist")
     )

@@ -1,0 +1,122 @@
+"""Statistical profiling aggregates designed for cross-engine exactness.
+
+The naive route — ``stddev(x)`` / ``corr(x, y)`` — is nondeterministic in a
+distributed engine: float accumulation order differs per partitioning, and
+a .005-tie then flips the rounded cent (NOTES.md invariant). These
+operators instead aggregate EXACT DECIMAL POWER SUMS (n, Σx, Σx², Σxy —
+each associative, order-independent, and map-side combinable) and derive
+the moments with one fixed double-arithmetic expression afterwards. Any
+engine computing the same formula from the same exact sums reproduces the
+result bit-for-bit, while the heavy part stays a plain one-shuffle
+hash-aggregate that scales like any groupBy.
+
+``group_percentiles`` uses nearest-rank (type-1) selection — an integer
+rank pick, no interpolation arithmetic to diverge between engines — via
+one sort-free window pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 18,6 not 38,6: products of two decimal(18,6) stay within precision 38
+# (37,12 — exact); decimal(38,6)² would trip Spark's precision-loss scale
+# adjustment and the sums would no longer be bit-identical across engines.
+_DEC = "decimal(18,6)"
+
+
+def descriptive_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str | None = None,
+) -> DataFrame:
+    """Per-group n / mean / sample stddev of ``x_col`` (and, with a
+    ``y_col``, the Pearson correlation), derived from exact decimal sums.
+    All moments rounded to 6dp."""
+    x = F.col(x_col).cast(_DEC)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    ]
+    if y_col is not None:
+        y = F.col(y_col).cast(_DEC)
+        aggs += [F.sum(y).alias("__sy"), F.sum(y * y).alias("__syy"),
+                 F.sum(x * y).alias("__sxy")]
+    g = df.groupBy(*group_cols).agg(*aggs)
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("__sx").cast("double"), F.col("__sxx").cast("double")
+    out_cols: list[Column] = [
+        F.round(sx / n, 6).alias("mean_x"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias("stddev_x"),
+    ]
+    if y_col is not None:
+        sy, syy = F.col("__sy").cast("double"), F.col("__syy").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        out_cols.append(
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr_xy")
+        )
+    return g.select(*group_cols, "n", *out_cols)
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float],
+    *,
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact nearest-rank (type-1) percentiles per group: the value at rank
+    ``ceil(p * n)`` in ascending order. Integer rank selection — identical
+    on every engine, no interpolation. One shuffle; the rank filter keeps
+    only the selected rows before the final pivot-style aggregation."""
+    names = list(out_names) if out_names is not None else [
+        f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in percentiles
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    cnt = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, value_col).withColumn(
+        "__rk", F.row_number().over(w)
+    ).withColumn("__n", F.count("*").over(cnt))
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rk") == F.ceil(F.lit(float(p)) * F.col("__n")).cast("long"),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for p, name in zip(percentiles, names)
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def fixed_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-bound equi-width histogram: bucket i covers
+    ``[lo + i*width, lo + (i+1)*width)``; values past the top land in the
+    last bucket, below ``lo`` in bucket 0. Static bounds — no global
+    min/max pre-pass, so the whole thing is one map + one groupBy and the
+    bucketing is reproducible across engines and data shards."""
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -2161,3 +2161,173 @@ FROM topk
 def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters: TakeOrderedAndProject top-k, never a global sort
     return vocab_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=20)
+
+
+# ===========================================================================
+# Batch 5: statistical profiling (exact power-sum moments, nearest-rank
+# percentiles, fixed histograms), time-series regularization (gap-fill,
+# rolling windows), and blocked fuzzy (edit-distance) pairing.
+# ===========================================================================
+
+from .operators.dedupe import edit_distance_pairs  # noqa: E402
+from .operators.stats import (  # noqa: E402
+    descriptive_stats,
+    fixed_histogram,
+    group_percentiles,
+)
+from .operators.timeseries import daily_gapfill, rolling_daily  # noqa: E402
+
+_STATS_SQL = """
+WITH g AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxx,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS syy,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_x,
+       ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1.0)), 6) AS stddev_x,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS corr_xy
+FROM g
+"""
+
+
+@register("returnflag_price_stats", _STATS_SQL)
+def returnflag_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # moments from exact decimal power sums: the groupBy stays an ordinary
+    # mergeable hash-agg; the float math happens once on exact inputs.
+    return descriptive_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+_PCTL_SQL = """
+WITH r AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN l_extendedprice END) AS p95
+FROM r GROUP BY 1
+"""
+
+
+@register("price_percentiles", _PCTL_SQL)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-rank (type-1) percentiles: integer rank selection, no
+    # interpolation arithmetic to diverge between engines.
+    return group_percentiles(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice",
+        [0.5, 0.95], out_names=["p50", "p95"],
+    )
+
+
+_HIST_SQL = """
+SELECT o_orderstatus,
+       CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0), 11) AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("order_price_histogram", _HIST_SQL)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # static-bound equi-width histogram: no min/max pre-pass, one groupBy
+    return fixed_histogram(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+        lo=0.0, width=50000.0, n_buckets=12,
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(min(event_date), max(event_date),
+                                       INTERVAL 1 DAY)) AS DATE) AS event_date
+    FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.event_date, COALESCE(d.n_rows, 0) AS n_rows, d.total_value
+FROM spine s LEFT JOIN daily d USING (user_id, event_date)
+"""
+
+
+@register("user_daily_gapfill", _GAPFILL_SQL)
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # densify each user's daily series over its own [min, max] day span —
+    # spine rows come from sequence+explode, never a global calendar cross.
+    e = _events(spark, sf_dir)
+    return daily_gapfill(
+        e, "user_id", "event_date",
+        agg_cols={
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            ).cast("double")
+        },
+    )
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS event_date,
+           SUM(CAST(value AS DECIMAL(38,6))) AS v,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_date,
+       ROUND(CAST(v AS DOUBLE), 2) AS day_value,
+       ROUND(CAST(SUM(v) OVER wall AS DOUBLE), 2) AS running_total,
+       ROUND(CAST(SUM(v) OVER w7 AS DOUBLE), 2) AS trailing_sum,
+       ROUND(CAST(SUM(v) OVER w7 AS DOUBLE) / COUNT(*) OVER w7, 6) AS trailing_avg
+FROM daily
+WINDOW wall AS (PARTITION BY user_id ORDER BY dayn
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w7 AS (PARTITION BY user_id ORDER BY dayn
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("user_rolling_value", _ROLLING_SQL)
+def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact DECIMAL frame sums over range-framed epoch-day numbers; gaps
+    # respected without densifying.
+    e = _events(spark, sf_dir)
+    return rolling_daily(e, "user_id", "event_date", "value", window_days=7)
+
+
+_FUZZY_SQL = """
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST(floor(length(lower(trim(text))) / 20.0) AS BIGINT) AS lb,
+           substr(lower(trim(text)), 1, 60) AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b2.pfx) AS BIGINT) AS edit_dist
+FROM b a JOIN b b2 ON a.lang = b2.lang AND a.lb = b2.lb AND a.doc_id < b2.doc_id
+WHERE levenshtein(a.pfx, b2.pfx) <= 5
+"""
+
+
+@register("fuzzy_text_pairs", _FUZZY_SQL)
+def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked Levenshtein near-pairs: quadratic only inside (lang, length
+    # bucket) blocks; edit distance runs JVM-side in codegen.
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        block_cols=["lang"], length_bucket=20, prefix_len=60, max_dist=5,
+    )
