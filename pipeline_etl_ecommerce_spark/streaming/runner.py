@@ -92,6 +92,7 @@ def run_upsert_stream(
     *,
     order_by: list | None = None,
     available_now: bool = True,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """foreachBatch + keyed MERGE: every micro-batch upserts into the target
     (idempotent under replay — the reference's ON DUPLICATE KEY UPDATE
@@ -107,8 +108,11 @@ def run_upsert_stream(
     # (append mode would hold rows until the watermark closes the window —
     # the keyed upsert makes re-emission idempotent, so update is the right
     # contract for MERGE sinks).
+    # session-window aggregations only support append (emit-on-close):
+    # rows surface once the watermark passes session end, so the MERGE sink
+    # sees each closed session exactly once.
     writer = (
-        stream_df.writeStream.outputMode("update")
+        stream_df.writeStream.outputMode(output_mode)
         .foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -147,3 +151,33 @@ def backfill(
         sink(run_day(d))
         n += 1
     return n
+
+
+def session_stream(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    aggs: list,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization: the stateful counterpart of
+    ``operators.sessions`` — ``session_window`` merges events into
+    data-dependent sessions per key, closing a session once the watermark
+    passes its end + gap. State is bounded by the watermark horizon; an
+    out-of-order event inside the horizon re-opens and MERGES sessions,
+    and the downstream keyed upsert (update mode) re-emits the merged row.
+    Emits (session_start, session_end, *keys, *aggs); ``session_end`` is
+    last-event-time + gap per Spark's session-window contract."""
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *key_cols)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "session_window"]
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *rest,
+    )

@@ -84,3 +84,33 @@ def test_sql_surface_over_registered_catalog(spark):
         """
     ).collect()
     assert len(got) > 0 and all(r["revenue"] > 0 for r in got)
+
+
+def test_event_analytics_single_exchange_plans(spark):
+    # sessionization: lag-window, session-counter window, and the final
+    # per-session agg must all share ONE hash exchange on the user key
+    plan = _executed_plan(tq.QUERIES["event_sessions"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # as-of attribution is union+window: no join operator at all
+    plan = _executed_plan(tq.QUERIES["last_touch_attribution"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_and_fuzzy_joins_stay_equi(spark):
+    for name in ("clicks_before_purchase", "fuzzy_text_pairs"):
+        plan = _executed_plan(tq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi keys"
+
+
+def test_rollup_cube_single_expand_pass(spark):
+    # grouping sets evaluate via ONE Expand + aggregate, not a job per level
+    for name in ("rollup_returnflag_status", "cube_status_priority"):
+        plan = _executed_plan(tq.QUERIES[name](spark, SF))
+        assert plan.count("Expand") == 1, f"{name} not a single Expand pass"
+
+
+def test_top_terms_is_take_ordered_not_global_sort(spark):
+    plan = _executed_plan(tq.QUERIES["corpus_top_terms"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no full sort

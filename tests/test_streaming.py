@@ -264,3 +264,82 @@ def test_inventory_and_catalog_streams(spark, tmp_path):
     outcomes = {r["id"]: r["status"] for r in spark.read.parquet(str(tmp_path / "outcomes")).collect()}
     assert cat == {"SKU-X": 3.0}
     assert outcomes == {1: "concluido", 2: "erro"}
+
+
+def test_session_stream_merges_and_splits(spark, tmp_path):
+    """Append-mode session windows: state persists across availableNow
+    restarts via the checkpoint; a bridging event MERGES two open sessions;
+    sessions emit exactly once when the watermark passes their end."""
+    from pipeline_etl_ecommerce_spark.streaming.runner import session_stream
+
+    src = str(tmp_path / "sess_in")
+    target = str(tmp_path / "sess_mart")
+    ckpt = str(tmp_path / "sess_ckpt")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA)
+
+    def run():
+        stream = read_json_stream(spark, src, schema)
+        sess = session_stream(
+            stream,
+            ts_col="ts",
+            key_cols=["user_id"],
+            aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+            gap="30 minutes",
+            watermark="1 day",
+        )
+        q = run_upsert_stream(
+            sess, target, ["user_id", "session_start"], ckpt, output_mode="append"
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2025-08-01T10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2025-08-01T10:10:00", "user_id": 1, "value": 2.0},
+            # > 30 min idle -> a second open session for user 1
+            {"event_id": 3, "ts": "2025-08-01T11:00:00", "user_id": 1, "value": 4.0},
+            {"event_id": 4, "ts": "2025-08-01T10:00:00", "user_id": 2, "value": 8.0},
+        ],
+    )
+    run()
+    # watermark (max 11:00 - 1 day) is far before any session end: all
+    # sessions still open, append emits nothing yet
+    import os
+
+    assert not os.path.exists(target) or not [
+        f for f in os.listdir(target) if f.endswith(".parquet")
+    ]
+
+    # batch 2: 10:35 bridges user 1's sessions (within gap of both event 2
+    # and event 3) -> merge into ONE session; the sentinel event two days
+    # later advances the watermark so every real session closes and emits.
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"event_id": 5, "ts": "2025-08-01T10:35:00", "user_id": 1, "value": 16.0},
+            {"event_id": 99, "ts": "2025-08-03T00:00:00", "user_id": 999, "value": 0.0},
+        ],
+    )
+    run()
+    # render session-tz wall-clock via date_format: collect() would convert
+    # through the DRIVER's os timezone, not spark.sql.session.timeZone
+    rows = {
+        (r.user_id, r.s): (r.n, r.total, r.e)
+        for r in spark.read.parquet(target)
+        .filter(F.col("user_id") != 999)
+        .select(
+            "user_id", "n", "total",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+        )
+        .collect()
+    }
+    assert rows == {
+        (1, "2025-08-01 10:00:00"): (4, 23.0, "2025-08-01 11:30:00"),
+        (2, "2025-08-01 10:00:00"): (1, 8.0, "2025-08-01 10:30:00"),
+    }
