@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from .operators.allocation import AllocSpec, allocate_by_share, allocate_ratio_to_parent
@@ -48,11 +49,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    read it as raw int64 nanos and derive the day by epoch arithmetic —
-    timezone-independent, so it matches DuckDB's naive CAST(ts AS DATE)."""
+    """events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark build it
+    is read either as int64 nanos (legacy ``nanosAsLong`` conf honored) or as
+    TIMESTAMP_NTZ truncated to micros. Normalize to int64 **nanos** so all
+    downstream epoch arithmetic (``ts DIV 1000`` = micros, matching DuckDB's
+    ``epoch_us(ts)``) is mode-independent; the day is derived by epoch
+    arithmetic — timezone-free, matching DuckDB's naive CAST(ts AS DATE)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        # conf ignored: re-read with a forced BIGINT schema (reader emits
+        # epoch micros for nanos columns) and scale back to nanos.
+        forced = ", ".join(
+            f"{f.name} BIGINT" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema.fields
+        )
+        df = (
+            spark.read.schema(forced)
+            .parquet(os.path.join(sf_dir, "events.parquet"))
+            .withColumn("ts", F.col("ts") * F.lit(1000))
+        )
     return df.withColumn(
         "event_date",
         F.date_add(F.lit("1970-01-01").cast("date"), F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("int")),
