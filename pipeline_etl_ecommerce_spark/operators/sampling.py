@@ -80,3 +80,61 @@ def downsample_by_weight(
     for value, frac in weights.items():
         thr = F.when(F.col(strata_col) == value, F.lit(_hex_threshold(frac))).otherwise(thr)
     return df.filter(h < thr)
+
+
+def temperature_mixture_sample(
+    df: DataFrame, strata_col: str, id_col: str, *, alpha: float = 0.5, budget: int = 1000
+) -> DataFrame:
+    """Temperature-based source mixture: sample ~``budget`` rows total with
+    per-stratum shares proportional to ``count^alpha`` (alpha<1 flattens a
+    skewed source/language distribution — the standard multilingual-corpus
+    rebalancing trick). Dominant strata are downsampled hard; rare strata
+    keep up to all of their rows (rate capped at 1.0).
+
+    Per-stratum keep-rate: ``least(1, budget * w_s / n_s)`` with
+    ``w_s = n_s^alpha / Σ n_t^alpha``. Row membership then uses the same
+    identity-hash draw as ``stratified_sample``, so the decision is
+    deterministic and engine-independent. Cross-engine float discipline:
+    ``n^alpha`` is rounded to 6dp and summed in DECIMAL (order-independent),
+    and the final rate is rounded to 6dp before the hex threshold is built —
+    both engines then compare identical strings.
+
+    Scale shape: one count aggregation over the strata (tiny result),
+    broadcast back onto the fact; the filter itself is map-only."""
+    cnt = df.groupBy(F.col(strata_col).alias("_stratum")).agg(F.count("*").alias("_n"))
+    pw = cnt.withColumn(
+        "_p", F.round(F.pow(F.col("_n"), F.lit(float(alpha))), 6).cast("decimal(38,6)")
+    )
+    tot = pw.agg(F.sum("_p").alias("_tp"))
+    rates = (
+        pw.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(int(budget))
+                    * (F.col("_p").cast("double") / F.col("_tp").cast("double"))
+                    / F.col("_n"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("keep_rate") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(F.hex(F.floor(F.col("keep_rate") * F.lit(float(16**8))).cast("bigint"))),
+                    8,
+                    "0",
+                )
+            ),
+        )
+        .select("_stratum", "keep_rate", "_thr")
+    )
+    h = _hash8(F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["_stratum"])
+        .filter(h < F.col("_thr"))
+        .drop("_stratum", "_thr")
+    )

@@ -310,3 +310,43 @@ def vocab_top_terms(
     return topk.select(
         "term", "n_occurrences", "n_docs", F.row_number().over(w).cast("int").alias("rnk")
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 5
+) -> DataFrame:
+    """Corpus-level duplicated-n-gram fraction per document: the share of a
+    document's word n-gram positions whose n-gram also occurs in at least
+    one OTHER document. This is the inter-document complement of
+    ``repetition_features`` — it catches boilerplate shared ACROSS pages
+    (headers, license blocks, templated listings) that per-doc repetition
+    stats cannot see. Documents shorter than n tokens emit no row.
+
+    Scale shape: explode n-grams → one groupBy(gram) for document
+    frequency (map-side partial agg collapses each gram to one row per
+    partition) → join back on gram → one groupBy(doc_id). The gram join is
+    the only wide stage; its key space shrinks with df>=2 pruning pushed
+    into the aggregate side at 100 TB (grams seen once can be dropped
+    before the join since they contribute 0 to the numerator)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    g = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    )
+    gram_df = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        g.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )

@@ -2347,3 +2347,108 @@ def fuzzy_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         block_cols=["lang"], length_bucket=20, prefix_len=60, max_dist=5,
     )
+
+
+# ===========================================================================
+# Batch 9: corpus assembly — chunking, cross-doc duplicated n-grams,
+# temperature mixture sampling
+# ===========================================================================
+
+from .operators.chunking import chunk_documents  # noqa: E402
+from .operators.sampling import temperature_mixture_sample  # noqa: E402
+from .operators.textstats import dup_ngram_fraction  # noqa: E402
+
+_CHUNK_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) > 0
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(len(t) - 1, 0), 8)) AS chunk_start,
+           generate_subscripts(generate_series(0, greatest(len(t) - 1, 0), 8), 1) - 1 AS chunk_index
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_index AS INTEGER) AS chunk_index,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(t, chunk_start + 1, chunk_start + 16)) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(t, chunk_start + 1, chunk_start + 16), ' ') AS chunk_text
+FROM starts
+"""
+
+
+@register("doc_chunks", _CHUNK_SQL)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed 16-token windows, stride 8 (50% overlap): map-only fan-out, the
+    # canonical corpus → context-length-bounded training sequence step.
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_size=16, stride=8
+    )
+
+
+_DUP_NGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+    SELECT doc_id,
+           array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    WHERE len(t) >= 5
+),
+gram_df AS (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gram_df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN gram_df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS dup_gram_frac
+FROM g JOIN gram_df USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("dup_ngram_stats", _DUP_NGRAM_SQL)
+def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # share of each doc's word 5-grams that appear in >=2 documents —
+    # cross-document boilerplate signal (C4/RefinedWeb-style hygiene).
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), "text", "doc_id", n=5)
+
+
+_MIXTURE_SQL = """
+WITH cnt AS (
+    SELECT lang AS _stratum, COUNT(*) AS _n FROM documents GROUP BY lang
+),
+pw AS (
+    SELECT _stratum, _n, CAST(ROUND(POW(_n, 0.5), 6) AS DECIMAL(38,6)) AS _p FROM cnt
+),
+tot AS (SELECT SUM(_p) AS _tp FROM pw),
+rates AS (
+    SELECT _stratum, _n,
+           ROUND(LEAST(1.0, 120 * (CAST(_p AS DOUBLE) / CAST(_tp AS DOUBLE)) / _n), 6)
+               AS keep_rate
+    FROM pw, tot
+),
+thr AS (
+    SELECT _stratum, keep_rate,
+           CASE WHEN keep_rate >= 1.0 THEN 'g'
+                ELSE printf('%08x', CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT))
+           END AS _t
+    FROM rates
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text, t.keep_rate
+FROM documents d JOIN thr t ON d.lang = t._stratum
+WHERE substr(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t._t
+"""
+
+
+@register("mixture_sampled_docs", _MIXTURE_SQL)
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alpha=0.5 temperature rebalancing of the skewed lang distribution at a
+    # ~120-doc budget (scaled by SF via the per-stratum counts): dominant
+    # 'en' is cut hardest, rare langs keep proportionally more.
+    return temperature_mixture_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.5, budget=120
+    )
