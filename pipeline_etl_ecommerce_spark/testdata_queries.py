@@ -2452,3 +2452,96 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         _t(spark, sf_dir, "documents"), "lang", "doc_id", alpha=0.5, budget=120
     )
+
+
+# ===========================================================================
+# Batch 10: embedding clustering — deterministic k-means + SemDeDup
+# ===========================================================================
+
+from .operators.clustering import kmeans_assign, semantic_dedup  # noqa: E402
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs mirroring
+    ``operators.clustering`` step for step (same init, same 6dp-rounded
+    argmin with cid tie-break, same DECIMAL-sum/9dp-rounded means)."""
+    d2 = (
+        "ROUND(list_aggregate(list_transform(list_zip(vv.vec, c.cvec),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)"
+    )
+    parts = [
+        "vv AS (SELECT vec_id AS _vid,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY _vid) - 1 AS INTEGER) AS cid,"
+        f" vec AS cvec FROM (SELECT _vid, vec FROM vv ORDER BY _vid LIMIT {k}))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (SELECT _vid, vec, cid, d2 FROM ("
+            f" SELECT *, ROW_NUMBER() OVER (PARTITION BY _vid ORDER BY d2, cid) AS rn"
+            f" FROM (SELECT vv._vid, vv.vec, c.cid, {d2} AS d2 FROM vv, {prev} c))"
+            f" WHERE rn = 1)"
+        )
+        if it < iters:
+            parts.append(
+                f"m{it} AS (SELECT cid, i - 1 AS pos,"
+                f" ROUND(CAST(SUM(CAST(vec[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS m"
+                f" FROM a{it}, unnest(generate_series(1, len(vec))) AS u(i) GROUP BY cid, i)"
+            )
+            parts.append(
+                f"c{it} AS (SELECT c{it - 1}.cid, COALESCE(n.nv, c{it - 1}.cvec) AS cvec"
+                f" FROM c{it - 1} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nv"
+                f" FROM m{it} GROUP BY cid) n USING (cid))"
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+_KMEANS_SQL = f"""
+{_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)}
+SELECT _vid AS vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2
+FROM a{_KMEANS_ITERS}
+"""
+
+
+@register("kmeans_clusters", _KMEANS_SQL)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd's with pinned init/tie-breaks/rounding so the oracle replays the
+    # exact trajectory; see operators/clustering.py for the scale shape.
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS,
+    )
+
+
+_SEMDEDUP_SQL = f"""
+{_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+sides AS (
+    SELECT cid, _vid, vec,
+           sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum')) AS nrm
+    FROM a{_KMEANS_ITERS}
+),
+pairs AS (
+    SELECT a._vid AS va, b._vid AS vb,
+           ROUND(list_aggregate(list_transform(list_zip(a.vec, b.vec),
+                                               p -> p[1] * p[2]), 'sum')
+                 / (a.nrm * b.nrm), 6) AS cos
+    FROM sides a JOIN sides b ON a.cid = b.cid AND a._vid < b._vid
+),
+shadowed AS (SELECT DISTINCT vb FROM pairs WHERE cos >= 0.4)
+SELECT a._vid AS vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
+       (s.vb IS NULL) AS kept
+FROM a{_KMEANS_ITERS} a LEFT JOIN shadowed s ON a._vid = s.vb
+"""
+
+
+@register("semantic_dedup_keep", _SEMDEDUP_SQL)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: cosine comparisons only within a k-means cluster, so the
+    # pair join is quadratic per cluster instead of per corpus.
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        k=_KMEANS_K, iters=_KMEANS_ITERS, threshold=0.4,
+    )

@@ -1,0 +1,64 @@
+"""Deterministic k-means + SemDeDup: blob separation, layout independence,
+duplicate shadowing, and parameter validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_etl_ecommerce_spark.operators.clustering import kmeans_assign, semantic_dedup
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # two tight, well-separated 2-D blobs; ids interleave the blobs so the
+    # smallest-id init picks one seed from each
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 3) * 0.01]))
+        else:
+            rows.append((i, [10.0 + (i % 5) * 0.01, 10.0 + (i % 3) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_blobs(blobs):
+    out = kmeans_assign(blobs, "embedding", "vec_id", k=2, iters=3).collect()
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["vec_id"] % 2].add(r["cluster_id"])
+    # each blob lands wholly in one cluster, and they differ
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    # converged: every even-id point is near its centroid
+    assert all(r["dist2"] < 1.0 for r in out)
+
+
+def test_kmeans_is_layout_independent(blobs):
+    a = sorted(map(tuple, kmeans_assign(blobs, "embedding", "vec_id", k=2, iters=2).collect()))
+    b = sorted(
+        map(tuple, kmeans_assign(blobs.repartition(7), "embedding", "vec_id", k=2, iters=2).collect())
+    )
+    assert a == b
+
+
+def test_kmeans_rejects_bad_params(blobs):
+    with pytest.raises(ValueError):
+        kmeans_assign(blobs, "embedding", "vec_id", k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(blobs, "embedding", "vec_id", iters=0)
+
+
+def test_semantic_dedup_shadows_exact_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),  # exact dup of 0 -> shadowed by 0
+        (2, [2.0, 0.0, 0.0]),  # colinear with 0 (cos=1) -> shadowed
+        (3, [0.0, 1.0, 0.0]),  # orthogonal -> kept
+        (4, [-5.0, -5.0, -5.0]),  # far away -> own cluster, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, "embedding", "vec_id", k=2, iters=2, threshold=0.99).collect()}
+    assert len(out) == 5  # every input vector gets a verdict
+    assert out[0] is True  # smallest id of the dup group survives
+    assert out[1] is False and out[2] is False
+    assert out[3] is True and out[4] is True
