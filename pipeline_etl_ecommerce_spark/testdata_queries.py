@@ -2545,3 +2545,130 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         k=_KMEANS_K, iters=_KMEANS_ITERS, threshold=0.4,
     )
+
+
+# ===========================================================================
+# Batch 11: classic OLAP joins (TPC-H Q3/Q5 shapes) + full ranking-window
+# surface (lag/lead/ntile) — the ad-hoc BI queries a mart must serve.
+# ===========================================================================
+
+_SHIP_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_top10", _SHIP_PRIORITY_SQL)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filter broadcast into a two-fact join,
+    # DECIMAL revenue, global top-10 (TakeOrderedAndProject — no full sort).
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_LOCAL_VOLUME_SQL = """
+SELECT n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_VOLUME_SQL)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: six-way join where every dim side broadcasts and the
+    # local-supplier condition (s_nationkey = c_nationkey) rides the join.
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(F.broadcast(s), (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_EVENT_DELTAS_SQL = """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us,
+       CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT) AS next_gap_us,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+            AS INTEGER) AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register("user_event_deltas", _EVENT_DELTAS_SQL)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag/lead/ntile on one per-user ordering: Spark runs all three window
+    # functions inside a single Window exec over one shuffle by user_id.
+    e = _events(spark, sf_dir).withColumn("us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("rn"),
+        (F.col("us") - F.lag("us").over(w)).cast("long").alias("gap_us"),
+        (F.lead("us").over(w) - F.col("us")).cast("long").alias("next_gap_us"),
+        F.ntile(4).over(wv).cast("int").alias("value_quartile"),
+    )

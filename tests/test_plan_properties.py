@@ -114,3 +114,23 @@ def test_rollup_cube_single_expand_pass(spark):
 def test_top_terms_is_take_ordered_not_global_sort(spark):
     plan = _executed_plan(tq.QUERIES["corpus_top_terms"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, no full sort
+
+
+def test_classic_olap_joins_broadcast_dims_and_push_filters(spark):
+    q3 = tq.QUERIES["shipping_priority_top10"](spark, SF)
+    plan, full = _executed_plan(q3), _full_explain(q3)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 never materializes a sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in full  # dim filter at the scan
+    q5 = tq.QUERIES["local_supplier_volume"](spark, SF)
+    full5 = _full_explain(q5)
+    assert "EqualTo(r_name,ASIA)" in full5
+    assert "CartesianProduct" not in _executed_plan(q5)
+
+
+def test_event_deltas_single_window_exchange(spark):
+    # lag/lead/row_number share one user_id ordering: exactly one exchange
+    # for that window; ntile orders differently and adds its own.
+    plan = _executed_plan(tq.QUERIES["user_event_deltas"](spark, SF))
+    assert plan.count("Window") <= 3
+    assert "BatchEvalPython" not in plan
