@@ -2672,3 +2672,91 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("us").over(w) - F.col("us")).cast("long").alias("next_gap_us"),
         F.ntile(4).over(wv).cast("int").alias("value_quartile"),
     )
+
+
+# ===========================================================================
+# Batch 12: correlated-aggregate filter (TPC-H Q17 shape) + the full
+# corpus -> training-sequences composition
+# ===========================================================================
+
+_SMALL_QTY_SQL = """
+WITH pa AS (
+    SELECT l_partkey,
+           ROUND(0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(*)), 6) AS thr
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 2)
+            AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.thr
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_SQL)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: the correlated scalar subquery (per-part average
+    # quantity) rewritten as a window over l_partkey — one shuffle serves
+    # both the threshold and the filter, no second scan of lineitem.
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    thr = F.round(
+        F.lit(0.2)
+        * (F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+           / F.count("*").over(w)),
+        6,
+    )
+    return (
+        li.withColumn("_thr", thr)
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_TRAINING_SEQ_SQL = f"""
+WITH cur AS (
+{_CURATED_SQL}
+),
+mix AS (
+{_MIXTURE_SQL}
+),
+sel AS (
+    SELECT m.doc_id, m.text FROM mix m JOIN cur c ON c.doc_id = m.doc_id
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM sel
+    WHERE len(string_split(text, ' ')) > 0
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(len(t) - 1, 0), 32)) AS chunk_start,
+           generate_subscripts(generate_series(0, greatest(len(t) - 1, 0), 32), 1) - 1
+               AS chunk_index
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_index AS INTEGER) AS chunk_index,
+       CAST(len(list_slice(t, chunk_start + 1, chunk_start + 32)) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(t, chunk_start + 1, chunk_start + 32), ' ') AS chunk_text
+FROM starts
+"""
+
+
+@register("corpus_training_sequences", _TRAINING_SEQ_SQL)
+def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the whole pretraining ingest in one plan: temperature-rebalanced
+    # mixture sample ∩ curated corpus (near-dup canonical + quality gates),
+    # then 32-token training sequences. Each stage reuses the catalog's
+    # session-cached side tables, so composition costs only the final join
+    # and the map-only chunk fan-out.
+    mix = mixture_sampled_docs(spark, sf_dir).select("doc_id", "text")
+    cur = curated_documents(spark, sf_dir).select("doc_id")
+    return chunk_documents(mix.join(cur, "doc_id"), "text", "doc_id", chunk_size=32).drop(
+        "chunk_start"
+    )
