@@ -2760,3 +2760,88 @@ def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(mix.join(cur, "doc_id"), "text", "doc_id", chunk_size=32).drop(
         "chunk_start"
     )
+
+
+# ===========================================================================
+# Batch 13: EXISTS semi-join (TPC-H Q4 shape) + per-language quantile
+# quality gate
+# ===========================================================================
+
+_LATE_SHIP_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("late_shipment_priority", _LATE_SHIP_SQL)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS as a LEFT SEMI join — the equi key drives the
+    # hash join and the ship-after-60-days predicate rides it, so lineitem
+    # is touched once and never duplicates order rows.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_QUALITY_GATE_SQL = f"""
+WITH q AS (
+{_QUALITY_SQL}
+),
+ql AS (
+    SELECT q.doc_id, d.lang, q.quality_score
+    FROM q JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT lang, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM ql
+),
+p AS (
+    SELECT lang,
+           MAX(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN quality_score END) AS p25
+    FROM ranked GROUP BY lang
+)
+SELECT ql.doc_id, ql.lang, ql.quality_score, p.p25
+FROM ql JOIN p USING (lang)
+WHERE ql.quality_score >= p.p25
+"""
+
+
+@register("quality_gate_p25", _QUALITY_GATE_SQL)
+def quality_gate_p25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-driven quality floor: drop each language's bottom quartile by
+    # quality score. The threshold is an exact nearest-rank percentile PER
+    # LANGUAGE (group_percentiles), so the window stays partitioned — no
+    # single-partition global sort — and the tiny per-lang threshold table
+    # broadcasts back onto the corpus.
+    d = _t(spark, sf_dir, "documents")
+    ql = (
+        quality_features(d, "text", "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality_score")
+    )
+    from .operators.stats import group_percentiles
+
+    p = group_percentiles(ql, ["lang"], "quality_score", [0.25], out_names=["p25"])
+    return (
+        ql.join(F.broadcast(p), "lang")
+        .filter(F.col("quality_score") >= F.col("p25"))
+        .select("doc_id", "lang", "quality_score", "p25")
+    )
