@@ -2845,3 +2845,52 @@ def quality_gate_p25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("p25"))
         .select("doc_id", "lang", "quality_score", "p25")
     )
+
+
+_RETURNED_TOP_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+           AS revenue,
+       CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_top_customers", _RETURNED_TOP_SQL)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: returned-item revenue per customer over one quarter,
+    # top 20. Nation broadcasts; the quarter filter prunes orders at the
+    # scan; top-20 via TakeOrderedAndProject.
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
