@@ -138,3 +138,32 @@ def temperature_mixture_sample(
         .filter(h < F.col("_thr"))
         .drop("_stratum", "_thr")
     )
+
+
+def hash_topk_sample(
+    df: DataFrame, strata_col: str, id_col: str, *, k: int
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer when the stratum is smaller):
+    the k rows with the smallest identity hashes. Rate-based sampling
+    (``stratified_sample``) only hits its fraction in expectation; this
+    variant gives hard per-stratum counts — eval-set construction, per-source
+    quotas — while keeping the same determinism contract: membership depends
+    only on row identity, so re-shards and re-runs pick the identical set,
+    and any engine with md5 reproduces it.
+
+    Scale shape: one shuffle on the stratum key; rank-within-group is a
+    window over that partitioning. For very hot strata Spark's window sort
+    dominates — pre-filter with a rate threshold slightly above k/n first
+    if strata are huge."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _hash8(F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy("_h8", id_col)
+    return (
+        df.withColumn("_h8", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_h8", "_rk")
+    )

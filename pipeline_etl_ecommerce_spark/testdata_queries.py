@@ -2894,3 +2894,72 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+from .operators.sampling import hash_topk_sample  # noqa: E402
+
+_TOPK_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+           ) AS rk
+    FROM documents
+) t WHERE rk <= 15
+"""
+
+
+@register("per_lang_eval_sample", _TOPK_SAMPLE_SQL)
+def per_lang_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly 15 docs per language by smallest identity hash: hard quotas
+    # (eval-set construction) with the same engine-independent membership
+    # contract as the rate-based samplers.
+    return hash_topk_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", k=15
+    ).select("doc_id", "lang")
+
+
+_LARGE_ORDER_SQL = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_totalprice,
+       CAST(b.sum_qty AS BIGINT) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 50
+"""
+
+
+@register("large_order_customers", _LARGE_ORDER_SQL)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING threshold on the lineitem rollup drives the
+    # join — the aggregate shrinks the fact before it ever touches orders,
+    # and the surviving keys are few enough to broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )

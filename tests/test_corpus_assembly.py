@@ -107,3 +107,17 @@ def test_mixture_is_deterministic_across_layouts(skewed):
         ).collect()
     }
     assert a == b
+
+
+def test_hash_topk_sample_exact_quota(skewed):
+    from pipeline_etl_ecommerce_spark.operators.sampling import hash_topk_sample
+
+    out = hash_topk_sample(skewed, "lang", "doc_id", k=25)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 25, "fr": 25, "zh": 10}  # zh has only 10 rows
+    # identity-determined membership: layout-independent
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in hash_topk_sample(skewed.repartition(9), "lang", "doc_id", k=25).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        hash_topk_sample(skewed, "lang", "doc_id", k=0)
