@@ -145,6 +145,9 @@ def semantic_dedup(
     for _ in range(iters - 1):
         centroids = _update(assigned, centroids)
         assigned = _assign(v, centroids)
+    # the assignment feeds BOTH pair sides and the final verdict join —
+    # persist it so the Lloyd's lineage runs once, not three times
+    assigned = assigned.persist()
     sides = assigned.select("cid", "_vid", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
     a = sides.select("cid", F.col("_vid").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = sides.select("cid", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
