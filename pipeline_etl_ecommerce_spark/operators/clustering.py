@@ -170,3 +170,36 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def centroids_table(
+    df: DataFrame, vec_col: str, id_col: str, *, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Run Lloyd's and return the CENTROIDS ``(cid, cvec)`` instead of the
+    assignment — the artifact a pipeline persists as a mart (same contract
+    as the MinHash signature mart: train once per corpus version)."""
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    v = df.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
+    centroids = _init_centroids(v, k)
+    for _ in range(iters - 1):
+        centroids = _update(_assign(v, centroids), centroids)
+    return centroids.select("cid", "cvec")
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Delta-ingest path: assign NEW vectors to an existing ``(cid, cvec)``
+    centroid table (from ``centroids_table``, typically read back from the
+    persisted mart) without re-running Lloyd's. Same pinned argmin as
+    training (6dp-rounded distance, cid tie-break), so a vector gets the
+    identical cluster whether it arrived in the training batch or a later
+    delta. Broadcast join + one aggregation — O(delta), never O(corpus)."""
+    v = df.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
+    assigned = _assign(v, centroids.select("cid", "cvec"))
+    return assigned.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("dist2"),
+    )

@@ -62,3 +62,24 @@ def test_semantic_dedup_shadows_exact_duplicates(spark):
     assert out[0] is True  # smallest id of the dup group survives
     assert out[1] is False and out[2] is False
     assert out[3] is True and out[4] is True
+
+
+def test_delta_assignment_matches_training(blobs, spark):
+    from pipeline_etl_ecommerce_spark.operators.clustering import (
+        assign_to_centroids,
+        centroids_table,
+    )
+
+    cents = centroids_table(blobs, "embedding", "vec_id", k=2, iters=3)
+    # re-assigning the training vectors against the persisted centroids
+    # reproduces kmeans_assign exactly (same pinned argmin)
+    full = sorted(map(tuple, kmeans_assign(blobs, "embedding", "vec_id", k=2, iters=3).collect()))
+    delta = sorted(map(tuple, assign_to_centroids(blobs, cents, "embedding", "vec_id").collect()))
+    assert full == delta
+    # genuinely new vectors land in the right blob without retraining
+    new = spark.createDataFrame(
+        [(100, [0.02, 0.01]), (101, [10.03, 10.02])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["cluster_id"] for r in assign_to_centroids(new, cents, "embedding", "vec_id").collect()}
+    blob_of = {r["vec_id"] % 2: r["cluster_id"] for r in kmeans_assign(blobs, "embedding", "vec_id", k=2, iters=3).collect()}
+    assert out[100] == blob_of[0] and out[101] == blob_of[1]
