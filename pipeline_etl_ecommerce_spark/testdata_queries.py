@@ -2963,3 +2963,71 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+_FORECAST_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_change", _FORECAST_SQL)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: pure scan-side predicates (all four reach the parquet
+    # scan as PushedFilters) + one DECIMAL aggregate — the query whole-stage
+    # codegen should reduce to a single pipelined stage.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_ORDER_DIST_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register("customer_order_distribution", _ORDER_DIST_SQL)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: LEFT OUTER join keeps zero-order customers (COUNT of
+    # the null-extended key is 0), then a second aggregation builds the
+    # distribution. The first agg reuses the join's c_custkey partitioning.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
