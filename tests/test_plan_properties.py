@@ -134,3 +134,19 @@ def test_event_deltas_single_window_exchange(spark):
     plan = _executed_plan(tq.QUERIES["user_event_deltas"](spark, SF))
     assert plan.count("Window") <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_predicates_all_reach_scan(spark):
+    # explain truncates long filter lists, so assert on the untruncated
+    # parts: all three columns present in PushedFilters, and the scan
+    # prunes to exactly the four referenced columns
+    full = _full_explain(tq.QUERIES["forecast_revenue_change"](spark, SF))
+    pushed = [ln for ln in full.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("IsNotNull(l_shipdate)", "IsNotNull(l_discount)", "IsNotNull(l_quantity)"):
+        assert frag in pushed
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in full
+    )
+    plan = _executed_plan(tq.QUERIES["customer_order_distribution"](spark, SF))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
