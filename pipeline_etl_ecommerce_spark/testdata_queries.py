@@ -3031,3 +3031,71 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_DISJUNCT_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 35)
+"""
+
+
+@register("disjunctive_predicate_revenue", _DISJUNCT_SQL)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst extracts
+    # the common single-side implications (brand IN-set to the part scan,
+    # quantity range to the lineitem scan) so both scans pre-filter even
+    # though the full disjunction can only resolve after the join.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 35))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_DECON_CLEAN_SQL = f"""
+WITH rep AS (
+{_decontam_sql(5)}
+),
+sp2 AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT s.doc_id, s.lang, s.source
+FROM sp2 s
+WHERE s.split = 'train'
+  AND NOT EXISTS (
+      SELECT 1 FROM rep WHERE rep.doc_id = s.doc_id AND rep.contaminated_frac > 0.0
+  )
+"""
+
+
+@register("decontaminated_documents", _DECON_CLEAN_SQL)
+def decontaminated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the actionable output of the leakage check: the training split with
+    # every doc sharing ANY 5-gram with the eval split anti-joined away.
+    d = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.1)
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+    from .operators.decontam import decontaminate
+
+    return decontaminate(train, test, "text", "doc_id", n=5, max_frac=0.0).select(
+        "doc_id", "lang", "source"
+    )
