@@ -174,3 +174,41 @@ def catalog_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def training_sequence_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    sequences_path: str,
+    checkpoint_dir: str,
+    *,
+    chunk_size: int = 64,
+    stride: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus → training-sequence emission: each micro-batch of
+    document drops is chunked into fixed token windows
+    (``operators.chunking``) and keyed-upserted into the sequences mart on
+    (doc_id, chunk_index) — redelivered documents overwrite their own
+    chunks instead of duplicating them, so the mart stays exactly-once
+    under the at-least-once file source. The chunker itself is stateless
+    map-only work, so the stream needs no watermark or state store."""
+    from ..operators.chunking import chunk_documents
+
+    docs = read_json_stream(spark, drop_dir, DOC_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = chunk_documents(
+            batch_df.dropDuplicates(["doc_id"]), "text", "doc_id",
+            chunk_size=chunk_size, stride=stride,
+        )
+        upsert_to_path(chunks, sequences_path, ["doc_id", "chunk_index"])
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

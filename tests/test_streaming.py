@@ -343,3 +343,41 @@ def test_session_stream_merges_and_splits(spark, tmp_path):
         (1, "2025-08-01 10:00:00"): (4, 23.0, "2025-08-01 11:30:00"),
         (2, "2025-08-01 10:00:00"): (1, 8.0, "2025-08-01 10:30:00"),
     }
+
+
+def test_training_sequence_stream_chunks_idempotently(spark, tmp_path):
+    """Streaming chunk emission: drops are chunked per micro-batch and
+    upserted on (doc_id, chunk_index), so a redelivered doc overwrites its
+    own chunks instead of duplicating them."""
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import training_sequence_stream
+
+    drop_dir = str(tmp_path / "drops")
+    seqs = str(tmp_path / "seqs")
+    ckpt = str(tmp_path / "ckpt_ts")
+    os.makedirs(drop_dir)
+
+    def drop(name, rows):
+        with open(os.path.join(drop_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    args = (spark, drop_dir, seqs, ckpt)
+    drop("b1.json", [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},  # 3 chunks @ size 4
+        {"doc_id": 2, "text": "a b"},  # 1 chunk
+    ])
+    training_sequence_stream(*args, chunk_size=4).awaitTermination(120)
+    out = spark.read.parquet(seqs)
+    assert out.count() == 4
+    assert {r["chunk_index"] for r in out.filter(out.doc_id == 1).collect()} == {0, 1, 2}
+
+    # redeliver doc 1 with SHORTER text + a new doc: replacement, not dup
+    drop("b2.json", [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 3, "text": "x y z"},
+    ])
+    training_sequence_stream(*args, chunk_size=4).awaitTermination(120)
+    out2 = spark.read.parquet(seqs)
+    assert out2.filter(out2.doc_id == 1).count() == 3  # unchanged, no dup rows
+    assert out2.filter(out2.doc_id == 3).count() == 1
+    assert out2.count() == 5
