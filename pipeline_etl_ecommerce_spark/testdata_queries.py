@@ -3099,3 +3099,178 @@ def decontaminated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, test, "text", "doc_id", n=5, max_frac=0.0).select(
         "doc_id", "lang", "source"
     )
+
+
+# ===========================================================================
+# Batch 17: remaining classic OLAP shapes — promo share (Q14), top supplier
+# (Q15), nation-pair volume (Q7), idle-rich-customers (Q22)
+# ===========================================================================
+
+_PROMO_SQL = """
+SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+            AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@register("promo_revenue_share", _PROMO_SQL)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional aggregation — both sums ride one pass
+    # over the joined month; part broadcasts.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.00).cast("decimal(18,2)"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).cast("double").alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register("top_supplier_quarter", _TOP_SUPPLIER_SQL)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape: the scalar MAX subquery becomes a rank-1 window over
+    # the aggregated (tiny) revenue table — ALL max-revenue suppliers
+    # survive ties, exactly like the SQL equality form.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            ).cast("double").alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = rev.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+_NATION_PAIR_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+           AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
+"""
+
+
+@register("nation_pair_volume", _NATION_PAIR_SQL)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: bidirectional nation-pair condition across two dim
+    # chains + per-year grouping on an extracted date part.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("volume"))
+    )
+
+
+_IDLE_RICH_SQL = """
+WITH avg_bal AS (
+    SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS c_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+@register("idle_rich_customers", _IDLE_RICH_SQL)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: scalar aggregate subquery (broadcast single row) +
+    # NOT EXISTS as a LEFT ANTI join against recent orders (above-average
+    # balance but inactive since 2001 — the churn-risk list).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).cast("double").alias("c_acctbal"),
+        )
+    )
