@@ -3274,3 +3274,61 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).cast("double").alias("c_acctbal"),
         )
     )
+
+
+_INTERSECT_SQL = """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+@register("parts_sold_both_years", _INTERSECT_SQL)
+def parts_sold_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT (distinct semantics) — the set op the reference never had;
+    # Spark plans it as an aggregate + LEFT SEMI join, so both branches
+    # shrink to distinct keys before anything joins.
+    li = _t(spark, sf_dir, "lineitem")
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey")
+    return y96.intersect(y97)
+
+
+_ROWS_FRAME_SQL = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
+       ROUND(first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS first_val
+FROM events
+"""
+
+
+@register("user_moving_avg_rows", _ROWS_FRAME_SQL)
+def user_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROWS-frame windows (count-based, vs the rolling operator's RANGE
+    # frames): last-3-event moving average + running first_value, both on
+    # one per-user ordering so they share a single Window exec. The 3-row
+    # AVG divides a double sum by a tiny count — deterministic because the
+    # frame is at most 3 values summed in frame order on both engines.
+    e = _events(spark, sf_dir).withColumn("us", F.expr("ts DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+        F.round(F.first("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias(
+            "first_val"
+        ),
+    )
