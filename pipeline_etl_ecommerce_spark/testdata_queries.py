@@ -3332,3 +3332,31 @@ def user_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_val"
         ),
     )
+
+
+_EXCEPT_SQL = """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+@register("parts_discontinued_after_1996", _EXCEPT_SQL)
+def parts_discontinued_after_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXCEPT (distinct set difference) completes the set-op family with
+    # UNION (union_active_parts) and INTERSECT (parts_sold_both_years);
+    # planned as aggregate + LEFT ANTI on the shrunken key sets.
+    li = _t(spark, sf_dir, "lineitem")
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey")
+    return y96.subtract(y97)
