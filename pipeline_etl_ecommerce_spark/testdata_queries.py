@@ -3360,3 +3360,27 @@ def parts_discontinued_after_1996(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     ).select("l_partkey")
     return y96.subtract(y97)
+
+
+_GSETS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+@register("doc_counts_grouping_sets", _GSETS_SQL)
+def doc_counts_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit GROUPING SETS (neither ROLLUP nor CUBE covers this set list):
+    # per-lang totals, per-source totals, and the grand total in ONE Expand
+    # + aggregate pass — three aggregations for one scan + one shuffle.
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(grouping(lang) * 2 + grouping(source) AS INT) AS gid
+        FROM documents_gs
+        GROUP BY lang, source GROUPING SETS ((lang), (source), ())
+        """
+    )
