@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from .similarity import cosine
+from .similarity import _dvec, cosine, dot, norm
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -109,6 +109,71 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
         .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def ivf_topk_pinned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """IVF search whose coarse quantizer is the PINNED Lloyd's k-means from
+    ``operators.clustering`` (DECIMAL-sum means rounded 9dp, 6dp-rounded
+    argmin with cid tie-break), so every decision — centroid trajectory,
+    inverted-list membership, probe ranking, final top-k — is replayable in
+    ANSI SQL and hash-checkable against a DuckDB oracle.
+
+    ``ivf_topk`` above is the Arrow-vectorized variant of the same two-stage
+    design (numpy-matmul assignment in a pandas UDF); this variant trades the
+    vectorized kernel for cross-engine bit-reproducibility. Both share the
+    scale shape: centroids are a broadcast mart, assignment is a map stage,
+    and a query touches ~nprobe/k_clusters of the corpus via the
+    inverted-list equi-join instead of a cross join.
+
+    Output: (query_id, cand_id, cos_sim, rnk).
+    """
+    from .clustering import _assign, _sq_dist, centroids_table
+
+    cents = centroids_table(corpus, vec_col, id_col, k=k_clusters, iters=iters)
+    v = corpus.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
+    # inverted lists: same pinned argmin as training, vector kept for re-rank
+    lists = _assign(v, cents).select(
+        F.col("_vid").alias("cand_id"), F.col("_v").alias("cv"), F.col("cid").alias("cluster")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", F.col("cid"), _sq_dist(F.col("qv"), F.col("cvec")).alias("d2")
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        probe_scored.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cluster"))
+    )
+
+    scored = (
+        probes.join(lists, "cluster")  # inverted-list join replaces the cross join
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
