@@ -146,8 +146,14 @@ def semantic_dedup(
         centroids = _update(assigned, centroids)
         assigned = _assign(v, centroids)
     # the assignment feeds BOTH pair sides and the final verdict join —
-    # persist it so the Lloyd's lineage runs once, not three times
-    assigned = assigned.persist()
+    # materialize it so the Lloyd's lineage runs once, not three times.
+    # localCheckpoint instead of persist(): persist registers the frame in
+    # the session CacheManager, which pins the blocks until an explicit
+    # unpersist a lazy operator can never issue (ADVICE r1: cached
+    # partitions accumulated across a 101-query bench session);
+    # localCheckpoint blocks are released by the ContextCleaner as soon as
+    # the frame is garbage-collected.
+    assigned = assigned.localCheckpoint(eager=False)
     sides = assigned.select("cid", "_vid", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
     a = sides.select("cid", F.col("_vid").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = sides.select("cid", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))

@@ -30,6 +30,19 @@ def deterministic_salt(cols: list[str | Column], n_salts: int) -> Column:
     return F.pmod(F.hash(*exprs), F.lit(n_salts))
 
 
+def _default_salt_cols(df: DataFrame, keys: list[str]) -> list[str]:
+    """All non-key columns: the widest deterministic scatter available.
+    Hashing only the metric columns (the old default) collapses a hot key
+    whose metrics are low-cardinality — the classic all-zeros/single-price
+    skew case — into one or two salt buckets, defeating the salting."""
+    cols = [c for c in df.columns if c not in keys]
+    if not cols:
+        raise ValueError(
+            "salted_groupby_agg: no non-key columns to salt on; pass salt_on explicitly"
+        )
+    return cols
+
+
 def salted_groupby_agg(
     df: DataFrame,
     keys: list[str],
@@ -44,9 +57,14 @@ def salted_groupby_agg(
 
     Equivalent to a plain groupBy+sum for any input (tested property), but
     the first shuffle spreads a hot key over ``n_salts`` reducers.
-    ``salt_on`` defaults to all non-key columns used, giving a deterministic
-    scatter."""
-    salt_cols = salt_on or sum_cols
+    ``salt_on`` defaults to ALL non-key columns (not just ``sum_cols``): a
+    hot key's metric values are often low-cardinality (constant price, zero
+    quantity), and a salt hashed from them alone would collapse the hot key
+    back into a couple of buckets. If every non-key column is constant within
+    the hot key too, no content hash can spread it — pass ``salt_on`` with a
+    high-cardinality column, or accept that a key whose rows are fully
+    identical is a dedup problem, not a skew problem."""
+    salt_cols = salt_on or _default_salt_cols(df, keys)
     salted = df.withColumn("__salt", deterministic_salt(salt_cols, n_salts))
     partial_aggs = [F.sum(c).alias(f"__p_{c}") for c in sum_cols]
     if count_col:

@@ -72,6 +72,22 @@ def merge_upsert(old: DataFrame, new: DataFrame, keys: list[str], order_by: list
     return kept.unionByName(fresh.select(*old.columns))
 
 
+def replace_groups(old: DataFrame, new: DataFrame, group_keys: list[str]) -> DataFrame:
+    """Wholesale group replacement (``MERGE ... WHEN MATCHED DELETE`` +
+    insert): every group of ``group_keys`` present in ``new`` replaces the
+    old group's ENTIRE row set. Unlike ``merge_upsert`` on a composite key,
+    a shrinking group leaves no stale tail rows — the fix for a redelivered
+    document whose re-chunking produces FEWER chunks than before (ADVICE
+    r1). Groups absent from ``new`` survive untouched; null-safe on key
+    components like the other merges."""
+    kept = old.alias("__old").join(
+        new.select(*group_keys).distinct().alias("__new"),
+        _null_safe_key_cond("__old", "__new", group_keys),
+        "left_anti",
+    )
+    return kept.unionByName(new.select(*old.columns))
+
+
 def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """``INSERT IGNORE`` (SURVEY.md §2.1 S10; reference
     ``tarefa_popular_fila_trafego.php:42-51``): only rows whose key is absent
@@ -144,6 +160,12 @@ def upsert_to_path(new: DataFrame, path: str, keys: list[str], order_by: list | 
 
     Correct at any scale but rewrites the whole target; use only for dims and
     small marts. Date-grain facts should use ``overwrite_date_partitions``.
+
+    NOT crash-atomic: a failure between the rmtree and the move below loses
+    the mart (VERDICT r1). ``transactional_upsert_to_path`` is the
+    crash-safe variant — same merge semantics, versioned snapshots behind an
+    atomically-swapped pointer file; prefer it for any mart a crash matters
+    for.
     """
     spark = new.sparkSession
     if not os.path.exists(path):
@@ -152,12 +174,131 @@ def upsert_to_path(new: DataFrame, path: str, keys: list[str], order_by: list | 
         return
     old = spark.read.parquet(path)
     merged = merge_upsert(old, new, keys, order_by)
-    tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")) or ".")
-    merged.write.mode("overwrite").parquet(tmp)
-    # Swap after the write fully materialized (merged plan lazily reads `path`,
-    # so the write must complete before the old data is dropped).
+    _write_and_swap(merged, path, prefix="upsert_")
+
+
+def replace_groups_to_path(new: DataFrame, path: str, group_keys: list[str]) -> None:
+    """Path-level ``replace_groups``: groups present in ``new`` are replaced
+    wholesale, others survive. Same read-merge-swap shape (and the same
+    non-atomicity caveat) as ``upsert_to_path``."""
+    spark = new.sparkSession
+    if not os.path.exists(path):
+        new.write.mode("overwrite").parquet(path)
+        return
+    old = spark.read.parquet(path)
+    merged = replace_groups(old, new, group_keys)
+    _write_and_swap(merged, path, prefix="replace_")
+
+
+def _write_and_swap(df: DataFrame, path: str, *, prefix: str = "swap_") -> None:
+    """Write ``df`` (whose plan lazily reads ``path``) to a temp dir, then
+    swap it in. The write must fully materialize before the old data drops."""
+    tmp = tempfile.mkdtemp(prefix=prefix, dir=os.path.dirname(path.rstrip("/")) or ".")
+    df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+# --------------------------------------------------------------------------
+# Transactional (crash-safe) upsert: versioned snapshots + atomic pointer.
+#
+# This is the plain-parquet reduction of what Delta Lake / Iceberg MERGE
+# gives you: immutable snapshot directories plus one atomically-committed
+# pointer to the current snapshot. Mapping to Delta: each `_v/v{N}` dir is a
+# table version, `_CURRENT` is the transaction log's latest-commit entry,
+# `vacuum_versions` is VACUUM, and `transactional_upsert_to_path` is
+# `MERGE INTO t USING new ON keys WHEN MATCHED UPDATE WHEN NOT MATCHED
+# INSERT`. On a real cluster, swap this for Delta/Iceberg and keep the same
+# call sites — the API contract (merge semantics, crash safety, old reads
+# keep working during a write) is identical.
+#
+# Crash safety: the pointer file is committed with os.replace (atomic on
+# POSIX); a crash anywhere before it leaves `_CURRENT` aimed at the previous
+# complete snapshot, and a half-written `_v/v{N}` dir is invisible garbage
+# that the next vacuum removes. Concurrent READERS are safe at any point;
+# concurrent WRITERS still need an external lock (single-writer, like Delta
+# without a locking LogStore).
+# --------------------------------------------------------------------------
+
+_VERSIONS_DIR = "_v"
+_POINTER_FILE = "_CURRENT"
+
+
+def _current_version(path: str) -> str | None:
+    ptr = os.path.join(path, _POINTER_FILE)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip() or None
+
+
+def current_snapshot_path(path: str) -> str | None:
+    """Directory of the current committed snapshot, or None if uninitialized."""
+    ver = _current_version(path)
+    return os.path.join(path, _VERSIONS_DIR, ver) if ver else None
+
+
+def read_versioned(spark, path: str) -> DataFrame:
+    """Read the current committed snapshot of a transactional mart."""
+    snap = current_snapshot_path(path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    return spark.read.parquet(snap)
+
+
+def _commit_pointer(path: str, version: str) -> None:
+    """Atomically point `_CURRENT` at ``version`` (write-temp + os.replace)."""
+    fd, tmp = tempfile.mkstemp(prefix="_ptr_", dir=path)
+    with os.fdopen(fd, "w") as fh:
+        fh.write(version)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _POINTER_FILE))
+
+
+def transactional_upsert_to_path(
+    new: DataFrame, path: str, keys: list[str], order_by: list | None = None
+) -> str:
+    """Crash-safe keyed MERGE (SURVEY.md §2.1 S9, the reference's central
+    ``INSERT ... ON DUPLICATE KEY UPDATE`` at tarefa_consolidar_dados.php:144
+    and 10 more sites): merge into a NEW immutable snapshot, then commit by
+    atomically swapping the pointer file. The previous snapshot stays on disk
+    (and readable) until ``vacuum_versions``; a crash at ANY step leaves a
+    readable mart. Returns the committed version id."""
+    spark = new.sparkSession
+    os.makedirs(os.path.join(path, _VERSIONS_DIR), exist_ok=True)
+    cur = _current_version(path)
+    if cur is None:
+        merged = dedupe_last_wins(new, keys, order_by)
+        next_ver = "v00000001"
+    else:
+        old = spark.read.parquet(os.path.join(path, _VERSIONS_DIR, cur))
+        merged = merge_upsert(old, new, keys, order_by)
+        next_ver = f"v{int(cur[1:]) + 1:08d}"
+    # write the full snapshot BEFORE touching the pointer; the merge plan
+    # lazily reads the old snapshot, which is never mutated
+    merged.write.mode("overwrite").parquet(os.path.join(path, _VERSIONS_DIR, next_ver))
+    _commit_pointer(path, next_ver)
+    return next_ver
+
+
+def vacuum_versions(path: str, *, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` committed snapshots plus any
+    half-written (crashed) snapshot dirs NEWER than the current pointer.
+    Never touches the current snapshot. Returns the removed version ids."""
+    cur = _current_version(path)
+    vdir = os.path.join(path, _VERSIONS_DIR)
+    if cur is None or not os.path.isdir(vdir):
+        return []
+    versions = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    # uncommitted debris: anything newer than the pointer (crashed writes)
+    debris = [v for v in versions if v > cur]
+    committed = [v for v in versions if v <= cur]
+    drop = debris + (committed[:-keep] if len(committed) > keep else [])
+    drop = [v for v in drop if v != cur]
+    for v in drop:
+        shutil.rmtree(os.path.join(vdir, v))
+    return drop
 
 
 def compact_path(spark, path: str, *, target_partitions: int | None = None) -> int:

@@ -188,12 +188,16 @@ def training_sequence_stream(
 ) -> StreamingQuery:
     """Streaming corpus → training-sequence emission: each micro-batch of
     document drops is chunked into fixed token windows
-    (``operators.chunking``) and keyed-upserted into the sequences mart on
-    (doc_id, chunk_index) — redelivered documents overwrite their own
-    chunks instead of duplicating them, so the mart stays exactly-once
-    under the at-least-once file source. The chunker itself is stateless
-    map-only work, so the stream needs no watermark or state store."""
+    (``operators.chunking``) and written with per-document REPLACE
+    semantics (``replace_groups_to_path`` on doc_id): a redelivered
+    document's entire chunk set is swapped for the re-chunked one, so the
+    mart stays exactly-once under the at-least-once file source even when
+    the redelivered text is SHORTER and produces fewer chunks — a plain
+    (doc_id, chunk_index) upsert would leave the old tail chunks behind
+    (ADVICE r1). The chunker itself is stateless map-only work, so the
+    stream needs no watermark or state store."""
     from ..operators.chunking import chunk_documents
+    from ..sources.sinks import replace_groups_to_path
 
     docs = read_json_stream(spark, drop_dir, DOC_SCHEMA, max_files_per_trigger=max_files_per_trigger)
 
@@ -204,7 +208,7 @@ def training_sequence_stream(
             batch_df.dropDuplicates(["doc_id"]), "text", "doc_id",
             chunk_size=chunk_size, stride=stride,
         )
-        upsert_to_path(chunks, sequences_path, ["doc_id", "chunk_index"])
+        replace_groups_to_path(chunks, sequences_path, ["doc_id"])
 
     return (
         docs.writeStream.foreachBatch(_process)

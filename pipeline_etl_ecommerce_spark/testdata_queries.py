@@ -69,6 +69,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(sf_dir, "events.parquet"))
             .withColumn("ts", F.col("ts") * F.lit(1000))
         )
+        # The ×1000 above assumes the forced-BIGINT read of a TIMESTAMP(NANOS)
+        # column yields epoch MICROS. If a Spark build instead surfaces raw
+        # nanos, every timestamp would silently inflate 1000×; probe the max
+        # once and fail loudly outside a plausible epoch-nanos range
+        # (1990..2120 ≈ 6.3e17..4.7e18). Runs only on the rare fallback path.
+        probe = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        if probe is not None and not (6.3e17 < probe < 4.7e18):
+            raise ValueError(
+                f"events.ts fallback scaling produced implausible epoch-nanos "
+                f"(max={probe}); the forced-BIGINT read did not return micros — "
+                f"adjust the scale factor in _events()"
+            )
     return df.withColumn(
         "event_date",
         F.date_add(F.lit("1970-01-01").cast("date"), F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("int")),

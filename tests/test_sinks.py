@@ -12,7 +12,12 @@ from pipeline_etl_ecommerce_spark.sources.sinks import (
     keyed_update,
     merge_upsert,
     overwrite_date_partitions,
+    read_versioned,
+    replace_groups,
+    replace_groups_to_path,
+    transactional_upsert_to_path,
     upsert_to_path,
+    vacuum_versions,
 )
 
 
@@ -48,6 +53,27 @@ def test_keyed_update_does_not_insert(spark):
     assert got == {"a": 1, "b": 20}  # 'zzz' not inserted (S12 update-only)
 
 
+def test_replace_groups_drops_stale_tail_rows(spark):
+    """A shrinking group (doc re-chunked to FEWER rows) must lose its old
+    tail — merge_upsert on the composite key would keep ('a', 2)."""
+    old = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 11), ("a", 2, 12), ("b", 0, 20)], "g string, i int, v int"
+    )
+    new = spark.createDataFrame([("a", 0, 99), ("a", 1, 98)], "g string, i int, v int")
+    got = sorted((r["g"], r["i"], r["v"]) for r in replace_groups(old, new, ["g"]).collect())
+    assert got == [("a", 0, 99), ("a", 1, 98), ("b", 0, 20)]
+
+
+def test_replace_groups_to_path_roundtrip(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "groups")
+    df = spark.createDataFrame([("a", 0, 1), ("a", 1, 2), ("b", 0, 3)], "g string, i int, v int")
+    replace_groups_to_path(df, path, ["g"])
+    shorter = spark.createDataFrame([("a", 0, 9)], "g string, i int, v int")
+    replace_groups_to_path(shorter, path, ["g"])
+    got = sorted((r["g"], r["i"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == [("a", 0, 9), ("b", 0, 3)]
+
+
 def test_dedupe_last_wins(spark):
     df = _df(spark, [("a", 1, 1), ("a", 2, 9), ("a", 3, 5)])
     got = dedupe_last_wins(df, ["k"], ["ts"]).collect()
@@ -60,6 +86,57 @@ def test_upsert_to_path_roundtrip(spark, tmp_path):
     upsert_to_path(_df(spark, [("b", 20, 2), ("c", 30, 2)]), path, ["k"])
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": 1, "b": 20, "c": 30}
+
+
+def test_transactional_upsert_roundtrip(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "tmart")
+    v1 = transactional_upsert_to_path(_df(spark, [("a", 1, 1), ("b", 2, 1)]), path, ["k"])
+    v2 = transactional_upsert_to_path(_df(spark, [("b", 20, 2), ("c", 30, 2)]), path, ["k"])
+    assert (v1, v2) == ("v00000001", "v00000002")
+    got = {r["k"]: r["v"] for r in read_versioned(spark, path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+    # previous snapshot still intact (readable during/after the new write)
+    old = {r["k"]: r["v"] for r in spark.read.parquet(os.path.join(path, "_v", v1)).collect()}
+    assert old == {"a": 1, "b": 2}
+
+
+def test_transactional_upsert_crash_between_write_and_commit(spark, tmp_path, monkeypatch):
+    """Kill the writer AFTER the new snapshot is fully written but BEFORE the
+    pointer swap: the mart must still read as the previous committed version,
+    and the next vacuum must clear the orphaned snapshot."""
+    import pipeline_etl_ecommerce_spark.sources.sinks as sinks
+
+    path = os.path.join(str(tmp_path), "tmart")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1)]), path, ["k"])
+
+    def boom(_path, _version):
+        raise RuntimeError("simulated crash before pointer commit")
+
+    monkeypatch.setattr(sinks, "_commit_pointer", boom)
+    try:
+        transactional_upsert_to_path(_df(spark, [("a", 99, 2)]), path, ["k"])
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # still readable, still the OLD committed content
+    got = {r["k"]: r["v"] for r in read_versioned(spark, path).collect()}
+    assert got == {"a": 1}
+    # the half-committed v2 dir exists as debris, then vacuum removes it
+    assert os.path.isdir(os.path.join(path, "_v", "v00000002"))
+    assert vacuum_versions(path) == ["v00000002"]
+    # a later upsert commits cleanly on top
+    transactional_upsert_to_path(_df(spark, [("a", 7, 3)]), path, ["k"])
+    assert {r["k"]: r["v"] for r in read_versioned(spark, path).collect()} == {"a": 7}
+
+
+def test_vacuum_keeps_newest_committed(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "tmart")
+    for i in range(4):
+        transactional_upsert_to_path(_df(spark, [("a", i, i)]), path, ["k"])
+    removed = vacuum_versions(path, keep=2)
+    assert removed == ["v00000001", "v00000002"]
+    assert {r["v"] for r in read_versioned(spark, path).collect()} == {3}
 
 
 def test_overwrite_date_partitions_touches_only_delta_days(spark, tmp_path):

@@ -346,9 +346,10 @@ def test_session_stream_merges_and_splits(spark, tmp_path):
 
 
 def test_training_sequence_stream_chunks_idempotently(spark, tmp_path):
-    """Streaming chunk emission: drops are chunked per micro-batch and
-    upserted on (doc_id, chunk_index), so a redelivered doc overwrites its
-    own chunks instead of duplicating them."""
+    """Streaming chunk emission: drops are chunked per micro-batch and the
+    sequences mart gets per-document REPLACE semantics — a redelivered doc
+    swaps its entire chunk set, so even a SHORTER redelivery (fewer chunks
+    than before) leaves no stale tail chunks behind."""
     from pipeline_etl_ecommerce_spark.streaming.pipelines import training_sequence_stream
 
     drop_dir = str(tmp_path / "drops")
@@ -371,13 +372,23 @@ def test_training_sequence_stream_chunks_idempotently(spark, tmp_path):
     assert out.count() == 4
     assert {r["chunk_index"] for r in out.filter(out.doc_id == 1).collect()} == {0, 1, 2}
 
-    # redeliver doc 1 with SHORTER text + a new doc: replacement, not dup
+    # redeliver doc 1 with genuinely SHORTER text (10 -> 5 tokens, 3 -> 2
+    # chunks) + a new doc: the old chunk_index=2 row must be GONE, not
+    # merely overwritten at matching indexes
     drop("b2.json", [
-        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(5))},
         {"doc_id": 3, "text": "x y z"},
     ])
     training_sequence_stream(*args, chunk_size=4).awaitTermination(120)
     out2 = spark.read.parquet(seqs)
-    assert out2.filter(out2.doc_id == 1).count() == 3  # unchanged, no dup rows
+    assert {r["chunk_index"] for r in out2.filter(out2.doc_id == 1).collect()} == {0, 1}
+    assert out2.filter(out2.doc_id == 2).count() == 1  # untouched group survives
     assert out2.filter(out2.doc_id == 3).count() == 1
-    assert out2.count() == 5
+    assert out2.count() == 4
+
+    # byte-identical redelivery stays idempotent too
+    drop("b3.json", [{"doc_id": 3, "text": "x y z"}])
+    training_sequence_stream(*args, chunk_size=4).awaitTermination(120)
+    out3 = spark.read.parquet(seqs)
+    assert out3.filter(out3.doc_id == 3).count() == 1
+    assert out3.count() == 4
