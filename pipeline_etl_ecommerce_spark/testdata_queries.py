@@ -618,10 +618,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greens — still protected by scripts/selfcheck.py and pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # round-2 fixes that need an in-window driver row to prove them
+    # round-2 fixes/additions that need an in-window driver row to prove them
     "json_props_extract",
     "near_dup_components",
     "ivf_ann_top3",
+    "streaming_ingest_pairs_converged",
+    "streaming_chunk_replace",
     # never driver-checked in round 1 (registration order preserved)
     "ngram_lang_classifier",
     "bm25_query_scores",
@@ -659,7 +661,6 @@ _DRIVER_PRIORITY = [
     "late_shipment_priority",
     "quality_gate_p25",
     "returned_item_top_customers",
-    "per_lang_eval_sample",
     "large_order_customers",
     "forecast_revenue_change",
     "customer_order_distribution",
@@ -667,11 +668,14 @@ _DRIVER_PRIORITY = [
     "promo_revenue_share",
     "top_supplier_quarter",
     "nation_pair_volume",
-    "idle_rich_customers",
     "parts_sold_both_years",
     "nation_market_share",
     # ---- position 51+: rotated out of the window (weakest marginal signal:
-    # rows-only check or a same-family query already inside the window)
+    # rows-only check or a same-family query already inside the window —
+    # per_lang_eval_sample/idle_rich_customers pushed out by the two
+    # streaming-composition queries above, which had no check at all)
+    "per_lang_eval_sample",
+    "idle_rich_customers",
     "user_moving_avg_rows",
     "doc_counts_grouping_sets",
     "parts_discontinued_after_1996",
@@ -3604,3 +3608,75 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(target).cast("double") / F.sum("volume").cast("double"), 6
         ).alias("market_share")
     )
+
+
+# ===========================================================================
+# Batch 15 (round 2): the streaming pipelines' batch halves as driver
+# queries — document_ingest_stream's incremental-LSH composition and
+# training_sequence_stream's chunk-replace redelivery, expressed as pure
+# batch plans so the streaming-shared logic sits under the value-hash check
+# (VERDICT r1 #8). File I/O (checkpoint, mart paths) is the only part the
+# driver can't see; the merges and joins here are the exact per-batch code.
+# ===========================================================================
+
+from .sources.sinks import replace_groups  # noqa: E402
+
+
+@register("streaming_ingest_pairs_converged", _MINHASH_PAIRS_SQL)
+def streaming_ingest_pairs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document_ingest_stream's convergence contract: an initial corpus's
+    candidate pairs UNION the delta×mart incremental pairs equals a full-
+    corpus LSH recompute (the oracle IS the full-recompute SQL). Docs with
+    doc_id % 3 == 0 play the delta batch. Band keys are per-doc independent,
+    so filtering the shared signature mart is identical to hashing the two
+    batches separately (update_signature_mart's contract)."""
+    bk = _band_keys(spark, sf_dir)
+    initial_bk = bk.filter(F.col("doc_id") % 3 != 0)
+    delta_bk = bk.filter(F.col("doc_id") % 3 == 0)
+    initial_pairs = minhash_candidate_pairs(initial_bk)
+    incremental = incremental_candidate_pairs(bk, delta_bk)
+    return initial_pairs.unionByName(incremental).distinct()
+
+
+_CHUNK_REPLACE_SQL = """
+WITH docs2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+                ELSE text END AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM docs2
+    WHERE len(string_split(text, ' ')) > 0
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, greatest(len(t) - 1, 0), 8)) AS chunk_start,
+           generate_subscripts(generate_series(0, greatest(len(t) - 1, 0), 8), 1) - 1 AS chunk_index
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_index AS INTEGER) AS chunk_index,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(t, chunk_start + 1, chunk_start + 16)) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(t, chunk_start + 1, chunk_start + 16), ' ') AS chunk_text
+FROM starts
+"""
+
+
+@register("streaming_chunk_replace", _CHUNK_REPLACE_SQL)
+def streaming_chunk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_sequence_stream's redelivery contract: docs with
+    doc_id % 7 == 0 are redelivered TRUNCATED to their first 10 tokens
+    (fewer chunks than before), and replace_groups swaps each redelivered
+    doc's whole chunk set. The oracle chunks the final corpus state
+    directly — a hash match proves the replace left no stale tail chunks,
+    the exact failure mode a (doc_id, chunk_index) upsert would have."""
+    d = _t(spark, sf_dir, "documents")
+    chunks1 = chunk_documents(d, "text", "doc_id", chunk_size=16, stride=8)
+    redelivered = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    )
+    chunks2 = chunk_documents(redelivered, "text", "doc_id", chunk_size=16, stride=8)
+    return replace_groups(chunks1, chunks2, ["doc_id"])
