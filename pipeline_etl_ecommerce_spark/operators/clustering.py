@@ -152,8 +152,20 @@ def semantic_dedup(
     # unpersist a lazy operator can never issue (ADVICE r1: cached
     # partitions accumulated across a 101-query bench session);
     # localCheckpoint blocks are released by the ContextCleaner as soon as
-    # the frame is garbage-collected.
+    # the frame is garbage-collected. Callers holding an already-
+    # materialized assignment (the centroid-mart pattern) should use
+    # ``semantic_dedup_verdict`` directly and skip the re-training.
     assigned = assigned.localCheckpoint(eager=False)
+    return semantic_dedup_verdict(assigned, threshold=threshold)
+
+
+def semantic_dedup_verdict(assigned: DataFrame, *, threshold: float = 0.9) -> DataFrame:
+    """SemDeDup's verdict stage over a PRECOMPUTED assignment frame
+    ``(_vid, _v, cid, ...)`` (the output shape of ``_assign`` /
+    ``assign_to_centroids`` keeping vectors): within-cluster cosine pairs,
+    then keep = no smaller-id neighbor above the threshold. Split out so a
+    persisted assignment mart feeds kmeans/SemDeDup/IVF without re-running
+    Lloyd's per query."""
     sides = assigned.select("cid", "_vid", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
     a = sides.select("cid", F.col("_vid").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = sides.select("cid", F.col("_vid").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))

@@ -144,12 +144,36 @@ def ivf_topk_pinned(
 
     Output: (query_id, cand_id, cos_sim, rnk).
     """
-    from .clustering import _assign, _sq_dist, centroids_table
+    from .clustering import _assign, centroids_table
 
     cents = centroids_table(corpus, vec_col, id_col, k=k_clusters, iters=iters)
     v = corpus.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
     # inverted lists: same pinned argmin as training, vector kept for re-rank
-    lists = _assign(v, cents).select(
+    assigned = _assign(v, cents)
+    return ivf_search_pinned(
+        assigned, cents, queries, vec_col=vec_col, id_col=id_col, nprobe=nprobe, k=k
+    )
+
+
+def ivf_search_pinned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """The search half of ``ivf_topk_pinned`` over a PRECOMPUTED
+    ``(_vid, _v, cid, ...)`` assignment and ``(cid, cvec)`` centroid table —
+    the persisted-mart path: train once per corpus version
+    (``clustering.centroids_table``), search any number of query batches
+    without re-running Lloyd's per query."""
+    from .clustering import _sq_dist
+
+    cents = centroids
+    lists = assigned.select(
         F.col("_vid").alias("cand_id"), F.col("_v").alias("cv"), F.col("cid").alias("cluster")
     )
 

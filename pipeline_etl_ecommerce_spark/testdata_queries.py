@@ -2568,7 +2568,12 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Batch 10: embedding clustering — deterministic k-means + SemDeDup
 # ===========================================================================
 
-from .operators.clustering import kmeans_assign, semantic_dedup  # noqa: E402
+from .operators.clustering import (  # noqa: E402
+    _assign as _kmeans_assign_step,
+    centroids_table,
+    semantic_dedup_verdict,
+)
+from .operators.similarity import _dvec  # noqa: E402
 
 
 def _kmeans_ctes(k: int, iters: int) -> str:
@@ -2616,13 +2621,40 @@ FROM a{_KMEANS_ITERS}
 """
 
 
+# Centroid mart, shared per (session, sf_dir) exactly like the MinHash
+# signature mart: Lloyd's runs ONCE, then kmeans_clusters /
+# semantic_dedup_keep / ivf_ann_top3 all read the persisted centroids +
+# assignment (at scale these are tables keyed by corpus version; the
+# train/assign split in operators/clustering.py is this same contract).
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "kmeans_centroids_k8i2",
+        lambda: centroids_table(
+            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+            k=_KMEANS_K, iters=_KMEANS_ITERS,
+        ),
+    )
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        v = emb.select(F.col("vec_id").alias("_vid"), _dvec(F.col("embedding")).alias("_v"))
+        return _kmeans_assign_step(v, _kmeans_centroids(spark, sf_dir))
+
+    return _side_table(spark, sf_dir, "kmeans_assignment_k8i2", build)
+
+
 @register("kmeans_clusters", _KMEANS_SQL)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd's with pinned init/tie-breaks/rounding so the oracle replays the
     # exact trajectory; see operators/clustering.py for the scale shape.
-    return kmeans_assign(
-        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        k=_KMEANS_K, iters=_KMEANS_ITERS,
+    return _kmeans_assignment(spark, sf_dir).select(
+        F.col("_vid").alias("vec_id"),
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("dist2"),
     )
 
 
@@ -2650,11 +2682,9 @@ FROM a{_KMEANS_ITERS} a LEFT JOIN shadowed s ON a._vid = s.vb
 @register("semantic_dedup_keep", _SEMDEDUP_SQL)
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cosine comparisons only within a k-means cluster, so the
-    # pair join is quadratic per cluster instead of per corpus.
-    return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        k=_KMEANS_K, iters=_KMEANS_ITERS, threshold=0.4,
-    )
+    # pair join is quadratic per cluster instead of per corpus. Reads the
+    # shared assignment mart instead of re-running Lloyd's.
+    return semantic_dedup_verdict(_kmeans_assignment(spark, sf_dir), threshold=0.4)
 
 
 # IVF ANN with the pinned k-means coarse quantizer: the oracle replays the
@@ -2693,15 +2723,18 @@ SELECT query_id, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
 ) WHERE rnk <= {_IVF_K}
 """
 
-from .operators.ivf import ivf_topk_pinned  # noqa: E402
+from .operators.ivf import ivf_search_pinned  # noqa: E402
 
 
 @register("ivf_ann_top3", _IVF_SQL)
 def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_pinned(
-        emb, emb.filter(F.col("vec_id") < 10),
-        k_clusters=_KMEANS_K, iters=_KMEANS_ITERS, nprobe=_IVF_NPROBE, k=_IVF_K,
+    return ivf_search_pinned(
+        _kmeans_assignment(spark, sf_dir),
+        _kmeans_centroids(spark, sf_dir),
+        emb.filter(F.col("vec_id") < 10),
+        nprobe=_IVF_NPROBE,
+        k=_IVF_K,
     )
 
 
