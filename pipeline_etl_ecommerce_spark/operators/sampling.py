@@ -140,6 +140,55 @@ def temperature_mixture_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    *,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a uniform u from its identity hash and scores
+    ``u^(1/weight)``; the k largest scores are the sample, so selection
+    probability is proportional to weight — quality-weighted corpus
+    selection with the same determinism contract as the other samplers
+    (identity-hash draw: stable across runs/engines/layouts, delta-ingest
+    consistent, no RNG state).
+
+    Cross-engine float discipline (NOTES.md pinned-arithmetic rule): u is
+    an exact integer ratio from the first 8 hash hexits, and the only libm
+    call (pow) is rounded to 9dp before ranking with an id tie-break, so
+    both engines rank identical numbers.
+
+    Scale shape: map-only scoring; global top-k plans as
+    TakeOrderedAndProject (no global sort), per-stratum top-k is one window over
+    the stratum shuffle. Rows with weight <= 0 are excluded (a zero-weight
+    row has selection probability 0)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ident = ([F.col(strata_col).cast("string")] if strata_col else []) + [
+        F.col(id_col).cast("string")
+    ]
+    h = _hash8(*ident)
+    u = (F.conv(h, 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(16**8 + 1))
+    score = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9)
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_score", score)
+    )
+    if strata_col is None:
+        return scored.orderBy(F.col("sample_score").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("sample_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def hash_topk_sample(
     df: DataFrame, strata_col: str, id_col: str, *, k: int
 ) -> DataFrame:

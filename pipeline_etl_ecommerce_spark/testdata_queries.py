@@ -673,7 +673,10 @@ _DRIVER_PRIORITY = [
     # ---- position 51+: rotated out of the window (weakest marginal signal:
     # rows-only check or a same-family query already inside the window —
     # per_lang_eval_sample/idle_rich_customers pushed out by the two
-    # streaming-composition queries above, which had no check at all)
+    # streaming-composition queries above, which had no check at all).
+    # weighted_doc_sample is new in r2 (selfcheck-verified); first in line
+    # for the r3 window rotation.
+    "weighted_doc_sample",
     "per_lang_eval_sample",
     "idle_rich_customers",
     "user_moving_avg_rows",
@@ -3713,3 +3716,41 @@ def streaming_chunk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks2 = chunk_documents(redelivered, "text", "doc_id", chunk_size=16, stride=8)
     return replace_groups(chunks1, chunks2, ["doc_id"])
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis): selection
+# probability proportional to n_chars. The oracle rebuilds the identical
+# uniform draw by parsing the 8 hash hexits positionally (exact integer
+# arithmetic) and replays the 9dp-rounded pow ranking.
+_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM documents WHERE n_chars > 0
+),
+u AS (
+    SELECT doc_id, wt,
+           (list_aggregate(list_transform(generate_series(1, 8),
+                i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+                     * CAST(power(16, 8 - i) AS BIGINT)), 'sum') + 1.0)
+           / (power(16, 8) + 1.0) AS u
+    FROM w
+)
+SELECT doc_id, ROUND(power(u, 1.0 / wt), 9) AS sample_score
+FROM u
+ORDER BY sample_score DESC, doc_id
+LIMIT 100
+"""
+
+from .operators.sampling import weighted_sample_topk  # noqa: E402
+
+
+@register("weighted_doc_sample", _WEIGHTED_SAMPLE_SQL)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus selection: 100 docs sampled without
+    replacement with probability proportional to n_chars (stand-in for any
+    per-doc quality weight). Deterministic A-ES race keyed on the identity
+    hash; global top-k plans as TakeOrderedAndProject."""
+    return weighted_sample_topk(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", k=100
+    ).select("doc_id", "sample_score")

@@ -150,3 +150,30 @@ def test_q6_predicates_all_reach_scan(spark):
     )
     plan = _executed_plan(tq.QUERIES["customer_order_distribution"](spark, SF))
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_pinned_stays_on_jvm_with_inverted_list_join(spark):
+    """The pinned IVF path: no Python anywhere (the Arrow-UDF variant is
+    ivf_topk; this one is all Catalyst), the probe side broadcasts the
+    8-row centroid table, and the candidate join is the cluster equi-join —
+    never a cross product over the corpus."""
+    plan = _executed_plan(tq.QUERIES["ivf_ann_top3"](spark, SF))
+    assert "Python" not in plan, "pinned IVF fell off the JVM path"
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast of the k-row centroid
+    # table into the probe scoring; the corpus-sized candidate join must be
+    # a hash join on the cluster id
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_streaming_composition_queries_keep_equi_joins(spark):
+    for name in ("streaming_ingest_pairs_converged", "streaming_chunk_replace"):
+        plan = _executed_plan(tq.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_components_oracle_query_has_no_python(spark):
+    plan = _executed_plan(tq.QUERIES["near_dup_components"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

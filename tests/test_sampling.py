@@ -112,3 +112,37 @@ def test_downsample_by_weight(corpus):
     }
     assert kept["en"] == totals["en"]  # default 1.0 keeps everything
     assert kept["pt"] / totals["pt"] == pytest.approx(0.1, abs=0.04)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pipeline_etl_ecommerce_spark.operators.sampling import weighted_sample_topk
+
+    # 50 heavy rows (weight 1000) vs 450 light rows (weight 1): a k=50
+    # weight-proportional sample should be dominated by heavy rows
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_topk(df, "w", "id", k=50)
+    heavy = got.filter(F.col("id") < 50).count()
+    assert heavy >= 40  # ~P[heavy in sample] >> light; exact value is deterministic
+
+    # deterministic: identical result on re-run, regardless of layout
+    again = weighted_sample_topk(df.repartition(7), "w", "id", k=50)
+    assert sorted(r["id"] for r in got.collect()) == sorted(r["id"] for r in again.collect())
+
+
+def test_weighted_sample_per_stratum_and_guards(spark):
+    from pipeline_etl_ecommerce_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(1 + i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    got = weighted_sample_topk(df, "w", "id", k=5, strata_col="s")
+    by_s = {r["s"]: 0 for r in got.collect()}
+    for r in got.collect():
+        by_s[r["s"]] += 1
+    assert by_s == {"a": 5, "b": 5}
+
+    # zero/negative weights are never selected
+    dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample_topk(dfz, "w", "id", k=10).collect()] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample_topk(dfz, "w", "id", k=0)
