@@ -674,9 +674,10 @@ _DRIVER_PRIORITY = [
     # rows-only check or a same-family query already inside the window —
     # per_lang_eval_sample/idle_rich_customers pushed out by the two
     # streaming-composition queries above, which had no check at all).
-    # weighted_doc_sample is new in r2 (selfcheck-verified); first in line
-    # for the r3 window rotation.
+    # weighted_doc_sample/model_scored_documents are new in r2
+    # (selfcheck-verified); first in line for the r3 window rotation.
     "weighted_doc_sample",
+    "model_scored_documents",
     "per_lang_eval_sample",
     "idle_rich_customers",
     "user_moving_avg_rows",
@@ -3754,3 +3755,37 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         _t(spark, sf_dir, "documents"), "n_chars", "doc_id", k=100
     ).select("doc_id", "sample_score")
+
+
+# Model-based scoring plumbing (classifier-filter pattern): the stub model
+# is deterministic md5 arithmetic, so even the mapInPandas batch-inference
+# path gets a value-hash oracle — the kernel swaps for a real classifier
+# without touching the plumbing under test.
+_MODEL_SCORE_SQL = """
+WITH h AS (
+    SELECT doc_id, substr(md5(COALESCE(text, '')), 1, 6) AS hx FROM documents
+),
+s AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(generate_series(1, 6),
+                i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                     * CAST(power(16, 6 - i) AS BIGINT)), 'sum') / power(16, 6) AS model_score
+    FROM h
+)
+SELECT doc_id, model_score,
+       CASE WHEN model_score >= 0.67 THEN 'high'
+            WHEN model_score >= 0.33 THEN 'mid'
+            ELSE 'low' END AS score_bucket
+FROM s
+"""
+
+from .operators.scoring import score_documents  # noqa: E402
+
+
+@register("model_scored_documents", _MODEL_SCORE_SQL)
+def model_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over the corpus (Arrow mapInPandas; md5-stub
+    kernel, exact dyadic scores — see operators/scoring.py). The oracle
+    replays the stub arithmetic positionally, proving the Arrow batch path
+    end-to-end at value level."""
+    return score_documents(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -285,3 +285,38 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in embedding_near_dup_pairs(emb, planes, threshold=0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(k == (1, 2) for k in pairs)  # nothing else passes the threshold
+
+
+def test_model_scoring_batch_path_and_pluggable_kernel(spark):
+    """The classifier-gate plumbing: Arrow-batched scoring with a pluggable
+    kernel; the gate's join drops below-threshold docs but keeps full rows
+    for survivors."""
+    import pandas as pd
+
+    from pipeline_etl_ecommerce_spark.operators.scoring import (
+        md5_stub_model,
+        model_filter,
+        score_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good doc text"), (2, "bad"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["model_score"], r["score_bucket"]) for r in
+           score_documents(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    for s, b in out.values():
+        assert 0.0 <= s < 1.0
+        assert b in {"high", "mid", "low"}
+    # deterministic: stub scores reproduce exactly
+    again = {r["doc_id"]: r["model_score"] for r in
+             score_documents(df, "text", "doc_id").collect()}
+    assert {k: v[0] for k, v in out.items()} == again
+
+    # pluggable kernel: length-based "model" — filter keeps only long docs
+    def length_model(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: min(len(t or "") / 10.0, 1.0))
+
+    kept = model_filter(df, "text", "doc_id", model=length_model, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+    assert "text" in kept.columns and "model_score" in kept.columns

@@ -177,3 +177,9 @@ def test_components_oracle_query_has_no_python(spark):
     plan = _executed_plan(tq.QUERIES["near_dup_components"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_model_scoring_is_arrow_batched(spark):
+    plan = _executed_plan(tq.QUERIES["model_scored_documents"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
