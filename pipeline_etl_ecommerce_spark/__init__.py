@@ -12,7 +12,10 @@ Layout
 - ``operators``  : reusable engine operators — proportional allocation
                    (the reference's semantic core, SURVEY.md §2.5 W1-W3/W6),
                    ranking/top-k, dedup (exact/MinHash-LSH/SimHash), similarity
-                   search, text analysis.
+                   search (incl. pinned-arithmetic IVF), clustering/SemDeDup,
+                   text analysis, deterministic + weighted sampling, model
+                   scoring (Arrow batch inference), chunking/packing, skew
+                   salting, profiling, OLAP/stats/timeseries surfaces.
 - ``functions``  : scalar expression helpers (dates/tz, locale numeric parse,
                    nested-JSON SKU extraction via higher-order functions).
 - ``plans``      : one module per reference pipeline, each a pure
