@@ -449,3 +449,77 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+def exact_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    gram_len: int = 20,
+    min_span: int = 40,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact duplicated character spans across documents — the
+    exact-substring dedup modality (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") reduced to a
+    shuffle-native Spark plan. Two documents sharing an exact run of
+    ``>= min_span`` characters are reported with their longest shared run:
+    ``(doc_a, doc_b, longest_span, n_runs)``.
+
+    Construction (gram-diagonal run merge): positional character-gram
+    stream (codegen substring over a posexploded range) → document-
+    frequency cut (df in [2, max_df]: singleton grams can't pair, and
+    corpus-wide stop-grams would blow up the join — same role as winnow's
+    stop-fingerprint cut) → gram equi-join (never cartesian) → matching
+    positions grouped by the (pair, pos_a - pos_b) DIAGONAL, where
+    consecutive pos_a values form runs (row_number-difference trick) →
+    longest run of r grams = an exact span of r + gram_len - 1 chars.
+
+    At 100 TB: the gram stream is O(chars) map work, the heavy shuffle is
+    the gram join bounded by the df cut, and run detection windows
+    partition by (pair, diag) — no global sort anywhere. Suffix arrays
+    (the paper's structure) don't distribute; for a fixed minimum span
+    this plan finds the identical pairs."""
+    if gram_len < 2 or min_span < gram_len:
+        raise ValueError("need gram_len >= 2 and min_span >= gram_len")
+    from pyspark.sql.window import Window
+
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+        .filter(F.length("_t") >= gram_len)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (gram_len - 1))).alias("pos"),
+            "_t",
+        )
+        .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
+    )
+    gdf = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    fg = grams.join(gdf.select("gram"), "gram")
+    a = fg.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gram")
+    b = fg.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "gram")
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "rg")
+        .agg(F.count("*").alias("run_grams"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_grams") + F.lit(gram_len - 1)).cast("long").alias("longest_span"),
+            F.count("*").cast("long").alias("n_runs"),
+        )
+        .filter(F.col("longest_span") >= min_span)
+    )

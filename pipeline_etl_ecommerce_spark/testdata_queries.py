@@ -678,6 +678,7 @@ _DRIVER_PRIORITY = [
     # (selfcheck-verified); first in line for the r3 window rotation.
     "weighted_doc_sample",
     "model_scored_documents",
+    "exact_span_pairs_docs",
     "per_lang_eval_sample",
     "idle_rich_customers",
     "user_moving_avg_rows",
@@ -3789,3 +3790,47 @@ def model_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the stub arithmetic positionally, proving the Arrow batch path
     end-to-end at value level."""
     return score_documents(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# Exact-substring duplication (gram-diagonal run merge): the suffix-array
+# dedup modality from Lee et al. 2022, as a shuffle-native plan. Oracle
+# replays the identical construction.
+_EXACT_SPAN_SQL = """
+WITH g AS (
+    SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
+    FROM documents, unnest(generate_series(1, greatest(length(text) - 19, 1))) AS u(i)
+    WHERE length(text) >= 20
+),
+gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+fg AS (SELECT g.* FROM g JOIN gdf USING (gram) WHERE df BETWEEN 2 AND 100),
+m AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+           a.pos - b.pos AS diag
+    FROM fg a JOIN fg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, diag, rg, COUNT(*) AS run_grams FROM (
+        SELECT doc_a, doc_b, diag,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS rg
+        FROM m) t
+    GROUP BY doc_a, doc_b, diag, rg
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(run_grams) + 19 AS BIGINT) AS longest_span,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+HAVING MAX(run_grams) + 19 >= 40
+"""
+
+from .operators.dedupe import exact_span_pairs  # noqa: E402
+
+
+@register("exact_span_pairs_docs", _EXACT_SPAN_SQL)
+def exact_span_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of documents sharing an exact character run >= 40 chars, with
+    the longest shared span — the exact-substring dedup signal (catches
+    copy-paste duplication that token-set methods dilute)."""
+    return exact_span_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        gram_len=20, min_span=40, max_df=100,
+    )

@@ -132,3 +132,28 @@ def test_shuffle_shards_deterministic_balanced_dense(spark):
     # positions are dense 1..n within every shard
     dense = a.groupBy("shard").agg(F.max("pos").alias("mx"), F.count("*").alias("n"))
     assert dense.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_exact_span_pairs_finds_planted_passage(spark):
+    """A 60-char passage pasted into two documents must surface with the
+    exact span length; unrelated docs must not pair."""
+    from pipeline_etl_ecommerce_spark.operators.dedupe import exact_span_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog once again ok"
+    rows = [
+        # boundary chars differ on both sides so the maximal shared run is
+        # EXACTLY the passage (shared flanking chars would extend it)
+        (1, "AAA." + passage + ".BBB unique tail one"),
+        (2, "totally different head," + passage + ";CCC"),
+        (3, "no shared content here at all, just filler words everywhere"),
+        (4, "another unrelated document with its own distinct phrasing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["longest_span"] for r in
+           exact_span_pairs(df, "text", "doc_id", gram_len=10, min_span=30, max_df=10).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == len(passage)  # the exact planted span, boundary-exact
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        exact_span_pairs(df, "text", "doc_id", gram_len=10, min_span=5)

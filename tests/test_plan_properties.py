@@ -183,3 +183,9 @@ def test_model_scoring_is_arrow_batched(spark):
     plan = _executed_plan(tq.QUERIES["model_scored_documents"](spark, SF))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_exact_span_pairs_stays_equi_join(spark):
+    plan = _executed_plan(tq.QUERIES["exact_span_pairs_docs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
