@@ -494,6 +494,10 @@ def exact_span_pairs(
             "_t",
         )
         .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
+        # the gram stream feeds BOTH the df-cut aggregation and the join
+        # side; materialize it once (GC-released localCheckpoint, same
+        # rationale as semantic_dedup) — measured 10-15s -> 6-8s at sf0.1
+        .localCheckpoint(eager=False)
     )
     gdf = (
         grams.groupBy("gram")
