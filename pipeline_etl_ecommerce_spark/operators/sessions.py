@@ -52,6 +52,81 @@ def sessionize(
     ).drop("__is_start")
 
 
+def dedupe_bursts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    *,
+    gap: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Windowed event dedup: keep a row only when the key's PREVIOUS row is
+    more than ``gap`` older (same unit as ``ts_col``) — i.e. keep the first
+    event of every activity burst and drop the rapid-fire repeats behind it.
+
+    This is the batch analogue of Structured Streaming's
+    ``dropDuplicatesWithinWatermark`` for retried/double-fired telemetry
+    (the reference's queue workers re-enqueue rows on failure —
+    SURVEY.md §2.10 T5 — so its event log contains exactly this debris).
+    Semantics are gap-to-previous-ROW, not gap-to-previous-KEPT-row: the
+    rule is a pure lag window, deterministic, and identical on any engine.
+
+    Scale shape: one shuffle on ``key_cols``; the lag window and the filter
+    are in-partition, nothing else moves.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    return (
+        df.withColumn(
+            "__keep", prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > F.lit(gap))
+        )
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    date_col: str,
+    *,
+    user_count_col: str = "n_active",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by the ISO week of
+    their FIRST event, counted distinct per (cohort_week, week_offset) of
+    later activity. ``date_col`` must be a DATE column.
+
+    Scale shape: the first-event groupBy and the per-week activity distinct
+    both shuffle on the user key, and the join that follows is co-partitioned
+    on that same key (AQE reuses the exchange); the final aggregation output
+    is tiny (weeks × offsets). ``date_trunc('week')`` is ISO-Monday on both
+    Spark and DuckDB, so offsets divide evenly by 7.
+    """
+    firsts = (
+        events.groupBy(user_col)
+        .agg(F.min(date_col).alias("__first_date"))
+        .select(
+            user_col,
+            F.date_trunc("week", F.col("__first_date")).cast("date").alias("cohort_week"),
+        )
+    )
+    activity = events.select(
+        user_col,
+        F.date_trunc("week", F.col(date_col)).cast("date").alias("active_week"),
+    ).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias(user_count_col))
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str,

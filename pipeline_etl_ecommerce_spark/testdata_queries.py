@@ -3834,3 +3834,105 @@ def exact_span_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
     )
+
+
+# ===========================================================================
+# Batch 15 (r2 cont.): warehouse-history + event-hygiene surface — SCD2
+# interval build, windowed event dedup (watermark-dedup batch analogue),
+# weekly cohort retention. All single-shuffle window/agg plans.
+# ===========================================================================
+
+from .operators.scd import scd2_from_log  # noqa: E402
+from .operators.sessions import cohort_retention, dedupe_bursts  # noqa: E402
+
+_SCD2_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+f AS (
+    SELECT *, CASE WHEN row_number() OVER w = 1
+                     OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END AS is_change
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+r AS (
+    SELECT *, SUM(is_change) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM f
+),
+runs AS (
+    SELECT user_id, event_type AS attr_value, run_id,
+           MIN(tus) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS first_event
+    FROM r GROUP BY 1, 2, 3
+)
+SELECT user_id, attr_value, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events, first_event,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, first_event)
+"""
+
+
+@register("scd2_event_type_history", _SCD2_SQL)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval history of each user's event_type runs: the
+    valid_from/valid_to table a warehouse derives when the previous value
+    matters, not just the reference's keep-latest upsert (SURVEY.md §2.1
+    S9). One shuffle on user_id shared by every window pass — see
+    operators/scd.py."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    return scd2_from_log(
+        e, ["user_id"], "event_type", "tus", tiebreak_cols=["event_id"]
+    )
+
+
+_DEBOUNCE_US = 6 * 3600 * 1_000_000  # 6h: rapid-fire repeats of one action
+
+_DEBOUNCE_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events),
+f AS (
+    SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > {_DEBOUNCE_US} THEN 1 ELSE 0 END AS keep
+    FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tus, event_id)
+)
+SELECT event_id, user_id, event_type, tus, value FROM f WHERE keep = 1
+"""
+
+
+@register("debounced_events", _DEBOUNCE_SQL)
+def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup: drop an event when the same (user, type) fired
+    less than 6h earlier — the batch analogue of streaming
+    dropDuplicatesWithinWatermark for double-fired telemetry (the
+    reference's at-least-once queue redelivery, SURVEY.md §2.10 T5). Lag
+    window + filter after one shuffle — see operators/sessions.py
+    dedupe_bursts."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus"), "value"
+    )
+    return dedupe_bursts(
+        e, ["user_id", "event_type"], "tus", gap=_DEBOUNCE_US, tiebreak_cols=["event_id"]
+    )
+
+
+_COHORT_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, date_trunc('week', MIN(d)) AS cohort_week FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('week', d) AS active_week FROM e)
+SELECT f.cohort_week,
+       CAST((a.active_week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_weekly", _COHORT_SQL)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event log (cohort = ISO
+    week of first event). First-event agg + activity distinct shuffle on
+    user_id, co-partitioned join, tiny final agg — see
+    operators/sessions.py cohort_retention."""
+    e = _events(spark, sf_dir).select("user_id", "event_date")
+    return cohort_retention(e, "user_id", "event_date")

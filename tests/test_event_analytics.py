@@ -125,3 +125,94 @@ def test_vocab_top_terms_rank_and_ties(spark):
         ("b", 3, 2, 1),
         ("a", 2, 2, 2),
     ]
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history, burst dedup, cohort retention (batch 15)
+# ---------------------------------------------------------------------------
+
+from pipeline_etl_ecommerce_spark.operators.scd import as_of_value, scd2_from_log
+from pipeline_etl_ecommerce_spark.operators.sessions import (
+    cohort_retention,
+    dedupe_bursts,
+)
+
+
+def _log_df(spark):
+    #            key  ts  eid  attr
+    rows = [
+        (1, 0, 1, "a"),
+        (1, 10, 2, "a"),    # same run
+        (1, 20, 3, "b"),    # change -> run 2
+        (1, 30, 4, "a"),    # change BACK -> run 3 (a again, separate run)
+        (2, 0, 5, None),    # NULL attr is a value of its own
+        (2, 10, 6, None),   # same run (null-safe compare)
+        (2, 20, 7, "x"),    # change
+    ]
+    return spark.createDataFrame(rows, "k long, ts long, eid long, attr string")
+
+
+def test_scd2_runs_and_intervals(spark):
+    out = scd2_from_log(_log_df(spark), ["k"], "attr", "ts", tiebreak_cols=["eid"])
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    # key 1: three runs a[0,20) b[20,30) a[30,None)
+    assert (rows[(1, 0)].attr_value, rows[(1, 0)].valid_to, rows[(1, 0)].n_events) == ("a", 20, 2)
+    assert (rows[(1, 20)].attr_value, rows[(1, 20)].valid_to) == ("b", 30)
+    assert rows[(1, 30)].attr_value == "a" and rows[(1, 30)].valid_to is None
+    assert rows[(1, 30)].is_current and not rows[(1, 0)].is_current
+    # key 2: NULL run collapses null-safely, then x
+    assert rows[(2, 0)].attr_value is None and rows[(2, 0)].n_events == 2
+    assert rows[(2, 20)].attr_value == "x" and rows[(2, 20)].is_current
+
+
+def test_scd2_as_of_lookup(spark):
+    hist = scd2_from_log(_log_df(spark), ["k"], "attr", "ts", tiebreak_cols=["eid"])
+    # at ts=25, key 1 is in the 'b' run [20,30); key 2 in the 'x' run [20,∞)
+    got = {r.k: r.attr_value for r in as_of_value(hist, ["k"], 25).collect()}
+    assert got == {1: "b", 2: "x"}
+    # at ts=5, key 2 is inside its NULL-attribute run [0,20)
+    got5 = {r.k: r.attr_value for r in as_of_value(hist, ["k"], 5).collect()}
+    assert got5 == {1: "a", 2: None}
+
+
+def test_scd2_single_shuffle_plan(spark):
+    hist = scd2_from_log(_log_df(spark), ["k"], "attr", "ts", tiebreak_cols=["eid"])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    # the lag/run windows, groupBy, and lead window all share the hash
+    # partitioning on k: exactly one exchange in the whole history build
+    assert plan.count("Exchange") == 1
+
+
+def test_dedupe_bursts_gap_to_previous_row(spark):
+    rows = [
+        (1, "c", 0, 1),
+        (1, "c", 50, 2),    # within gap of previous -> dropped
+        (1, "c", 90, 3),    # within gap of PREVIOUS ROW (40 <= 100) -> dropped
+        (1, "c", 250, 4),   # gap 160 > 100 -> kept
+        (1, "d", 55, 5),    # different type: own stream -> kept
+        (2, "c", 60, 6),    # different user -> kept
+    ]
+    df = spark.createDataFrame(rows, "user long, et string, ts long, eid long")
+    kept = {r.eid for r in dedupe_bursts(df, ["user", "et"], "ts", gap=100, tiebreak_cols=["eid"]).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # user 1: first event Mon 2024-01-01 week, active again 2 weeks later
+        (1, "2024-01-03"),
+        (1, "2024-01-16"),
+        # user 2: same cohort week, only week 0
+        (2, "2024-01-05"),
+        # user 3: next cohort week
+        (3, "2024-01-10"),
+    ]
+    df = spark.createDataFrame(rows, "user long, d string").select(
+        "user", F.col("d").cast("date").alias("d")
+    )
+    out = {(str(r.cohort_week), r.week_offset): r.n_active for r in cohort_retention(df, "user", "d").collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
