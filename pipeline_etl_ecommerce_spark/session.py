@@ -42,7 +42,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: when a selective dim filters a
+        # fact-sized probe side, inject a bloom filter on the join key so
+        # non-matching fact rows die at the scan instead of shuffling — at
+        # 100 TB this is the difference between shuffling the whole fact and
+        # shuffling the matching slice. (Explicit: default varies by build.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Push MIN/MAX/COUNT down to parquet footers for filter-less
+        # aggregates — a full-table COUNT(*) reads row-group metadata only.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # No console progress bar: its \r-terminated fragments can glue onto
+        # the next stdout line when streams are merged, corrupting the one
+        # machine-parseable JSON line bench.py emits (round-1 BENCH parse
+        # failure was exactly this class of capture bug).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
@@ -60,6 +74,8 @@ def tune_session(spark: SparkSession, *, tz: str | None = None) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
     return spark
