@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -319,6 +319,44 @@ def canonicalize_one_step(df: DataFrame, pairs: DataFrame, id_col: str) -> DataF
             F.least(F.col("doc_id"), F.coalesce(F.col("min_partner"), F.col("doc_id"))).alias(
                 "canonical_id"
             ),
+        )
+    )
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    scores: DataFrame,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: from each near-dup cluster keep the
+    member with the HIGHEST score (ties broken by lowest id). Min-id
+    canonicalization (``canonicalize_one_step`` / ``connected_components``)
+    keeps an arbitrary member; real curation pipelines keep the best one —
+    the representative-selection step after clustering.
+
+    ``components`` is (id_col, component_id); ``scores`` is (id_col,
+    score_col). Output: one row per cluster with ``best_<id_col>``, the
+    winning score, and the cluster size.
+
+    Scale shape: one co-partitioned join on the doc id, then one shuffle on
+    component_id shared by the ranking window and the size count — the same
+    single-Exchange window pattern as the SCD2 build.
+    """
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        components.join(scores.select(id_col, score_col), id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component_id",
+            F.col(id_col).alias(f"best_{id_col}"),
+            F.col(score_col),
+            F.col("n_members").cast("long").alias("n_members"),
         )
     )
 

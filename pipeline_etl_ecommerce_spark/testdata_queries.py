@@ -3822,7 +3822,7 @@ FROM runs GROUP BY doc_a, doc_b
 HAVING MAX(run_grams) + 19 >= 40
 """
 
-from .operators.dedupe import exact_span_pairs  # noqa: E402
+from .operators.dedupe import exact_span_pairs, keep_best_per_cluster  # noqa: E402
 
 
 @register("exact_span_pairs_docs", _EXACT_SPAN_SQL)
@@ -3936,3 +3936,39 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sessions.py cohort_retention."""
     e = _events(spark, sf_dir).select("user_id", "event_date")
     return cohort_retention(e, "user_id", "event_date")
+
+
+# Quality-aware canonical selection: min-id canonicalization keeps an
+# arbitrary cluster member; curation keeps the BEST one. Composes the
+# connected-components closure with the quality features — both stages'
+# SQL reused verbatim as nested CTE bodies.
+_KEEP_BEST_SQL = f"""
+WITH comp AS (
+{_COMPONENTS_SQL}
+),
+q AS (
+{_QUALITY_SQL}
+),
+ranked AS (
+    SELECT c.component_id, c.doc_id, q.quality_score,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+    FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component_id, doc_id AS best_doc_id, quality_score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("near_dup_keep_best", _KEEP_BEST_SQL)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after near-dup clustering: from each
+    connected component of verified pairs, keep the member with the highest
+    quality score (ties -> lowest doc_id). Reuses the shared verified-pairs
+    mart; one window shuffle on component_id — see
+    operators/dedupe.py keep_best_per_cluster."""
+    comp = connected_components(_verified_pairs(spark, sf_dir))
+    q = quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return keep_best_per_cluster(comp, q, score_col="quality_score")

@@ -320,3 +320,20 @@ def test_model_scoring_batch_path_and_pluggable_kernel(spark):
     kept = model_filter(df, "text", "doc_id", model=length_model, threshold=0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1]
     assert "text" in kept.columns and "model_score" in kept.columns
+
+
+def test_keep_best_per_cluster_quality_and_ties(spark):
+    from pipeline_etl_ecommerce_spark.operators.dedupe import keep_best_per_cluster
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: doc 2 wins on score; cluster 10: tie -> lowest id (10)
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "doc_id long, quality_score double",
+    )
+    out = {r.component_id: r for r in keep_best_per_cluster(comp, scores, score_col="quality_score").collect()}
+    assert out[1].best_doc_id == 2 and out[1].n_members == 3
+    assert out[10].best_doc_id == 10 and out[10].n_members == 2
