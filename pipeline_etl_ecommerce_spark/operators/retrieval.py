@@ -97,3 +97,54 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index postings build: one row per term with its document
+    frequency and a capped, sorted postings list (CSV string, so the same
+    bytes come out of any engine). The index-construction job behind the
+    BM25/TF-IDF scorers above — at corpus scale this IS the retrieval
+    index build.
+
+    Scale shape: per-doc distinct terms are built map-side
+    (``array_distinct`` before the explode — no dedup shuffle), then ONE
+    shuffle on term feeds the df-count window, the postings cap, and the
+    final aggregation (shared partitioning, single Exchange). The cap is
+    applied by rank BEFORE ``collect_list``, so per-term state is bounded
+    even for stop-terms — an uncapped ``collect_set`` on a 100 TB corpus
+    would OOM on exactly the most frequent terms.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    w_all = Window.partitionBy("term")
+    ranked = toks.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "df", F.count("*").over(w_all)
+    )
+    return (
+        ranked.filter(F.col("__rn") <= max_postings)
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings")
+        )
+        .filter(F.col("df") >= min_df)
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+    )

@@ -3972,3 +3972,36 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(_verified_pairs(spark, sf_dir))
     q = quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return keep_best_per_cluster(comp, q, score_col="quality_score")
+
+
+# Inverted-index postings build — the index-construction job behind the
+# retrieval scorers. Postings rendered as a sorted CSV string so the value
+# bytes are engine-independent.
+_INVERTED_INDEX_SQL = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents) u
+),
+stats AS (
+    SELECT term, COUNT(*) AS df,
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+    FROM toks GROUP BY term
+)
+SELECT term, df, postings FROM stats WHERE df >= 2
+"""
+
+from .operators.retrieval import inverted_index  # noqa: E402
+
+
+@register("inverted_index_postings", _INVERTED_INDEX_SQL)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (document frequency, capped sorted postings): map-side
+    per-doc term dedup, then a single term-partitioned Exchange shared by
+    the df window, the rank cap, and the postings aggregation — see
+    operators/retrieval.py inverted_index."""
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_df=2, max_postings=20
+    )

@@ -35,3 +35,30 @@ def test_tfidf_surfaces_distinctive_terms(corpus):
     assert got[1] == "shuffle"  # tf 2 and appears in only one doc
     # 'spark' (in 3 of 4 docs) is never the most distinctive term
     assert "spark" not in got.values()
+
+
+def test_inverted_index_cap_and_df(spark):
+    from pipeline_etl_ecommerce_spark.operators.retrieval import inverted_index
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta beta"),   # per-doc dedup: beta counted once for doc 2
+        (3, "alpha gamma"),
+        (4, "solo"),              # df=1 -> dropped by min_df=2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in inverted_index(df, "text", "doc_id", min_df=2, max_postings=2).collect()}
+    assert set(out) == {"alpha", "beta"}
+    # df counts ALL matching docs even when postings are capped below that
+    assert out["alpha"].df == 3 and out["alpha"].postings == "1,2"
+    assert out["beta"].df == 2 and out["beta"].postings == "1,2"
+
+
+def test_inverted_index_single_exchange_after_tokens(spark):
+    from pipeline_etl_ecommerce_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], "doc_id long, text string")
+    plan = inverted_index(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the df window, rank cap, and postings agg all share the term hash
+    # partitioning: exactly one exchange downstream of the token explode
+    assert plan.count("Exchange") == 1
