@@ -392,3 +392,75 @@ def test_training_sequence_stream_chunks_idempotently(spark, tmp_path):
     out3 = spark.read.parquet(seqs)
     assert out3.filter(out3.doc_id == 3).count() == 1
     assert out3.count() == 4
+
+
+def test_scd2_maintenance_stream_incremental_equals_recompute(spark, tmp_path):
+    """CDC-style SCD2 maintenance: the history mart must equal a full
+    scd2_from_log recompute over the raw log after in-order batches,
+    out-of-order late arrivals, and redelivered events — and untouched
+    keys' histories must not be rewritten."""
+    from pipeline_etl_ecommerce_spark.operators.scd import scd2_from_log
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import scd2_maintenance_stream
+
+    drop_dir = str(tmp_path / "drops")
+    log_path = str(tmp_path / "log")
+    hist_path = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt_scd2")
+    os.makedirs(drop_dir)
+
+    def drop(name, rows):
+        with open(os.path.join(drop_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def hist_rows():
+        return {
+            (r.user_id, r.valid_from): (r.attr_value, r.valid_to, r.n_events, r.is_current)
+            for r in spark.read.parquet(hist_path).collect()
+        }
+
+    def recompute_rows():
+        full = scd2_from_log(
+            spark.read.parquet(log_path), ["user_id"], "event_type", "ts",
+            tiebreak_cols=["event_id"],
+        )
+        return {
+            (r.user_id, r.valid_from): (r.attr_value, r.valid_to, r.n_events, r.is_current)
+            for r in full.collect()
+        }
+
+    args = (spark, drop_dir, log_path, hist_path, ckpt)
+
+    # batch 1: user 1 runs a,a,b; user 2 runs x
+    drop("b1.json", [
+        {"event_id": 1, "user_id": 1, "event_type": "a", "ts": 0},
+        {"event_id": 2, "user_id": 1, "event_type": "a", "ts": 10},
+        {"event_id": 3, "user_id": 1, "event_type": "b", "ts": 20},
+        {"event_id": 4, "user_id": 2, "event_type": "x", "ts": 5},
+    ])
+    scd2_maintenance_stream(*args).awaitTermination(120)
+    assert hist_rows() == recompute_rows()
+    assert hist_rows()[(1, 20)] == ("b", None, 1, True)
+
+    # batch 2: LATE event for user 1 lands inside the old 'a' run and
+    # SPLITS it (a@0, c@5 -> a[0,5) c[5,10) a[10,20) b[20,...)); user 2
+    # untouched and must survive byte-for-byte
+    drop("b2.json", [
+        {"event_id": 5, "user_id": 1, "event_type": "c", "ts": 5},
+    ])
+    scd2_maintenance_stream(*args).awaitTermination(120)
+    got = hist_rows()
+    assert got == recompute_rows()
+    assert got[(1, 0)] == ("a", 5, 1, False)
+    assert got[(1, 5)] == ("c", 10, 1, False)
+    assert got[(1, 10)] == ("a", 20, 1, False)
+    assert got[(2, 5)] == ("x", None, 1, True)
+
+    # batch 3: redelivery of event 5 (same event_id) — idempotent, nothing
+    # changes in either the log or the history
+    drop("b3.json", [
+        {"event_id": 5, "user_id": 1, "event_type": "c", "ts": 5},
+    ])
+    scd2_maintenance_stream(*args).awaitTermination(120)
+    assert spark.read.parquet(log_path).count() == 5
+    assert hist_rows() == got
