@@ -400,3 +400,83 @@ def dup_ngram_fraction(
             F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
         )
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    seg_tokens: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate pruning, segment-exact: split every document
+    into fixed ``seg_tokens``-token segments, drop each segment whose EXACT
+    text appears in more than ``max_docs`` distinct documents (nav bars,
+    cookie banners, license footers — and full duplicate docs lose all
+    their segments), then reassemble the survivors in order.
+
+    C4 does this per LINE; the segmenter here is token-windowed so it also
+    works on text without line structure — swap the segmentation for a
+    newline split when the corpus has real lines.
+
+    Returns (id, clean_text, n_segments, n_dropped); a fully-boilerplate
+    document survives as an empty ``clean_text`` so downstream length
+    gates can drop it explicitly.
+
+    Scale shape: segmentation is map-side (one codegen projection);
+    frequency counting is one shuffle on the segment text with map-side
+    partial aggregation; the keep-join shuffles segments once more; the
+    reassembly groupBy shuffles per doc. Three shuffles total, each on a
+    different natural key — the same shape C4's production pipeline
+    needs, and none of them is quadratic.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    # token-less docs drop out entirely (Spark's sequence(0, -1) would
+    # DESCEND, fabricating empty segments; the empty generate_series on the
+    # SQL side drops the doc — match that)
+    segs = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__toks"), i * seg_tokens + 1, seg_tokens), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    keep = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") <= max_docs)
+        .select("seg")
+    )
+    kept = segs.join(keep, "seg")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            (F.col("n_segments") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -4005,3 +4005,43 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(
         _t(spark, sf_dir, "documents"), "text", "doc_id", min_df=2, max_postings=20
     )
+
+
+# C4-style boilerplate pruning: exact-repeated 8-token segments are dropped
+# corpus-wide and the survivors reassembled in order. Exact duplicate docs
+# lose ALL their segments; token-less docs drop out (both engines).
+_BOILERPLATE_SQL = r"""
+WITH base AS (
+    SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS l
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, i AS seg_idx,
+           array_to_string(l[(i*8+1):(i*8+8)], ' ') AS seg
+    FROM base, unnest(generate_series(0, CAST(ceil(len(l) / 8.0) AS BIGINT) - 1)) AS u(i)
+),
+keep AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) <= 1),
+kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segs s JOIN keep USING (seg)),
+rebuilt AS (
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text, t.n_segments,
+       CAST(t.n_segments - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+from .operators.textstats import remove_boilerplate_segments  # noqa: E402
+
+
+@register("boilerplate_pruned_documents", _BOILERPLATE_SQL)
+def boilerplate_pruned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-segment boilerplate removal (C4's line dedup with a
+    token-window segmenter): three shuffles — segment-frequency count,
+    keep-join, per-doc reassembly — see operators/textstats.py
+    remove_boilerplate_segments."""
+    return remove_boilerplate_segments(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=8, max_docs=1
+    )

@@ -157,3 +157,36 @@ def test_exact_span_pairs_finds_planted_passage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         exact_span_pairs(df, "text", "doc_id", gram_len=10, min_span=5)
+
+
+def test_remove_boilerplate_segments(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import (
+        remove_boilerplate_segments,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),       # 'a..h' shared with doc 2 -> dropped
+        (2, "a b c d e f g h x y"),
+        (3, "unique words only here"),
+        (4, "   "),                        # token-less: absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_segments(df, "text", "doc_id", seg_tokens=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "i j" and out[1].n_dropped == 1
+    assert out[2].clean_text == "x y" and out[2].n_dropped == 1
+    assert out[3].clean_text == "unique words only here" and out[3].n_dropped == 0
+
+
+def test_remove_boilerplate_full_duplicate_doc_empties(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import (
+        remove_boilerplate_segments,
+    )
+
+    text = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_segments(df, "text", "doc_id", seg_tokens=8).collect()}
+    # exact duplicates: every segment repeats -> both docs fully pruned but
+    # still present with empty text (explicit downstream gate, not silence)
+    assert out[1].clean_text == "" and out[1].n_dropped == 2
+    assert out[2].clean_text == "" and out[2].n_dropped == 2
