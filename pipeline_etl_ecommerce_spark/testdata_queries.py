@@ -4045,3 +4045,87 @@ def boilerplate_pruned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_segments(
         _t(spark, sf_dir, "documents"), "text", "doc_id", seg_tokens=8, max_docs=1
     )
+
+
+# Year-over-year revenue reconciliation — the FULL OUTER join surface
+# (parts sold in only one of the two years survive with a zero side).
+# Deltas subtract in DECIMAL so cent-exact on both engines.
+_YOY_SQL = """
+WITH y95 AS (
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev_1995
+    FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+),
+y96 AS (
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev_1996
+    FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+)
+SELECT COALESCE(a.l_partkey, b.l_partkey) AS part_id,
+       COALESCE(a.rev_1995, 0.0) AS rev_1995,
+       COALESCE(b.rev_1996, 0.0) AS rev_1996,
+       CAST(CAST(COALESCE(b.rev_1996, 0.0) AS DECIMAL(18,2))
+            - CAST(COALESCE(a.rev_1995, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS delta
+FROM y95 a FULL OUTER JOIN y96 b ON a.l_partkey = b.l_partkey
+"""
+
+
+@register("yoy_part_revenue", _YOY_SQL)
+def yoy_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part 1995-vs-1996 revenue with FULL OUTER reconciliation: parts
+    sold in only one year keep a zero other side. Both branches aggregate
+    before the join (small sides), and the year filters sit at the scans;
+    the co-partitioned full-outer join reuses the aggregation exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+
+    def year_rev(y, alias):
+        return (
+            li.filter(F.year("l_shipdate") == y)
+            .groupBy("l_partkey")
+            .agg(F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias(alias))
+        )
+
+    a, b = year_rev(1995, "rev_1995"), year_rev(1996, "rev_1996")
+    return (
+        a.join(b, "l_partkey", "full")
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.coalesce("rev_1995", F.lit(0.0)).alias("rev_1995"),
+            F.coalesce("rev_1996", F.lit(0.0)).alias("rev_1996"),
+            (
+                F.coalesce("rev_1996", F.lit(0.0)).cast("decimal(18,2)")
+                - F.coalesce("rev_1995", F.lit(0.0)).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("delta"),
+        )
+    )
+
+
+# Interpolated percentiles (percentile_cont semantics) — complements the
+# nearest-rank family in operators/stats.py. Both engines interpolate
+# linearly at (n-1)*p over the sorted values; 6dp rounding pins the float.
+_PCTL_CONT_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("price_percentiles_cont", _PCTL_CONT_SQL)
+def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation percentiles per return flag (SQL
+    percentile_cont). Spark's ``percentile`` is the exact sort-based
+    aggregate (one shuffle, no sketch); the approximate path for the
+    100 TB tier is sketch_profile_lineitem's t-digest."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
+        ]
+    )
