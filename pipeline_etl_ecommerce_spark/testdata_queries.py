@@ -675,7 +675,12 @@ _DRIVER_PRIORITY = [
     # per_lang_eval_sample/idle_rich_customers pushed out by the two
     # streaming-composition queries above, which had no check at all).
     # weighted_doc_sample/model_scored_documents are new in r2
-    # (selfcheck-verified); first in line for the r3 window rotation.
+    # (selfcheck-verified); first in line for the r3 window rotation,
+    # together with the r2-continuation batch registered after the
+    # priority list (scd2_event_type_history, debounced_events,
+    # cohort_retention_weekly, near_dup_keep_best, inverted_index_postings,
+    # boilerplate_pruned_documents, yoy_part_revenue,
+    # price_percentiles_cont — all selfcheck-verified at both SFs).
     "weighted_doc_sample",
     "model_scored_documents",
     "exact_span_pairs_docs",
@@ -4128,4 +4133,83 @@ def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
             for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
         ]
+    )
+
+
+# Collocation detection (word2vec-style phrase mining): adjacent token
+# pairs scored by lift = P(ab) / (P(a)P(b)). Lift is pure arithmetic on
+# counts (no transcendental), so it is bit-identical across engines where
+# log-PMI could differ in the last ulp; the ranking is the same.
+_COLLOCATION_SQL = r"""
+WITH base AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS l
+    FROM documents
+),
+uni AS (
+    SELECT unnest(l) AS w FROM base
+),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ucnt),
+big AS (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM base, unnest(generate_series(1, len(l) - 1)) AS u(i)
+    WHERE len(l) >= 2
+),
+bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY w1, w2),
+btot AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS b FROM bcnt)
+SELECT w1, w2, n_pair,
+       ROUND((CAST(n_pair AS DOUBLE) * t.t * t.t) / (btot.b * a.c * z.c), 6) AS lift
+FROM bcnt JOIN ucnt a ON a.w = w1 JOIN ucnt z ON z.w = w2, tot t, btot
+WHERE n_pair >= 5
+ORDER BY lift DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register("collocation_lift_top20", _COLLOCATION_SQL)
+def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-pair collocations by lift. Bigrams and unigrams are
+    built map-side from one tokenization; the scalar totals broadcast into
+    the scoring join; global top-20 plans as TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "").alias("l")
+    )
+    uni = base.select(F.explode("l").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = ucnt.agg(F.sum("c").cast("double").alias("t"))
+    big = (
+        base.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1),"
+                    " i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    btot = bcnt.agg(F.sum("n_pair").cast("double").alias("b"))
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    z = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(z), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("t") * F.col("t"))
+                / (F.col("b") * F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
     )
