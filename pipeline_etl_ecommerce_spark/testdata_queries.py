@@ -4085,8 +4085,13 @@ def yoy_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
 
     def year_rev(y, alias):
+        # range predicates instead of year(): the comparison pushes down to
+        # the parquet scan (row-group pruning), where a function-wrapped
+        # column never does
+        lo = F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz")
+        hi = F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp_ntz")
         return (
-            li.filter(F.year("l_shipdate") == y)
+            li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
             .groupBy("l_partkey")
             .agg(F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias(alias))
         )

@@ -189,3 +189,33 @@ def test_exact_span_pairs_stays_equi_join(spark):
     plan = _executed_plan(tq.QUERIES["exact_span_pairs_docs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_yoy_full_outer_reuses_agg_partitioning(spark):
+    plan = _executed_plan(tq.QUERIES["yoy_part_revenue"](spark, SF))
+    # both year branches aggregate on l_partkey before the full-outer join;
+    # the join must reuse that partitioning, not add a third exchange
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 2
+    assert "BatchEvalPython" not in plan
+    # the year-range predicates must push to the parquet scans (range form,
+    # not year(col) = y, which is never pushable)
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate)") == 2
+
+
+def test_collocation_broadcasts_corpus_totals(spark):
+    plan = _executed_plan(tq.QUERIES["collocation_lift_top20"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan  # scalar totals ride broadcasts
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_boilerplate_pruning_no_python_no_cartesian(spark):
+    plan = _executed_plan(tq.QUERIES["boilerplate_pruned_documents"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_debounce_single_exchange(spark):
+    plan = _executed_plan(tq.QUERIES["debounced_events"](spark, SF))
+    # lag window + filter after ONE shuffle on (user_id, event_type)
+    assert plan.count("Exchange hashpartitioning") == 1
