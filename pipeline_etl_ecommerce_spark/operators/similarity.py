@@ -162,3 +162,37 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``planes`` (one output component per plane, the same
+    pinned-literal matrix recipe as ``hyperplane_signature`` — the LSH
+    signature is exactly the SIGN of this projection). Emits one
+    ``p{i}`` column per plane, rounded for cross-engine determinism.
+
+    Scale shape: pure map-side codegen (literal matrix baked into the
+    plan, no broadcast, no shuffle) — reduces a 100 TB embedding table to
+    k columns in a single scan, which is what makes downstream clustering
+    / ANN cheap enough to iterate on.
+    """
+    v = _dvec(F.col(vec_col))
+    outs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            ),
+            round_to,
+        ).alias(f"p{i}")
+        for i, p in enumerate(planes)
+    ]
+    return df.select(F.col(id_col).alias("vec_id"), *outs)

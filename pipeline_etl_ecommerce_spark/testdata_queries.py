@@ -4218,3 +4218,39 @@ def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# Johnson-Lindenstrauss random projection: 64-dim embeddings -> 6 pinned
+# projection components (the PLANES matrix the hyperplane LSH signs).
+# Map-side only; the oracle replays the identical literal matrix.
+def _rand_proj_sql() -> str:
+    comps = []
+    for i, p in enumerate(PLANES):
+        lits = ", ".join(repr(x) for x in p)
+        comps.append(
+            f"ROUND(list_aggregate(list_transform(list_zip(v, [{lits}]::DOUBLE[]),"
+            f" x -> x[1] * x[2]), 'sum'), 6) AS p{i}"
+        )
+    cols = ",\n       ".join(comps)
+    return f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM base
+"""
+
+
+from .operators.similarity import random_projection  # noqa: E402
+
+
+@register("embedding_random_projection", _rand_proj_sql())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection of every embedding onto the 6 pinned hyperplanes —
+    single-scan map-side codegen, no shuffle; see
+    operators/similarity.py random_projection."""
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", PLANES
+    )

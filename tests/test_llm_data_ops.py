@@ -337,3 +337,33 @@ def test_keep_best_per_cluster_quality_and_ties(spark):
     out = {r.component_id: r for r in keep_best_per_cluster(comp, scores, score_col="quality_score").collect()}
     assert out[1].best_doc_id == 2 and out[1].n_members == 3
     assert out[10].best_doc_id == 10 and out[10].n_members == 2
+
+
+def test_random_projection_matches_signature_signs_and_no_shuffle(spark):
+    from pipeline_etl_ecommerce_spark.operators.similarity import (
+        hyperplane_signature,
+        random_projection,
+    )
+    from pyspark.sql import functions as F
+
+    planes = [[1.0, 0.0], [0.5, -0.5]]
+    df = spark.createDataFrame(
+        [(1, [2.0, 1.0]), (2, [-1.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    proj = random_projection(df, "embedding", "vec_id", planes)
+    rows = {r.vec_id: (r.p0, r.p1) for r in proj.collect()}
+    assert rows[1] == (2.0, 0.5) and rows[2] == (-1.0, -2.0)
+
+    # the LSH signature is exactly the sign pattern of the projection
+    sig = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", hyperplane_signature(F.col("embedding"), planes).alias("s")
+        ).collect()
+    }
+    for vid, (p0, p1) in rows.items():
+        expect = ("1" if p0 >= 0 else "0") + ("1" if p1 >= 0 else "0")
+        assert sig[vid] == expect
+
+    # map-side only: a projection must never shuffle
+    assert "Exchange" not in proj._jdf.queryExecution().executedPlan().toString()
