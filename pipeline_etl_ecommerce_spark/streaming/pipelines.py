@@ -13,6 +13,7 @@ at-least-once + idempotent-write contract, minus the stranded
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -274,6 +275,64 @@ def scd2_maintenance_stream(
     return (
         events.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+CLICK_SCHEMA = StructType.fromDDL("click_id bigint, user_id bigint, ts bigint")
+PURCHASE_SCHEMA = StructType.fromDDL("purchase_id bigint, user_id bigint, ts bigint")
+
+
+def click_attribution_join_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user within the preceding ``attribution_window`` — the
+    streaming form of the batch as-of/range join family
+    (operators/asof.py), with Spark managing the two-sided join state.
+
+    Both sides carry an event-time watermark plus the time-bound join
+    condition, so the state store evicts a buffered row as soon as the
+    other side's watermark passes its join horizon — bounded state at any
+    throughput, and a click that arrives in a LATER trigger still joins a
+    purchase buffered from an earlier one (state survives restarts via the
+    checkpoint). Emits append-only to a parquet sink: matched
+    (purchase, click) rows become immutable facts the moment the watermark
+    closes them."""
+    clicks = (
+        read_json_stream(spark, clicks_dir, CLICK_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+        .withColumn("click_time", F.expr("timestamp_micros(ts)"))
+        .withWatermark("click_time", watermark)
+        .select("click_id", F.col("user_id").alias("c_user_id"), "click_time")
+    )
+    purchases = (
+        read_json_stream(spark, purchases_dir, PURCHASE_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+        .withColumn("purchase_time", F.expr("timestamp_micros(ts)"))
+        .withWatermark("purchase_time", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user_id"
+            f" AND click_time >= purchase_time - INTERVAL {attribution_window}"
+            f" AND click_time <= purchase_time"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_time", "click_time")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

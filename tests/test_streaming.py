@@ -464,3 +464,55 @@ def test_scd2_maintenance_stream_incremental_equals_recompute(spark, tmp_path):
     scd2_maintenance_stream(*args).awaitTermination(120)
     assert spark.read.parquet(log_path).count() == 5
     assert hist_rows() == got
+
+
+def test_click_attribution_stream_stream_join(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute to same-user clicks
+    within the preceding hour; a click arriving in a LATER trigger still
+    joins a purchase buffered in join state from an earlier one."""
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import (
+        click_attribution_join_stream,
+    )
+
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    target = str(tmp_path / "attr")
+    ckpt = str(tmp_path / "ckpt_attr")
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+
+    def drop(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    base = 1754042400_000000  # µs epoch, 2025-08-01 10:00:00 UTC
+    MIN = 60_000_000
+
+    # trigger 1: user 1 clicks at +0 and +50min; purchase at +55min.
+    # user 2 clicks at +0 but purchases at +90min (outside 1h of the click).
+    drop(clicks_dir, "c1.json", [
+        {"click_id": 1, "user_id": 1, "ts": base},
+        {"click_id": 2, "user_id": 1, "ts": base + 50 * MIN},
+        {"click_id": 3, "user_id": 2, "ts": base},
+    ])
+    drop(purch_dir, "p1.json", [
+        {"purchase_id": 101, "user_id": 1, "ts": base + 55 * MIN},
+        {"purchase_id": 102, "user_id": 2, "ts": base + 90 * MIN},
+    ])
+    args = (spark, clicks_dir, purch_dir, target, ckpt)
+    click_attribution_join_stream(*args).awaitTermination(120)
+
+    got = {(r.purchase_id, r.click_id) for r in spark.read.parquet(target).collect()}
+    # purchase 101 joins both user-1 clicks (0 and 50min before); purchase
+    # 102 matches nothing (click 3 is 90min before it)
+    assert got == {(101, 1), (101, 2)}
+
+    # trigger 2: a late click for user 2 lands at +80min — within 1h of
+    # purchase 102, which is still buffered in the restored join state
+    drop(clicks_dir, "c2.json", [
+        {"click_id": 4, "user_id": 2, "ts": base + 80 * MIN},
+    ])
+    click_attribution_join_stream(*args).awaitTermination(120)
+    got2 = {(r.purchase_id, r.click_id) for r in spark.read.parquet(target).collect()}
+    assert got2 == {(101, 1), (101, 2), (102, 4)}
