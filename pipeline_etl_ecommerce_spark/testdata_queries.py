@@ -4254,3 +4254,60 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", PLANES
     )
+
+
+# Data-quality constraint report (dbt-test / Deequ shape): declarative
+# checks -> one violation count per rule, over the same scans the
+# pipelines use.
+_DQ_SQL = """
+SELECT 'not_null:customer(c_custkey,c_nationkey)' AS rule,
+       CAST(SUM(CASE WHEN c_custkey IS NULL OR c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM customer
+UNION ALL
+SELECT 'unique:orders(o_orderkey)',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1) t
+UNION ALL
+SELECT 'accepted_values:lineitem.l_returnflag[A,N,R]',
+       CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'referential:orders.o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+UNION ALL
+SELECT 'referential:lineitem.l_partkey->part.p_partkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+"""
+
+from .operators.dq import (  # noqa: E402
+    check_accepted_values,
+    check_not_null,
+    check_referential,
+    check_unique,
+    dq_report,
+)
+
+
+@register("dq_constraint_report", _DQ_SQL)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report: not-null, key-uniqueness,
+    accepted-values and two referential-integrity checks, each a single
+    aggregation (anti-joins broadcast their dim key side) — see
+    operators/dq.py."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return dq_report([
+        check_not_null(cust, ["c_custkey", "c_nationkey"], table="customer"),
+        check_unique(orders, ["o_orderkey"], table="orders"),
+        check_accepted_values(li, "l_returnflag", ["A", "N", "R"], table="lineitem"),
+        check_referential(orders, cust, "o_custkey", "c_custkey",
+                          child_table="orders", parent_table="customer"),
+        check_referential(li, part, "l_partkey", "p_partkey",
+                          child_table="lineitem", parent_table="part"),
+    ])

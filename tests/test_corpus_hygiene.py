@@ -190,3 +190,45 @@ def test_remove_boilerplate_full_duplicate_doc_empties(spark):
     # still present with empty text (explicit downstream gate, not silence)
     assert out[1].clean_text == "" and out[1].n_dropped == 2
     assert out[2].clean_text == "" and out[2].n_dropped == 2
+
+
+def test_dq_checks_count_violations(spark):
+    from pipeline_etl_ecommerce_spark.operators.dq import (
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        dq_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "A", 10), (2, None, 20), (3, "X", None), (3, "A", 99)],
+        "id long, flag string, ref long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+
+    report = {r.rule: r.violations for r in dq_report([
+        check_not_null(child, ["flag", "ref"], table="child"),
+        check_unique(child, ["id"], table="child"),
+        check_accepted_values(child, "flag", ["A", "B"], table="child"),
+        check_referential(child, parent, "ref", "pk", child_table="child", parent_table="parent"),
+    ]).collect()}
+    assert report["not_null:child(flag,ref)"] == 2          # rows 2 and 3
+    assert report["unique:child(id)"] == 1                  # id 3 twice
+    assert report["accepted_values:child.flag[A,B]"] == 1   # 'X' (NULL skipped)
+    assert report["referential:child.ref->parent.pk"] == 1  # ref=99 orphan
+
+
+def test_dq_checks_all_green_on_clean_table(spark):
+    from pipeline_etl_ecommerce_spark.operators.dq import (
+        check_not_null,
+        check_unique,
+        dq_report,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    rows = dq_report([
+        check_not_null(df, ["id", "v"], table="t"),
+        check_unique(df, ["id"], table="t"),
+    ]).collect()
+    assert all(r.violations == 0 for r in rows)
