@@ -448,6 +448,63 @@ def simhash_near_pairs(signatures: DataFrame, *, max_hamming: int = 4) -> DataFr
     )
 
 
+def _simhash_banded(signatures: DataFrame) -> DataFrame:
+    banded = None
+    for b in range(4):
+        band = signatures.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))).alias("band_byte"),
+        )
+        banded = band if banded is None else banded.unionByName(band)
+    return banded
+
+
+def update_simhash_mart(
+    new_docs: DataFrame, mart_path: str, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental SimHash: hash ONLY the new/changed docs (``simhash32`` is
+    map-only, so the delta cost is O(delta tokens)) and upsert the
+    signatures into the persisted mart keyed by doc_id — re-ingesting a doc
+    replaces its signature. Returns the delta signatures for
+    ``incremental_simhash_pairs``."""
+    from ..sources.sinks import upsert_to_path
+
+    delta = simhash32(new_docs, text_col, id_col)
+    upsert_to_path(delta, mart_path, keys=["doc_id"])
+    return delta
+
+
+def incremental_simhash_pairs(
+    mart_sigs: DataFrame, delta_sigs: DataFrame, *, max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup pairs involving at least one DELTA doc: band both sides into
+    the four signature bytes and join **delta × mart** (never mart × mart) —
+    the SimHash analog of ``incremental_candidate_pairs``, with the same
+    composition invariant: previous pairs ∪ this == a full
+    ``simhash_near_pairs`` recompute over the merged mart (asserted by
+    tests/test_incremental_minhash.py). ``mart_sigs`` must already include
+    the delta rows."""
+    left = _simhash_banded(delta_sigs).select(
+        "band", "band_byte", F.col("doc_id").alias("delta_id"), F.col("simhash").alias("sig_d")
+    )
+    right = _simhash_banded(mart_sigs).select(
+        "band", "band_byte", F.col("doc_id").alias("mart_id"), F.col("simhash").alias("sig_m")
+    )
+    return (
+        left.join(right, ["band", "band_byte"])
+        .filter(F.col("delta_id") != F.col("mart_id"))
+        .select(
+            F.least("delta_id", "mart_id").alias("doc_a"),
+            F.greatest("delta_id", "mart_id").alias("doc_b"),
+            F.bit_count(F.col("sig_d").bitwiseXOR(F.col("sig_m"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

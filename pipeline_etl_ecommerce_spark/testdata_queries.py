@@ -4311,3 +4311,41 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_referential(li, part, "l_partkey", "p_partkey",
                           child_table="lineitem", parent_table="part"),
     ])
+
+
+# Incremental SimHash pairs: delta (doc_id % 10 == 0) × mart band join —
+# the SimHash analog of minhash_incremental_pairs. Oracle rebands the
+# signature CTE on both sides with the delta filter on one.
+def _simhash_inc_sql() -> str:
+    base = _simhash_sql().rstrip()
+    return f"""
+WITH sigs AS (
+{base}
+),
+banded AS (
+    SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_byte
+    FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT least(d.doc_id, m.doc_id) AS doc_a,
+       greatest(d.doc_id, m.doc_id) AS doc_b,
+       CAST(bit_count(xor(d.simhash, m.simhash)) AS INTEGER) AS hamming
+FROM banded d JOIN banded m
+  ON d.band = m.band AND d.band_byte = m.band_byte AND d.doc_id <> m.doc_id
+WHERE d.doc_id % 10 = 0
+  AND bit_count(xor(d.simhash, m.simhash)) <= 4
+"""
+
+
+from .operators.dedupe import incremental_simhash_pairs  # noqa: E402
+
+
+@register("simhash_incremental_pairs", _simhash_inc_sql())
+def simhash_incremental_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-pairs touching the delta batch (docs with
+    id % 10 == 0 stand in for a daily ingest): delta × mart byte-band join,
+    never mart × mart; composition invariant asserted in
+    tests/test_incremental_minhash.py."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    delta = sigs.filter(F.col("doc_id") % 10 == 0)
+    out = incremental_simhash_pairs(sigs, delta, max_hamming=4)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))

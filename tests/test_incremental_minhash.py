@@ -137,3 +137,52 @@ def test_signature_mart_upsert_replaces_changed_docs(spark, corpus, tmp_path):
     # and delta × mart pairing off the stored mart finds the old near-dups
     inc = _pair_set(incremental_candidate_pairs(stored, delta_bk))
     assert (1, 6) in inc or (2, 6) in inc
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash: same composition invariant, signature mart keyed by
+# doc_id alone (the signature is one row per doc).
+# ---------------------------------------------------------------------------
+
+from pipeline_etl_ecommerce_spark.operators.dedupe import (
+    incremental_simhash_pairs,
+    simhash32,
+    simhash_near_pairs,
+    update_simhash_mart,
+)
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b, r.hamming) for r in df.collect()}
+
+
+def test_incremental_simhash_composes_to_full_recompute(spark, corpus, tmp_path):
+    mart_path = str(tmp_path / "simhash_mart")
+    old = corpus.filter(F.col("doc_id") <= 3)
+    delta = corpus.filter(F.col("doc_id") > 3)
+
+    update_simhash_mart(old, mart_path, "text", "doc_id")
+    before = _pairs_set(simhash_near_pairs(spark.read.parquet(mart_path), max_hamming=8))
+
+    delta_sigs = update_simhash_mart(delta, mart_path, "text", "doc_id")
+    mart_after = spark.read.parquet(mart_path)
+    inc = _pairs_set(incremental_simhash_pairs(mart_after, delta_sigs, max_hamming=8))
+
+    full = _pairs_set(simhash_near_pairs(simhash32(corpus, "text", "doc_id"), max_hamming=8))
+    assert before | inc == full
+
+
+def test_incremental_simhash_redelivery_replaces_signature(spark, corpus, tmp_path):
+    mart_path = str(tmp_path / "simhash_mart2")
+    update_simhash_mart(corpus, mart_path, "text", "doc_id")
+    n = spark.read.parquet(mart_path).count()
+
+    # redeliver doc 1 with different text: still one row per doc, new sig
+    changed = spark.createDataFrame(
+        [(1, "completely different replacement text body")], "doc_id long, text string"
+    )
+    old_sig = spark.read.parquet(mart_path).filter("doc_id = 1").collect()[0].simhash
+    update_simhash_mart(changed, mart_path, "text", "doc_id")
+    mart = spark.read.parquet(mart_path)
+    assert mart.count() == n
+    assert mart.filter("doc_id = 1").collect()[0].simhash != old_sig
