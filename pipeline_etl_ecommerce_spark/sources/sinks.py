@@ -238,8 +238,21 @@ def current_snapshot_path(path: str) -> str | None:
     return os.path.join(path, _VERSIONS_DIR, ver) if ver else None
 
 
-def read_versioned(spark, path: str) -> DataFrame:
-    """Read the current committed snapshot of a transactional mart."""
+def read_versioned(spark, path: str, *, version: str | None = None) -> DataFrame:
+    """Read a committed snapshot of a transactional mart — the current one,
+    or a pinned earlier ``version`` (time travel, Delta's
+    ``VERSION AS OF``): any version not yet vacuumed is immutable on disk,
+    so an audit/debug read of "the mart as of commit N" is just a different
+    directory. Versions newer than the pointer are uncommitted debris and
+    refuse to load."""
+    if version is not None:
+        cur = _current_version(path)
+        if cur is None or version > cur:
+            raise FileNotFoundError(f"version {version} is not committed under {path}")
+        snap = os.path.join(path, _VERSIONS_DIR, version)
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(f"version {version} missing (vacuumed?) under {path}")
+        return spark.read.parquet(snap)
     snap = current_snapshot_path(path)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -299,6 +312,33 @@ def vacuum_versions(path: str, *, keep: int = 2) -> list[str]:
     for v in drop:
         shutil.rmtree(os.path.join(vdir, v))
     return drop
+
+
+def write_sorted_mart(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write with a range-clustered layout: ``repartitionByRange`` on
+    ``sort_cols`` then sort within partitions, so every output file covers a
+    DISJOINT range of the sort key and its parquet min/max footer stats
+    actually prune. This is the data-skipping layout (Z-order's 1-D case):
+    at 100 TB a time- or key-range query then touches only the files whose
+    stats overlap the predicate instead of scanning the mart.
+
+    Use for the read-mostly marts whose dominant predicate is a range on
+    ``sort_cols`` (event time, date, id range). Combine with
+    ``partition_by`` for coarse-grained directory pruning on a second,
+    low-cardinality key."""
+    n = target_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def compact_path(spark, path: str, *, target_partitions: int | None = None) -> int:

@@ -190,3 +190,67 @@ def test_compact_path_preserves_content(spark, tmp_path):
     files_after = glob.glob(f"{path}/*.parquet")
     assert n == 2 and len(files_after) <= 2
     assert {r["k"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_time_travel_read_pinned_version(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1)]), path, ["k"])
+    transactional_upsert_to_path(_df(spark, [("a", 99, 2), ("b", 5, 2)]), path, ["k"])
+
+    # current = v2; v1 is still readable as-of
+    assert {r["v"] for r in read_versioned(spark, path).collect()} == {99, 5}
+    v1 = {r["v"] for r in read_versioned(spark, path, version="v00000001").collect()}
+    assert v1 == {1}
+
+    # future/uncommitted versions refuse to load
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version="v00000009")
+
+    # vacuum keeps 2 -> v1 survives here; after a third commit it is dropped
+    transactional_upsert_to_path(_df(spark, [("c", 7, 3)]), path, ["k"])
+    vacuum_versions(path, keep=2)
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version="v00000001")
+
+
+def test_write_sorted_mart_files_cover_disjoint_ranges(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.sources.sinks import write_sorted_mart
+
+    path = str(tmp_path / "sorted_mart")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") * 7) % 100
+    )
+    # shuffle the input so the layout is the writer's doing, not luck
+    write_sorted_mart(df.orderBy(F.rand(seed=1)), path, ["k"], target_partitions=4)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ci = next(
+            md.row_group(0).column(i)
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    # each file covers a disjoint range of the sort key -> min/max stats prune
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # content survives the re-layout
+    assert spark.read.parquet(path).count() == 10000
