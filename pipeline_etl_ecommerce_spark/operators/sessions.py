@@ -151,3 +151,52 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
     return sess.groupBy(user_col, "session_index").agg(*aggs)
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    *,
+    gap: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Ordered funnel conversion over sessions: a session 'reaches' step k
+    when every step 1..k occurred in it IN ORDER (each step's first
+    occurrence no earlier than the previous step's). Emits one row per
+    step: (step_index, step, n_sessions).
+
+    Scale shape: the sessionize shuffle on the user key is reused by the
+    per-session conditional aggregation (first-ts-per-step via min of
+    CASE); the funnel logic is then a per-row expression on the collapsed
+    one-row-per-session table, and the final step counts are a tiny
+    aggregate. Nothing beyond sessionize's single Exchange moves fact-scale
+    data.
+    """
+    sess = sessionize(df, user_col, ts_col, gap=gap, tiebreak_cols=tiebreak_cols)
+    aggs = [
+        F.min(F.when(F.col(step_col) == s, F.col(ts_col))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_session = sess.groupBy(user_col, "session_index").agg(*aggs)
+    # reached[k] = all steps 0..k present and non-decreasing in time
+    reached_exprs = []
+    cond = None
+    for i in range(len(steps)):
+        c = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            c = c & (F.col(f"__t{i}") >= F.col(f"__t{i - 1}"))
+        cond = c if cond is None else cond & c
+        reached_exprs.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+    counts = per_session.agg(*reached_exprs)
+    rows = None
+    for i, s in enumerate(steps):
+        row = counts.select(
+            F.lit(i + 1).cast("int").alias("step_index"),
+            F.lit(s).alias("step"),
+            F.coalesce(F.col(f"__n{i}"), F.lit(0)).cast("long").alias("n_sessions"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

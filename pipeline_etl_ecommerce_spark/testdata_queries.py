@@ -4349,3 +4349,55 @@ def simhash_incremental_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = sigs.filter(F.col("doc_id") % 10 == 0)
     out = incremental_simhash_pairs(sigs, delta, max_hamming=4)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Sessionized funnel: view -> click -> purchase must occur IN ORDER within
+# a session (first occurrences non-decreasing). One sessionize shuffle; the
+# funnel is a per-session expression + tiny count.
+_FUNNEL_SQL = f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+f AS (
+    SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS is_start
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+    SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_index
+    FROM f
+),
+per_sess AS (
+    SELECT user_id, session_index,
+           MIN(CASE WHEN event_type = 'view' THEN tus END) AS t0,
+           MIN(CASE WHEN event_type = 'click' THEN tus END) AS t1,
+           MIN(CASE WHEN event_type = 'purchase' THEN tus END) AS t2
+    FROM s GROUP BY 1, 2
+),
+c AS (
+    SELECT SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+           SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                     AND t2 IS NOT NULL AND t2 >= t1 THEN 1 ELSE 0 END) AS n2
+    FROM per_sess
+)
+SELECT 1 AS step_index, 'view' AS step, CAST(COALESCE(n0, 0) AS BIGINT) AS n_sessions FROM c
+UNION ALL
+SELECT 2, 'click', CAST(COALESCE(n1, 0) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(COALESCE(n2, 0) AS BIGINT) FROM c
+"""
+
+from .operators.sessions import funnel_counts  # noqa: E402
+
+
+@register("session_funnel_counts", _FUNNEL_SQL)
+def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel over gap sessions — see
+    operators/sessions.py funnel_counts."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    return funnel_counts(
+        e, "user_id", "tus", "event_type", ["view", "click", "purchase"],
+        gap=_GAP_US, tiebreak_cols=["event_id"],
+    )

@@ -216,3 +216,24 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_funnel_requires_in_order_steps_within_session(spark):
+    from pipeline_etl_ecommerce_spark.operators.sessions import funnel_counts
+
+    rows = [
+        # user 1, session 1: full ordered funnel
+        (1, 0, 1, "view"), (1, 10, 2, "click"), (1, 20, 3, "purchase"),
+        # user 2: click BEFORE view -> reaches step 1 only
+        (2, 0, 4, "click"), (2, 10, 5, "view"),
+        # user 3: view then purchase in a LATER session (gap > 100):
+        # neither session has the ordered pair, so step 2 not reached
+        (3, 0, 6, "view"), (3, 500, 7, "click"),
+        # user 4: no view at all -> no steps
+        (4, 0, 8, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, eid long, et string")
+    out = {r.step: r.n_sessions for r in funnel_counts(
+        df, "user", "ts", "et", ["view", "click", "purchase"], gap=100, tiebreak_cols=["eid"]
+    ).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
