@@ -191,12 +191,14 @@ def funnel_counts(
         cond = c if cond is None else cond & c
         reached_exprs.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
     counts = per_session.agg(*reached_exprs)
-    rows = None
-    for i, s in enumerate(steps):
-        row = counts.select(
+    # unpivot via ONE explode — a unionByName of per-step selects would
+    # re-execute the whole sessionize+agg pipeline once per step
+    structs = [
+        F.struct(
             F.lit(i + 1).cast("int").alias("step_index"),
             F.lit(s).alias("step"),
             F.coalesce(F.col(f"__n{i}"), F.lit(0)).cast("long").alias("n_sessions"),
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+        for i, s in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
