@@ -1449,13 +1449,26 @@ FROM reach GROUP BY node
 """
 
 
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the propagation result is itself a session side table: both
+    # near_dup_components and near_dup_keep_best consume it, and the
+    # 8-round label propagation (~4s at sf0.1) should run once, like the
+    # signature marts it derives from
+    return _side_table(
+        spark,
+        sf_dir,
+        "near_dup_components",
+        lambda: connected_components(_verified_pairs(spark, sf_dir)),
+    )
+
+
 @register("near_dup_components", _COMPONENTS_SQL)
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the verified near-dup relation: iterative
     min-label propagation (O(diameter) rounds). The oracle replays the same
     closure as a DuckDB recursive CTE over the identical verified-pairs edge
     list, so this formerly rows-only query now has a full value-hash check."""
-    return connected_components(_verified_pairs(spark, sf_dir))
+    return _components(spark, sf_dir)
 
 
 # ===========================================================================
@@ -3974,7 +3987,7 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score (ties -> lowest doc_id). Reuses the shared verified-pairs
     mart; one window shuffle on component_id — see
     operators/dedupe.py keep_best_per_cluster."""
-    comp = connected_components(_verified_pairs(spark, sf_dir))
+    comp = _components(spark, sf_dir)
     q = quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return keep_best_per_cluster(comp, q, score_col="quality_score")
 
@@ -4132,12 +4145,12 @@ def price_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_cont). Spark's ``percentile`` is the exact sort-based
     aggregate (one shuffle, no sketch); the approximate path for the
     100 TB tier is sketch_profile_lineitem's t-digest."""
+    from .operators.stats import group_percentiles_cont
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
-            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
-        ]
+    return group_percentiles_cont(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75, 0.9],
+        out_names=["p25", "p50", "p75", "p90"],
     )
 
 
