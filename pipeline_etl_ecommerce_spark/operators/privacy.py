@@ -14,6 +14,8 @@ digits inside an already-redacted token cannot re-match a later pattern.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,3 +77,43 @@ def pii_redaction_sql(table: str = "documents", text_col: str = "text") -> str:
     for _, pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], *, salt: str, prefix_len: int = 16) -> DataFrame:
+    """Salted-hash pseudonymization: replace each identifier column with the
+    first ``prefix_len`` hex chars of sha256(salt || value) — stable joins
+    across tables pseudonymized with the same salt, irreversible without
+    it. NULLs stay NULL (a hashed NULL would silently mint a fake
+    identity). Map-only; sha256 is whole-stage-codegen on the JVM."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.substring(
+                    F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+                    1,
+                    prefix_len,
+                ),
+            ),
+        )
+    return out
+
+
+def delete_keys_from_path(spark, path: str, keys_df: DataFrame, key_cols: Sequence[str]) -> int:
+    """Right-to-be-forgotten hard delete: rewrite the mart without any row
+    whose key appears in ``keys_df`` (left-anti join), via the same
+    write-then-swap used by the keyed upserts. Returns the number of rows
+    removed. On Delta this is ``DELETE WHERE key IN (...)``; here it is the
+    plain-parquet reduction with the same anti-join plan. The deletion list
+    is tiny next to the mart, so the anti-join broadcasts it and the
+    rewrite cost is one mart scan — and for date-partitioned marts, pair
+    with partition pruning by filtering the read to affected partitions."""
+    from ..sources.sinks import _write_and_swap
+
+    old = spark.read.parquet(path)
+    keep = old.join(F.broadcast(keys_df.select(*key_cols).distinct()), list(key_cols), "left_anti")
+    removed = old.count() - keep.count()
+    _write_and_swap(keep, path, prefix="delete_")
+    return removed

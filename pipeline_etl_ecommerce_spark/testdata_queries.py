@@ -4414,3 +4414,26 @@ def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "tus", "event_type", ["view", "click", "purchase"],
         gap=_GAP_US, tiebreak_cols=["event_id"],
     )
+
+
+# Salted-hash pseudonymization: stable irreversible identities; both
+# engines compute sha256 over identical bytes, so even the hashes match.
+_PSEUDO_SQL = """
+SELECT event_id,
+       substr(sha256('pepper-2026' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
+       event_type, value
+FROM events
+"""
+
+
+@register("pseudonymized_events", _PSEUDO_SQL)
+def pseudonymized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized event log: user_id replaced by a salted sha256 prefix
+    (stable joins under one salt, irreversible without it; NULL-safe).
+    Map-only codegen — see operators/privacy.py pseudonymize."""
+    from .operators.privacy import pseudonymize
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return pseudonymize(e, ["user_id"], salt="pepper-2026").withColumnRenamed(
+        "user_id", "user_pseudo"
+    )

@@ -232,3 +232,31 @@ def test_dq_checks_all_green_on_clean_table(spark):
         check_unique(df, ["id"], table="t"),
     ]).collect()
     assert all(r.violations == 0 for r in rows)
+
+
+def test_pseudonymize_stable_irreversible_null_safe(spark):
+    from pipeline_etl_ecommerce_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame([(1, 100), (2, 100), (3, None)], "id long, uid long")
+    out = {r.id: r.uid for r in pseudonymize(df, ["uid"], salt="s1").collect()}
+    # same value -> same pseudonym; NULL stays NULL; value is replaced
+    assert out[1] == out[2] and len(out[1]) == 16 and out[1] != "100"
+    assert out[3] is None
+    # different salt -> different pseudonym space
+    out2 = {r.id: r.uid for r in pseudonymize(df, ["uid"], salt="s2").collect()}
+    assert out2[1] != out[1]
+
+
+def test_delete_keys_from_path_hard_delete(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.operators.privacy import delete_keys_from_path
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(path)
+
+    forget = spark.createDataFrame([(3,), (7,), (99,)], "doc_id long")
+    removed = delete_keys_from_path(spark, path, forget, ["doc_id"])
+    assert removed == 2  # id 99 never existed
+    left = {r.doc_id for r in spark.read.parquet(path).collect()}
+    assert left == set(range(10)) - {3, 7}
