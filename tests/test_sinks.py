@@ -254,3 +254,23 @@ def test_write_sorted_mart_files_cover_disjoint_ranges(spark, tmp_path):
         assert hi1 < lo2
     # content survives the re-layout
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.sources.sinks import snapshot_diff
+
+    path = str(tmp_path / "cdf")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1), ("b", 2, 1)]), path, ["k"])
+    transactional_upsert_to_path(_df(spark, [("b", 20, 2), ("c", 30, 2)]), path, ["k"])
+
+    diff = {r.k: r.change_type for r in snapshot_diff(
+        spark, path, "v00000001", "v00000002", ["k"]
+    ).collect()}
+    # a unchanged (absent from the feed), b changed, c added
+    assert diff == {"b": "changed", "c": "added"}
+
+    # reverse direction flips added <-> removed
+    rev = {r.k: r.change_type for r in snapshot_diff(
+        spark, path, "v00000002", "v00000001", ["k"]
+    ).collect()}
+    assert rev == {"b": "changed", "c": "removed"}
