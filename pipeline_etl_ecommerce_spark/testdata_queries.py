@@ -4437,3 +4437,29 @@ def pseudonymized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudonymize(e, ["user_id"], salt="pepper-2026").withColumnRenamed(
         "user_id", "user_pseudo"
     )
+
+
+# Schema-on-read JSON flattening: from_json with an explicit struct schema
+# (the S8 JSON-source pattern applied to an embedded column), plus a
+# defaulted daily aggregate over the extracted field.
+_PROPS_FLAT_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(SUM(CAST(COALESCE(props->>'$.k', '0') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(SUM(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_props_flat_daily", _PROPS_FLAT_SQL)
+def events_props_flat_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON flattening (from_json with an explicit schema — never
+    schema inference, which would add a pre-pass over 100 TB) feeding a
+    defaulted daily aggregate. One groupBy; extraction is map-side
+    codegen."""
+    e = _events(spark, sf_dir)
+    parsed = e.withColumn("p", F.from_json(F.col("props"), "k BIGINT"))
+    return parsed.groupBy("event_date", "event_type").agg(
+        F.sum(F.coalesce(F.col("p.k"), F.lit(0))).cast("long").alias("k_total"),
+        F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+    )
