@@ -1,0 +1,110 @@
+"""Catalog-wide physical-plan audit: for EVERY driver query, count the
+plan features that matter at 100 TB and fail on the ones that are never
+acceptable.
+
+Metrics per query (written to plan_audit.json):
+- exchanges: shuffle count (lower is better; side-table-backed queries
+  show only their residual plan)
+- broadcast_joins / sortmerge_joins: join strategy mix
+- python: any BatchEvalPython / ArrowEvalPython stage (hard FAIL unless
+  the query is on the known Arrow-kernel list)
+- cartesian: CartesianProduct / BroadcastNestedLoopJoin (hard FAIL unless
+  on the known bounded-baseline list)
+- codegen_spans: WholeStageCodegen regions (higher relative to operators
+  means more of the plan is fused JVM code)
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Queries whose plans legitimately contain a broadcast nested-loop or
+# cartesian shape: bounded brute-force baselines and scalar-constant
+# broadcasts, each documented at its definition.
+ALLOWED_NESTED_LOOP = {
+    "knn_cosine_top3",        # broadcast query side, bounded baseline
+    "ngram_jaccard_pairs",    # documented bounded verification baseline
+    "collocation_lift_top20", # scalar corpus totals broadcast
+    "bm25_query_scores",      # scalar corpus constants broadcast
+    "corpus_training_sequences",  # mixture keep-rate scalar broadcast
+    "mixture_sampled_docs",   # per-stratum keep-rate scalar broadcast
+    "quality_gate_p25",       # per-lang threshold scalar broadcast
+    "forecast_revenue_change",  # scalar-aggregate broadcast (Q6 shape)
+    "promo_revenue_share",    # scalar promo/total broadcast (Q14 shape)
+    "idle_rich_customers",    # broadcast scalar average (Q22 shape)
+    "nation_market_share",    # yearly-total scalar broadcast (Q8 shape)
+    "small_quantity_revenue", # per-part threshold broadcast (Q17 shape)
+    "price_percentiles",      # bounded percentile-row broadcast
+    "top_supplier_quarter",   # scalar max-revenue broadcast (Q15 shape)
+    "ivf_ann_top3",           # k pinned centroids broadcast against queries
+    "tfidf_top_terms",        # scalar corpus constants broadcast
+    "kmeans_clusters",        # k centroid rows broadcast against the corpus
+    "semantic_dedup_keep",    # same centroid/assignment mart broadcast
+    "watermark_d3_events",    # scalar max-date broadcast (the D-3 anchor)
+    "insert_if_absent_users", # null-safe anti vs a broadcast dim key set
+}
+
+# Queries that intentionally run Arrow-batched Python kernels.
+ALLOWED_PYTHON = {
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "ivf_ann_top3",
+    "model_scored_documents",
+    "curated_documents_multimodal",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"error": str(ex)[:200]}
+            continue
+        m = {
+            "exchanges": plan.count("Exchange "),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "sortmerge_joins": plan.count("SortMergeJoin"),
+            "nested_loop": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
+            "python": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"),
+            "codegen_spans": plan.count("WholeStageCodegen"),
+        }
+        results[name] = m
+        if m["python"] and name not in ALLOWED_PYTHON:
+            failures.append(f"{name}: unexpected Python stage")
+        if m["nested_loop"] and name not in ALLOWED_NESTED_LOOP:
+            failures.append(f"{name}: unexpected nested-loop/cartesian join")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plan_audit.json")
+    with open(out, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "queries": results}, fh, indent=1, sort_keys=True)
+
+    n_py = sum(1 for r in results.values() if r.get("python"))
+    print(f"{len(results)} queries audited -> plan_audit.json")
+    print(f"  python-kernel queries: {n_py} (allowed: {len(ALLOWED_PYTHON)})")
+    for f in failures:
+        print(f"  [FAIL] {f}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
