@@ -1824,12 +1824,49 @@ def ngram_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs share one vocabulary), so chance-level accuracy here is the
     # data's ceiling — the oracle pins the exact train/apply pipeline, and
     # tests/test_llm_data_ops proves real discrimination on real languages.
-    d = _dsplit(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.0)
-    train = d.filter(F.col("split") == "train")
-    test = d.filter(F.col("split") != "train")
-    profiles = train_lang_profiles(train, "text", "lang", n=3, top_k=50)
-    out = classify_lang_ngram(test, profiles, "text", "doc_id", n=3)
+    out, test = _lang_predictions(spark, sf_dir)
     return test.select("doc_id", F.col("lang").alias("true_lang")).join(out, "doc_id")
+
+
+def _lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the trained model is a side table like the signature marts: at scale
+    # the trigram profile table is a persisted mart keyed by model version,
+    # and every consumer (classifier, confusion matrix, routing) reads it
+    def build():
+        d = _dsplit(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.0)
+        train = d.filter(F.col("split") == "train")
+        return train_lang_profiles(train, "text", "lang", n=3, top_k=50)
+
+    return _side_table(spark, sf_dir, "lang_trigram_profiles", build)
+
+
+def _lang_predictions(spark: SparkSession, sf_dir: str):
+    d = _dsplit(_t(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.0)
+    test = d.filter(F.col("split") != "train")
+    out = classify_lang_ngram(test, _lang_profiles(spark, sf_dir), "text", "doc_id", n=3)
+    return out, test
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH preds AS (
+{_NGRAM_LANG_SQL}
+)
+SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds GROUP BY 1, 2
+"""
+
+
+@register("lang_confusion_matrix", _LANG_CONFUSION_SQL)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trigram classifier on the held-out split —
+    the evaluation a lang-routing pipeline publishes. Second consumer of
+    the trained-profile side table (the model trains once per session,
+    like the signature marts)."""
+    out, test = _lang_predictions(spark, sf_dir)
+    joined = test.select("doc_id", F.col("lang").alias("true_lang")).join(out, "doc_id")
+    return joined.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
 
 
 # ===========================================================================
