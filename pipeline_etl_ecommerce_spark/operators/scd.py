@@ -51,7 +51,15 @@ def scd2_from_log(
     run = F.sum(is_change).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    first_tb = F.min(tiebreak_cols[0]).alias("first_event") if tiebreak_cols else F.min(ts_col).alias("first_event")
+    # the run's ordering handle is the tiebreak of its FIRST event in
+    # (ts, tiebreak) order — NOT min(tiebreak) over the run, which can
+    # belong to a later event and misorder runs whose valid_from collide
+    # (two changes in the same instant; found by the property test)
+    first_tb = (
+        F.min_by(tiebreak_cols[0], F.struct(ts_col, tiebreak_cols[0])).alias("first_event")
+        if tiebreak_cols
+        else F.min(ts_col).alias("first_event")
+    )
     runs = (
         df.withColumn("__run", run)
         .groupBy(*key_cols, "__run", attr_col)

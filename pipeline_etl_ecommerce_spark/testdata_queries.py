@@ -3913,11 +3913,16 @@ r AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
     FROM f
 ),
+r2 AS (
+    SELECT *, first_value(event_id) OVER (PARTITION BY user_id, run_id
+              ORDER BY tus, event_id) AS fe
+    FROM r
+),
 runs AS (
     SELECT user_id, event_type AS attr_value, run_id,
            MIN(tus) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events,
-           MIN(event_id) AS first_event
-    FROM r GROUP BY 1, 2, 3
+           MIN(fe) AS first_event
+    FROM r2 GROUP BY 1, 2, 3
 )
 SELECT user_id, attr_value, valid_from,
        lead(valid_from) OVER w2 AS valid_to,
