@@ -71,3 +71,53 @@ def test_debounce_matches_sequential_reference(spark, rows):
                 expect.add(i)
             prev_t = t
     assert kept == expect
+
+
+# ---------------------------------------------------------------------------
+# Invariants for other batch-15+ ops
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=10),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=texts)
+def test_boilerplate_identity_when_threshold_never_hit(spark, rows):
+    from pipeline_etl_ecommerce_spark.operators.textstats import (
+        remove_boilerplate_segments,
+    )
+
+    data = [(i, " ".join(toks)) for i, toks in rows]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    # max_docs larger than the corpus: nothing can be boilerplate, so the
+    # rebuild must reproduce the (token-normalized) text and drop nothing
+    out = {r.doc_id: r for r in remove_boilerplate_segments(
+        df, "text", "doc_id", seg_tokens=3, max_docs=10_000
+    ).collect()}
+    for i, toks in rows:
+        if not toks:
+            assert i not in out  # token-less docs drop on both engines
+        else:
+            assert out[i].n_dropped == 0
+            assert out[i].clean_text == " ".join(toks)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=logs)
+def test_funnel_counts_are_monotone_nonincreasing(spark, rows):
+    from pipeline_etl_ecommerce_spark.operators.sessions import funnel_counts
+
+    data = [(k, t, i, a if a is not None else "z") for i, (k, t, a) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, ts long, eid long, et string")
+    out = {r.step_index: r.n_sessions for r in funnel_counts(
+        df, "k", "ts", "et", ["a", "b", "z"], gap=5, tiebreak_cols=["eid"]
+    ).collect()}
+    assert out[1] >= out[2] >= out[3] >= 0
