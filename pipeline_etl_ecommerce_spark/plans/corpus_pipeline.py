@@ -1,0 +1,185 @@
+"""End-to-end training-corpus pipeline over persisted marts — the
+LLM-data analog of the daily e-commerce driver (scripts/run_daily.py).
+
+One invocation ingests a document batch and converges every derived mart:
+
+  corpus (crash-safe keyed snapshots)
+    └─ minhash band-key signature mart          (delta-only hashing)
+        └─ candidate pairs (delta × mart join)  → verified-pairs mart
+            └─ connected components             → canonical mart
+                └─ quality gates                → curated mart
+                    └─ token chunks             → sequences mart (per-doc replace)
+                        └─ greedy packs         → packs mart
+                            └─ shuffle shards   → shards mart (partitioned)
+  dq constraint report + column profile         → reports
+
+Incremental contract: the INPUT is a delta batch. Stages 1-3 do
+delta-scoped work (delta hashing, delta × mart candidate join — the
+composition invariant tested in tests/test_incremental_minhash.py
+guarantees the pair mart equals a full recompute). Stages 4+ are full
+refreshes over the marts: near-dup components and curation are global
+properties (a new duplicate can evict an OLD document from the curated
+set), so their cost is proportional to the corpus — at 100 TB these run
+as scheduled maintenance over the pair/curated marts, while 1-3 run per
+ingest. Every sink is idempotent (keyed upsert / group replace /
+overwrite), so re-running any batch converges.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents
+from ..operators.dedupe import (
+    connected_components,
+    incremental_candidate_pairs,
+    keep_best_per_cluster,
+    update_signature_mart,
+    verify_candidate_pairs,
+)
+from ..operators.dq import check_not_null, check_unique, dq_report
+from ..operators.packing import assemble_packs, pack_sequences
+from ..operators.sharding import shuffle_shards
+from ..operators.textstats import quality_features
+from ..sources.sinks import (
+    overwrite_path,
+    read_versioned,
+    replace_groups_to_path,
+    transactional_upsert_to_path,
+    upsert_to_path,
+)
+
+# Curation gates — match the catalog's curated_documents thresholds.
+MIN_TOKENS = 30
+MIN_ALPHA = 0.8
+
+
+def _mart(marts: str, name: str) -> str:
+    return os.path.join(marts, name)
+
+
+def _overwrite_and_read(
+    spark: SparkSession, df: DataFrame, path: str, *, partition_by: list[str] | None = None
+):
+    """Overwrite ``path`` with ``df`` and hand back a readable frame + count.
+    An EMPTY DataFrame write produces no part files (the directory can't be
+    re-read), so the in-memory empty frame is returned instead — downstream
+    stages must keep working when a gate legitimately empties a mart."""
+    n = df.count()
+    overwrite_path(df, path, partition_by=partition_by)
+    return (spark.read.parquet(path) if n > 0 else df.limit(0)), n
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    marts: str,
+    *,
+    chunk_size: int = 32,
+    pack_budget: int = 64,
+    n_shards: int = 4,
+) -> dict[str, int]:
+    """Ingest one document batch and converge all marts. Returns per-mart
+    row counts for logging/assertions."""
+    stats: dict[str, int] = {}
+    batch = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+
+    # 1. corpus: crash-safe versioned upsert keyed on doc_id
+    corpus_path = _mart(marts, "corpus")
+    transactional_upsert_to_path(batch, corpus_path, ["doc_id"])
+    corpus = read_versioned(spark, corpus_path)
+    stats["corpus"] = corpus.count()
+
+    # 2. signature mart: hash ONLY the batch, upsert band keys
+    sig_path = _mart(marts, "minhash_bands")
+    delta_bk = update_signature_mart(batch, sig_path, "text", "doc_id")
+    mart_bk = spark.read.parquet(sig_path)
+    stats["minhash_bands"] = mart_bk.count()
+
+    # 3. candidate pairs touching the delta (delta × mart), verified with
+    # exact Jaccard over the corpus mart's text, upserted into the pair mart
+    pairs_path = _mart(marts, "verified_pairs")
+    cand = incremental_candidate_pairs(mart_bk, delta_bk)
+    verified = verify_candidate_pairs(corpus, cand, "text", "doc_id")
+    upsert_to_path(verified, pairs_path, ["doc_a", "doc_b"])
+    pairs = spark.read.parquet(pairs_path)
+    stats["verified_pairs"] = pairs.count()
+
+    # 4. canonical mart: components + quality-aware representative
+    quality = quality_features(corpus, "text", "doc_id")
+    comp = connected_components(pairs)
+    best = keep_best_per_cluster(comp, quality, score_col="quality_score")
+    canon_path = _mart(marts, "canonical")
+    overwrite_path(
+        comp.join(
+            best.select(F.col("component_id"), F.col("best_doc_id")), "component_id"
+        ),
+        canon_path,
+    )
+    canonical = spark.read.parquet(canon_path)
+    stats["canonical"] = canonical.count()
+
+    # 5. curated mart: drop non-representatives of dup clusters + junk
+    curated = (
+        quality.join(
+            canonical.select("doc_id", "best_doc_id"), "doc_id", "left"
+        )
+        .filter(F.col("best_doc_id").isNull() | (F.col("doc_id") == F.col("best_doc_id")))
+        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA))
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+    curated_path = _mart(marts, "curated")
+    curated, stats["curated"] = _overwrite_and_read(spark, curated, curated_path)
+
+    # 6. sequences: chunk curated docs; per-doc REPLACE so re-chunking a
+    # redelivered doc leaves no stale tail
+    seq_path = _mart(marts, "sequences")
+    to_chunk = corpus.join(curated.select("doc_id"), "doc_id", "semi")
+    chunks = chunk_documents(to_chunk, "text", "doc_id", chunk_size=chunk_size)
+    if os.path.exists(seq_path) or chunks.limit(1).count() > 0:
+        replace_groups_to_path(chunks, seq_path, ["doc_id"])
+        seqs_now = spark.read.parquet(seq_path)
+        # curation can EVICT previously-curated docs (a new dup wins): drop
+        # their chunks so the sequences mart mirrors the curated set
+        live = seqs_now.join(curated.select("doc_id"), "doc_id", "semi")
+        if live.count() != seqs_now.count():
+            seqs, stats["sequences"] = _overwrite_and_read(
+                spark, live.localCheckpoint(), seq_path
+            )
+        else:
+            seqs, stats["sequences"] = seqs_now, seqs_now.count()
+    else:
+        seqs, stats["sequences"] = chunks.limit(0), 0
+
+    # 7. packs: deterministic greedy packing of chunk token counts
+    seqs = seqs.withColumn(
+        "seq_id",
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_index").cast("string")),
+    )
+    packed = pack_sequences(seqs, "seq_id", "chunk_tokens", budget=pack_budget)
+    packs = assemble_packs(packed, "seq_id", "chunk_text", "chunk_tokens")
+    packs_path = _mart(marts, "packs")
+    packs, stats["packs"] = _overwrite_and_read(spark, packs, packs_path)
+
+    # 8. shards: deterministic epoch shuffle, written partitioned by shard
+    sharded = shuffle_shards(packs, "pack_id", n_shards=n_shards)
+    shards_path = _mart(marts, "shards")
+    _, stats["shards"] = _overwrite_and_read(
+        spark, sharded, shards_path, partition_by=["shard"]
+    )
+
+    # 9. reports: DQ constraints on the corpus + curated marts
+    report = dq_report([
+        check_not_null(corpus, ["doc_id", "text"], table="corpus"),
+        check_unique(corpus, ["doc_id"], table="corpus"),
+        check_unique(curated, ["doc_id"], table="curated"),
+    ])
+    report_path = _mart(marts, "dq_report")
+    overwrite_path(report, report_path)
+    stats["dq_violations"] = int(
+        spark.read.parquet(report_path).agg(F.sum("violations")).collect()[0][0] or 0
+    )
+    return stats

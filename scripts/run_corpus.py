@@ -1,0 +1,67 @@
+"""Training-corpus pipeline driver — the LLM-data counterpart of
+run_daily.py: one invocation ingests a document batch and converges the
+corpus / signature / pair / canonical / curated / sequence / pack / shard
+marts (plans/corpus_pipeline.py).
+
+Usage:
+  python scripts/run_corpus.py --input DIR_OR_PARQUET --marts DIR
+  python scripts/run_corpus.py --drops FILE.jsonl --marts DIR
+
+--input reads documents.parquet (a directory containing it, or the file
+itself); --drops reads a JSON-lines delta batch (doc_id, text). Either
+way the batch is treated as a delta: re-running the same batch converges
+(idempotent keyed sinks throughout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import ingest_batch  # noqa: E402
+from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents.parquet (file or containing dir)")
+    ap.add_argument("--drops", help="JSON-lines delta batch with doc_id/text")
+    ap.add_argument("--marts", required=True)
+    ap.add_argument("--chunk-size", type=int, default=32)
+    ap.add_argument("--pack-budget", type=int, default=64)
+    ap.add_argument("--shards", type=int, default=4)
+    args = ap.parse_args()
+    if not args.input and not args.drops:
+        ap.error("one of --input / --drops is required")
+
+    spark = get_spark("run-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.input:
+        path = args.input
+        if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+            path = os.path.join(path, "documents.parquet")
+        docs = spark.read.parquet(path)
+    else:
+        docs = spark.read.schema("doc_id BIGINT, text STRING").json(args.drops)
+
+    os.makedirs(args.marts, exist_ok=True)
+    t0 = time.perf_counter()
+    stats = ingest_batch(
+        spark,
+        docs,
+        args.marts,
+        chunk_size=args.chunk_size,
+        pack_budget=args.pack_budget,
+        n_shards=args.shards,
+    )
+    print(json.dumps({"seconds": round(time.perf_counter() - t0, 2), **stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""End-to-end corpus-pipeline driver test (plans/corpus_pipeline.py):
+dedup + curation + chunk/pack/shard marts converge, re-runs are
+idempotent, and a delta ingest that introduces a better duplicate EVICTS
+the old doc from the curated set and its chunks from the sequences mart."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import ingest_batch
+
+
+def _doc(i, text):
+    return (i, text)
+
+
+def _good_text(tag, n=35):
+    # digit-free tokens: the alpha-ratio quality gate (>= 0.8) must pass
+    return " ".join([tag] * n)
+
+
+@pytest.fixture()
+def batch1(spark):
+    base = _good_text("alpha")
+    rows = [
+        _doc(1, base),                       # cluster with 2 (exact dup)
+        _doc(2, base),
+        _doc(3, _good_text("beta")),         # clean singleton
+        _doc(4, "too short"),                # junk: fails MIN_TOKENS
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path, batch1):
+    marts = str(tmp_path / "marts")
+
+    s1 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
+    assert s1["corpus"] == 4
+    assert s1["verified_pairs"] >= 1          # the 1-2 dup pair
+    # curated: one representative of {1,2} + doc 3; junk 4 dropped
+    assert s1["curated"] == 2
+    curated_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()}
+    assert 3 in curated_ids and len(curated_ids & {1, 2}) == 1
+    # sequences exist only for curated docs
+    seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
+    assert seq_ids == curated_ids
+    assert s1["dq_violations"] == 0
+    # packs/shards materialized deterministically
+    assert s1["packs"] >= 1 and s1["shards"] == s1["packs"]
+
+    # idempotence: replaying the same batch changes nothing
+    s2 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
+    assert s2 == s1
+
+
+def test_corpus_pipeline_delta_evicts_worse_duplicate(spark, tmp_path, batch1):
+    marts = str(tmp_path / "marts")
+    ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
+
+    # delta: doc 10 near-duplicates doc 3 (same shingle set, longer text)
+    delta = spark.createDataFrame(
+        [(10, _good_text("beta", 45))], "doc_id long, text string"
+    )
+    s3 = ingest_batch(spark, delta, marts, chunk_size=8, pack_budget=16, n_shards=2)
+    assert s3["corpus"] == 5
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{marts}/verified_pairs").collect()
+    }
+    assert (3, 10) in pairs                   # delta × mart candidate found it
+    curated_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()}
+    # exactly one of {3, 10} survives, and the sequences mart mirrors it
+    assert len(curated_ids & {3, 10}) == 1
+    seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
+    assert seq_ids == curated_ids
