@@ -336,3 +336,47 @@ def click_attribution_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def corpus_pipeline_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    marts: str,
+    checkpoint_dir: str,
+    *,
+    chunk_size: int = 32,
+    pack_budget: int = 64,
+    n_shards: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The full corpus pipeline as a stream: every micro-batch of document
+    drops runs ``plans.corpus_pipeline.ingest_batch`` — delta-scoped
+    signature hashing and delta × mart pair detection, then the global
+    curation/sequence/pack/shard refresh — so the training-data marts
+    continuously converge as documents arrive. ingest_batch's sinks are
+    all idempotent keyed merges, which is exactly the at-least-once
+    foreachBatch contract; a redelivered batch is a no-op."""
+    from ..plans.corpus_pipeline import ingest_batch
+
+    docs = read_json_stream(
+        spark, drop_dir, DOC_SCHEMA, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(
+            spark,
+            batch_df,
+            marts,
+            chunk_size=chunk_size,
+            pack_budget=pack_budget,
+            n_shards=n_shards,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

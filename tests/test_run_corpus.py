@@ -73,3 +73,39 @@ def test_corpus_pipeline_delta_evicts_worse_duplicate(spark, tmp_path, batch1):
     assert len(curated_ids & {3, 10}) == 1
     seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
     assert seq_ids == curated_ids
+
+
+def test_corpus_pipeline_stream_converges_marts(spark, tmp_path):
+    """Streaming wrapper: document drops arriving across micro-batches
+    converge the same marts, including cross-batch near-dup eviction."""
+    import json as _json
+    import os as _os
+
+    from pipeline_etl_ecommerce_spark.streaming.pipelines import corpus_pipeline_stream
+
+    drops = str(tmp_path / "drops")
+    marts = str(tmp_path / "marts")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(drops)
+
+    def drop(name, rows):
+        with open(_os.path.join(drops, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    args = (spark, drops, marts, ckpt)
+    drop("b1.json", [
+        {"doc_id": 1, "text": _good_text("alpha")},
+        {"doc_id": 3, "text": _good_text("beta")},
+    ])
+    corpus_pipeline_stream(*args, chunk_size=8, pack_budget=16, n_shards=2).awaitTermination(240)
+    assert {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()} == {1, 3}
+
+    # second trigger: a near-dup of doc 3 arrives; one of {3, 10} must be
+    # evicted and the sequences mart must follow
+    drop("b2.json", [{"doc_id": 10, "text": _good_text("beta", 45)}])
+    corpus_pipeline_stream(*args, chunk_size=8, pack_budget=16, n_shards=2).awaitTermination(240)
+    curated = {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()}
+    assert 1 in curated and len(curated & {3, 10}) == 1
+    seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
+    assert seq_ids == curated
