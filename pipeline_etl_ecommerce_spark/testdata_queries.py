@@ -4505,3 +4505,42 @@ def events_props_flat_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("p.k"), F.lit(0))).cast("long").alias("k_total"),
         F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
     )
+
+
+# The corpus driver's stage-5 curation (plans/corpus_pipeline.py) as an
+# oracle-checked query: quality-aware representative per component + gates.
+_CURATED_BEST_SQL = f"""
+WITH best AS (
+{_KEEP_BEST_SQL}
+),
+compq AS (
+{_COMPONENTS_SQL}
+),
+q AS (
+{_QUALITY_SQL}
+)
+SELECT q.doc_id, q.n_tokens, q.quality_score
+FROM q
+LEFT JOIN compq c ON c.doc_id = q.doc_id
+LEFT JOIN best b ON b.component_id = c.component_id
+WHERE (c.doc_id IS NULL OR q.doc_id = b.best_doc_id)
+  AND q.n_tokens >= 30 AND q.alpha_ratio >= 0.8
+"""
+
+
+@register("curated_documents_best", _CURATED_BEST_SQL)
+def curated_documents_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware curation (scripts/run_corpus.py stage 5): each
+    near-dup component keeps its HIGHEST-quality member (not min-id), then
+    the length/alpha gates apply. Shares the components and quality side
+    tables with the rest of the family."""
+    comp = _components(spark, sf_dir)
+    q = quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    best = keep_best_per_cluster(comp, q, score_col="quality_score")
+    return (
+        q.join(comp.select("doc_id", "component_id"), "doc_id", "left")
+        .join(best.select("component_id", "best_doc_id"), "component_id", "left")
+        .filter(F.col("component_id").isNull() | (F.col("doc_id") == F.col("best_doc_id")))
+        .filter((F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.8))
+        .select("doc_id", "n_tokens", "quality_score")
+    )
