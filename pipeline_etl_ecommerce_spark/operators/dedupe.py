@@ -91,20 +91,23 @@ def minhash_band_keys(
         for h in range(num_hashes)
     ]
     sigs = digested.select("doc_id", *mh)
-    per_band = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        per_band.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *parts).cast("binary")).alias("band_key"),
-            )
+    # one band_key struct per band, unpivoted with a single explode: a
+    # unionByName of per-band selects would re-execute the whole
+    # shingle+digest lineage once PER BAND (the dominant md5 cost × bands)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).cast("binary")
+            ).alias("band_key"),
         )
-    out = per_band[0]
-    for other in per_band[1:]:
-        out = out.unionByName(other)
-    return out
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
 
 
 def minhash_candidate_pairs(band_keys: DataFrame) -> DataFrame:
