@@ -52,6 +52,7 @@ ALLOWED_NESTED_LOOP = {
     "semantic_dedup_keep",    # same centroid/assignment mart broadcast
     "watermark_d3_events",    # scalar max-date broadcast (the D-3 anchor)
     "insert_if_absent_users", # null-safe anti vs a broadcast dim key set
+    "rolling_weekly_active_users",  # broadcast day-spine range join, <= 7 matches/row
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
