@@ -219,3 +219,29 @@ def test_debounce_single_exchange(spark):
     plan = _executed_plan(tq.QUERIES["debounced_events"](spark, SF))
     # lag window + filter after ONE shuffle on (user_id, event_type)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_mart(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune
+    partitions at RUNTIME (DPP): the fact scan's partition filter carries a
+    dynamicpruning subquery instead of scanning every date directory —
+    at 100 TB this is the difference between reading one day and reading
+    the mart."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    (
+        spark.range(0, 1000)
+        .withColumn("day", (F.col("id") % 10).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+        .write.partitionBy("day")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i == 3 else "drop") for i in range(10)], "day string, tag string"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 100  # only day=3 rows survive
