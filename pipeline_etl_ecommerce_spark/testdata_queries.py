@@ -4577,3 +4577,122 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").alias("event_date"))
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+# ===========================================================================
+# Batch 16: move pytest-only SURVEY rows under the oracle gate — F2 session
+# timezone conversion, S12 keyed UPDATE merge, F4 locale numeric parse.
+# ===========================================================================
+
+# F2/T4: UTC event instants -> America/Sao_Paulo calendar dates. Both
+# engines make the conversion explicit (naive-UTC -> instant -> SP wall
+# clock), so the result is independent of either engine's session default.
+_SP_TZ_SQL = """
+SELECT CAST(timezone('America/Sao_Paulo', timezone('UTC', ts)) AS DATE) AS sp_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("sp_timezone_daily_rollup", _SP_TZ_SQL)
+def sp_timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup on America/Sao_Paulo wall-clock dates (the reference's
+    business timezone, SURVEY.md §2.8 F2 / §2.10 T4): the int64-nanos UTC
+    instants render as SP dates because the session tz is pinned — a UTC
+    event at 01:00 lands on the PREVIOUS SP calendar day."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    return (
+        e.withColumn("sp_date", F.to_date(ts))
+        .groupBy("sp_date")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# S12: UPDATE part SET p_retailprice = new WHERE key matched — update-only
+# merge; keys missing from the updates table keep their old value, and
+# updates never insert.
+_KEYED_UPDATE_SQL = """
+WITH upd AS (
+    SELECT p_partkey,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS new_price
+    FROM part WHERE p_size > 40
+)
+SELECT p.p_partkey, p.p_brand,
+       COALESCE(u.new_price, p.p_retailprice) AS p_retailprice
+FROM part p LEFT JOIN upd u ON u.p_partkey = p.p_partkey
+"""
+
+
+@register("keyed_update_retailprice", _KEYED_UPDATE_SQL)
+def keyed_update_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed UPDATE semantics (SURVEY.md §2.1 S12) as a value-checked
+    query: large parts get a 10% repricing via sources.sinks.keyed_update —
+    matched keys update, unmatched keep their value, nothing inserts."""
+    from .sources.sinks import keyed_update
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    updates = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 40)
+        .select(
+            "p_partkey",
+            F.round(
+                F.col("p_retailprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,2)"), 2
+            )
+            .cast("double")
+            .alias("p_retailprice"),
+        )
+    )
+    return keyed_update(part, updates, ["p_partkey"], ["p_retailprice"])
+
+
+# F4: pt-BR decimal-comma parse, exercised as a round-trip: render each
+# retail price as a grouped pt-BR string ('1.234,56'), then parse it back
+# with the engine's locale parser. Both engines format with {:,.2f}
+# grouping then swap separators, so the strings — and the parse — match.
+_LOCALE_PARSE_SQL = """
+WITH c AS (
+    SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part
+),
+s AS (
+    SELECT p_partkey,
+           replace(format('{:,}', cents // 100), ',', '.')
+             || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS br_price
+    FROM c
+)
+SELECT p_partkey, br_price,
+       CAST(replace(replace(br_price, '.', ''), ',', '.') AS DOUBLE) AS parsed
+FROM s
+"""
+
+
+@register("locale_parse_roundtrip", _LOCALE_PARSE_SQL)
+def locale_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-BR numeric parse (SURVEY.md §2.8 F4, reference
+    tarefa_sincronizar_catalogo_tiny.php:81) under the hash gate: format
+    each price as a thousands-grouped decimal-comma string, then recover
+    the double with functions.scalars.parse_locale_double (which strips
+    thousands dots — the reference's str_replace truncates them)."""
+    from .functions.scalars import parse_locale_double
+
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    br = F.concat(
+        F.translate(F.format_number((cents / 100).cast("long"), 0), ",", "."),
+        F.lit(","),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    return p.select(
+        "p_partkey",
+        br.alias("br_price"),
+        parse_locale_double(br).alias("parsed"),
+    )
