@@ -4696,3 +4696,76 @@ def locale_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         br.alias("br_price"),
         parse_locale_double(br).alias("parsed"),
     )
+
+
+# S14: queue status transitions as a value-checked query. claim_batch's
+# data_processamento timestamp is nondeterministic, so the check covers
+# the deterministic columns (id-ordered claim set + transitioned status).
+_QUEUE_CLAIM_SQL = """
+WITH q AS (
+    SELECT o_orderkey AS id,
+           CASE o_orderstatus WHEN 'O' THEN 'pendente'
+                              WHEN 'P' THEN 'processando'
+                              ELSE 'concluido' END AS status
+    FROM orders
+),
+c AS (SELECT id FROM q WHERE status = 'pendente' ORDER BY id LIMIT 100)
+SELECT q.id, CASE WHEN c.id IS NOT NULL THEN 'processando' ELSE q.status END AS status
+FROM q LEFT JOIN c ON q.id = c.id
+"""
+
+
+@register("queue_claim_transitions", _QUEUE_CLAIM_SQL)
+def queue_claim_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue claim semantics (SURVEY.md §2.1 S14, reference
+    worker batch claim UPDATE...LIMIT): the id-ordered first 100 pending
+    rows transition to 'processando', everything else is untouched — via
+    plans.queues.claim_batch, deterministic where MySQL relied on scan
+    order."""
+    from .plans.queues import claim_batch
+
+    q = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderstatus") == "O", "pendente")
+        .when(F.col("o_orderstatus") == "P", "processando")
+        .otherwise("concluido")
+        .alias("status"),
+        F.lit(None).cast("timestamp").alias("data_processamento"),
+    )
+    _, after = claim_batch(q, batch_size=100)
+    return after.select("id", "status")
+
+
+# E2 + F12: null-preserving explode (explode_outer) and format_string.
+# Rows whose filter empties the array survive with a NULL word.
+_EXPLODE_OUTER_SQL = """
+WITH base AS (
+    SELECT p_partkey,
+           list_filter(string_split(p_name, ' '), w -> length(w) >= 6) AS words
+    FROM part
+),
+ex AS (
+    SELECT p_partkey,
+           unnest(CASE WHEN len(words) = 0 THEN [NULL] ELSE words END) AS word
+    FROM base
+)
+SELECT p_partkey, word,
+       printf('%s#%d', COALESCE(word, '-'), p_partkey) AS label
+FROM ex
+"""
+
+
+@register("part_name_explode_outer", _EXPLODE_OUTER_SQL)
+def part_name_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (SURVEY.md §2.9 E2 — the reference keeps
+    variation-less listings as one row) + format_string labels (F12): parts
+    whose name has no long word survive the explode with a NULL word."""
+    p = _t(spark, sf_dir, "part")
+    words = F.filter(F.split(F.col("p_name"), " "), lambda w: F.length(w) >= 6)
+    return p.select(
+        "p_partkey", F.explode_outer(words).alias("word")
+    ).select(
+        "p_partkey",
+        "word",
+        F.format_string("%s#%d", F.coalesce(F.col("word"), F.lit("-")), F.col("p_partkey")).alias("label"),
+    )
