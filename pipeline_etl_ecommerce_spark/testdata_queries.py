@@ -4769,3 +4769,27 @@ def part_name_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.format_string("%s#%d", F.coalesce(F.col("word"), F.lit("-")), F.col("p_partkey")).alias("label"),
     )
+
+
+# U2: bag union — UNION ALL keeps duplicates (orders matching both arms
+# count twice), unlike U1's set-union key merge.
+_BAG_UNION_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) u GROUP BY 1
+"""
+
+
+@register("priority_bag_union_counts", _BAG_UNION_SQL)
+def priority_bag_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (SURVEY.md §2.7 U2): UNION ALL of two overlapping order
+    slices — rows matching both predicates count twice, proving no
+    implicit distinct."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_orderpriority")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return big.unionAll(open_).groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n")
+    )
