@@ -4793,3 +4793,55 @@ def priority_bag_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.unionAll(open_).groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+# F11/UD3: nested struct-array extraction (the reference's Tiny depositos[]
+# scan) under the oracle gate. Warehouse entries are synthesized from part
+# columns so both engines build the identical nested value, then the HOF
+# extraction pulls one warehouse's balance by name ('geral' exists on every
+# row; 'reserva' only for large parts — absent matches fall back to 0).
+_DEPOSITO_SQL = """
+WITH d AS (
+    SELECT p_partkey,
+           CASE WHEN p_size > 25 THEN
+             [{'deposito': {'nome': 'geral',
+                            'saldo': CAST(p_size AS DOUBLE)}},
+              {'deposito': {'nome': 'reserva',
+                            'saldo': CAST(p_size AS DOUBLE) / 2}}]
+           ELSE
+             [{'deposito': {'nome': 'geral',
+                            'saldo': CAST(p_size AS DOUBLE)}}]
+           END AS depositos
+    FROM part
+)
+SELECT p_partkey,
+       COALESCE(list_filter(depositos, x -> x.deposito.nome = 'geral')[1].deposito.saldo, 0.0) AS saldo_geral,
+       COALESCE(list_filter(depositos, x -> x.deposito.nome = 'reserva')[1].deposito.saldo, 0.0) AS saldo_reserva
+FROM d
+"""
+
+
+@register("deposito_saldo_extract", _DEPOSITO_SQL)
+def deposito_saldo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-struct balance extraction (SURVEY.md §2.8 F11/UD3,
+    reference worker_processar_estoque.php:71-80) as a value-checked
+    query: higher-order filter over the nested depositos[] value, 0.0
+    when the named warehouse is absent — pure codegen expressions, zero
+    Python (see functions.scalars.extract_deposito_saldo)."""
+    from .functions.scalars import extract_deposito_saldo
+
+    p = _t(spark, sf_dir, "part")
+    entry = lambda nome, saldo: F.struct(  # noqa: E731
+        F.struct(F.lit(nome).alias("nome"), saldo.alias("saldo")).alias("deposito")
+    )
+    size = F.col("p_size").cast("double")
+    deps = F.when(
+        F.col("p_size") > 25,
+        F.array(entry("geral", size), entry("reserva", size / 2)),
+    ).otherwise(F.array(entry("geral", size)))
+    d = p.select("p_partkey", deps.alias("depositos"))
+    return d.select(
+        "p_partkey",
+        extract_deposito_saldo(F.col("depositos"), "geral").alias("saldo_geral"),
+        extract_deposito_saldo(F.col("depositos"), "reserva").alias("saldo_reserva"),
+    )
