@@ -676,11 +676,14 @@ _DRIVER_PRIORITY = [
     # streaming-composition queries above, which had no check at all).
     # weighted_doc_sample/model_scored_documents are new in r2
     # (selfcheck-verified); first in line for the r3 window rotation,
-    # together with the r2-continuation batch registered after the
-    # priority list (scd2_event_type_history, debounced_events,
-    # cohort_retention_weekly, near_dup_keep_best, inverted_index_postings,
-    # boilerplate_pruned_documents, yoy_part_revenue,
-    # price_percentiles_cont — all selfcheck-verified at both SFs).
+    # together with the ~25 r2-continuation queries registered after the
+    # priority list (SCD2/debounce/cohort family, keep-best, inverted
+    # index, boilerplate pruning, yoy full-outer, percentile_cont, JL
+    # projection, collocation, dq report, incremental simhash, funnel,
+    # pseudonymization, props flattening, lang confusion, curated-best,
+    # WAU, and batch 16's six SURVEY-row conversions — all
+    # selfcheck-verified at both SFs; CORRECTNESS_r02 covers the first 50
+    # here, rotate the rest into the r3 window).
     "weighted_doc_sample",
     "model_scored_documents",
     "exact_span_pairs_docs",

@@ -274,3 +274,56 @@ def test_snapshot_diff_change_feed(spark, tmp_path):
         spark, path, "v00000002", "v00000001", ["k"]
     ).collect()}
     assert rev == {"b": "changed", "c": "removed"}
+
+
+# ---------------------------------------------------------------------------
+# Property-based merge laws (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_strat = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),   # key (NULL is an identity!)
+        st.integers(min_value=0, max_value=9),    # value
+        st.integers(min_value=0, max_value=5),    # ts
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _kdf(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, ts long") if rows else \
+        spark.createDataFrame([], "k string, v int, ts long")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old_rows=rows_strat, new_rows=rows_strat)
+def test_merge_upsert_laws(spark, old_rows, new_rows):
+    old = dedupe_last_wins(_kdf(spark, old_rows), ["k"], order_by=["ts"])
+    new = _kdf(spark, new_rows)
+    merged = merge_upsert(old, new, ["k"], order_by=["ts"])
+    got = {r.k: r.v for r in merged.collect()}
+
+    # key set = old ∪ new (null-safe: None is a key like any other)
+    old_keys = {r.k for r in old.collect()}
+    new_keys = {k for k, _, _ in new_rows}
+    assert set(got) == old_keys | new_keys
+    # new keys win with their max-ts row; untouched old keys survive
+    best_new = {}
+    for k, v, t in new_rows:
+        if k not in best_new or (t, v) > (best_new[k][1], best_new[k][0]):
+            best_new[k] = (v, t)
+    # hypothesis ties: only assert a definite winner when ts is unique-max
+    for k in new_keys:
+        ts_of_k = sorted(t for kk, _, t in new_rows if kk == k)
+        if len(ts_of_k) < 2 or ts_of_k[-1] != ts_of_k[-2]:
+            assert got[k] == best_new[k][0]
+    for r in old.collect():
+        if r.k not in new_keys:
+            assert got[r.k] == r.v
+    # idempotence: merging the same batch again changes nothing
+    again = merge_upsert(merged, new, ["k"], order_by=["ts"])
+    assert {r.k: r.v for r in again.collect()} == got
