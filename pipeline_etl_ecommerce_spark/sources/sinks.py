@@ -396,3 +396,51 @@ def snapshot_diff(
         joined.select(*keys_out, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+class writer_lock:
+    """Advisory single-writer lock for a transactional mart (the missing
+    piece called out in the versioned-snapshot docs above: readers are
+    always safe, but two concurrent writers could both build v{N+1} and
+    race the pointer). ``flock`` on a sidecar file — same guarantee class
+    as Delta without a locking LogStore, made explicit:
+
+        with writer_lock(path):
+            transactional_upsert_to_path(df, path, keys)
+
+    ``blocking=False`` raises ``WriterLockHeld`` instead of waiting, so a
+    second ingest job can back off rather than queue. The lock is advisory
+    (cooperating writers only) and process-scoped, like every flock.
+    """
+
+    def __init__(self, path: str, *, blocking: bool = True):
+        self._path = path
+        self._blocking = blocking
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(self._path, exist_ok=True)
+        self._fh = open(os.path.join(self._path, "_WRITER_LOCK"), "w")
+        flags = fcntl.LOCK_EX | (0 if self._blocking else fcntl.LOCK_NB)
+        try:
+            fcntl.flock(self._fh, flags)
+        except BlockingIOError as ex:
+            self._fh.close()
+            self._fh = None
+            raise WriterLockHeld(f"another writer holds {self._path}") from ex
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self._fh is not None:
+            fcntl.flock(self._fh, fcntl.LOCK_UN)
+            self._fh.close()
+            self._fh = None
+        return False
+
+
+class WriterLockHeld(RuntimeError):
+    """Raised by non-blocking ``writer_lock`` when the mart is being written."""

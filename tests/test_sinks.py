@@ -327,3 +327,21 @@ def test_merge_upsert_laws(spark, old_rows, new_rows):
     # idempotence: merging the same batch again changes nothing
     again = merge_upsert(merged, new, ["k"], order_by=["ts"])
     assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_writer_lock_excludes_second_writer(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.sources.sinks import WriterLockHeld, writer_lock
+
+    path = str(tmp_path / "locked")
+    with writer_lock(path):
+        transactional_upsert_to_path(_df(spark, [("a", 1, 1)]), path, ["k"])
+        # a second non-blocking writer must back off while we hold the lock
+        import pytest as _pytest
+
+        with _pytest.raises(WriterLockHeld):
+            with writer_lock(path, blocking=False):
+                pass
+    # released: the next writer proceeds
+    with writer_lock(path, blocking=False):
+        transactional_upsert_to_path(_df(spark, [("b", 2, 2)]), path, ["k"])
+    assert read_versioned(spark, path).count() == 2
