@@ -183,3 +183,77 @@ def ingest_batch(
         spark.read.parquet(report_path).agg(F.sum("violations")).collect()[0][0] or 0
     )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Run history + drift detection (pipeline observability)
+# ---------------------------------------------------------------------------
+
+
+def record_run(spark: SparkSession, marts: str, stats: dict[str, int]) -> int:
+    """Append this run's mart counts to the ``_history`` mart (long format:
+    run_id, metric, value) and return the run id. Deterministic — no
+    timestamps — so replay tests can assert exact histories; a production
+    deployment would add a wall-clock column for dashboards."""
+    hist_path = _mart(marts, "_history")
+    run_id = 0
+    if os.path.exists(hist_path):
+        prev = spark.read.parquet(hist_path)
+        prev_max = prev.agg(F.max("run_id")).collect()[0][0]
+        run_id = (int(prev_max) if prev_max is not None else -1) + 1
+    rows = [(run_id, k, int(v)) for k, v in sorted(stats.items())]
+    from ..sources.sinks import append_to_path
+
+    append_to_path(
+        spark.createDataFrame(rows, "run_id int, metric string, value long"), hist_path
+    )
+    return run_id
+
+
+def detect_drift(
+    spark: SparkSession, marts: str, *, z: float = 3.0, min_history: int = 3
+) -> DataFrame:
+    """Flag metrics whose LATEST per-run growth deviates more than ``z``
+    sample stddevs from the growth history (ingests are cumulative, so the
+    stable signal is the run-over-run DELTA, not the level). Returns one
+    row per metric with the latest delta, history mean/stddev and the
+    flag; metrics with fewer than ``min_history`` prior deltas never flag.
+    One window pass over the tiny history mart — the same check a 100 TB
+    deployment runs over its ingest ledger to catch a silently-empty or
+    10x-duplicated delivery before training reads the mart."""
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(_mart(marts, "_history"))
+    w = Window.partitionBy("metric").orderBy("run_id")
+    deltas = (
+        hist.withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("delta").isNotNull())
+    )
+    latest_run = deltas.agg(F.max("run_id")).collect()[0][0]
+    prior = deltas.filter(F.col("run_id") < latest_run)
+    stats = prior.groupBy("metric").agg(
+        F.count("*").alias("n_history"),
+        F.avg("delta").alias("mean_delta"),
+        F.stddev_samp("delta").alias("sd_delta"),
+    )
+    latest = deltas.filter(F.col("run_id") == latest_run).select(
+        "metric", F.col("delta").alias("latest_delta")
+    )
+    return latest.join(stats, "metric", "left").select(
+        "metric",
+        "latest_delta",
+        F.round("mean_delta", 3).alias("mean_delta"),
+        F.round("sd_delta", 3).alias("sd_delta"),
+        (
+            (F.col("n_history") >= min_history)
+            & F.col("sd_delta").isNotNull()
+            & (
+                # constant history: ANY deviation is the clearest anomaly
+                ((F.col("sd_delta") == 0) & (F.col("latest_delta") != F.col("mean_delta")))
+                | (
+                    (F.col("sd_delta") > 0)
+                    & (F.abs(F.col("latest_delta") - F.col("mean_delta")) > z * F.col("sd_delta"))
+                )
+            )
+        ).alias("flagged"),
+    )

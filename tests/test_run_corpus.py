@@ -109,3 +109,34 @@ def test_corpus_pipeline_stream_converges_marts(spark, tmp_path):
     assert 1 in curated and len(curated & {3, 10}) == 1
     seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
     assert seq_ids == curated
+
+
+def test_run_history_and_drift_detection(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import (
+        detect_drift,
+        ingest_batch,
+        record_run,
+    )
+
+    marts = str(tmp_path / "marts")
+    # four steady ingests of 2 fresh docs each, then a 40-doc anomaly
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [(next_id + i, _good_text(f"tag{next_id + i}")) for i in range(n)]
+        next_id += n
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for _ in range(4):
+        stats = ingest_batch(spark, batch(2), marts, chunk_size=8, pack_budget=16, n_shards=2)
+        record_run(spark, marts, stats)
+    stats = ingest_batch(spark, batch(40), marts, chunk_size=8, pack_budget=16, n_shards=2)
+    rid = record_run(spark, marts, stats)
+    assert rid == 4
+
+    drift = {r.metric: r for r in detect_drift(spark, marts).collect()}
+    # the corpus delta jumped 2 -> 40: flagged; steady zero-variance
+    # metrics (dq_violations) never flag
+    assert drift["corpus"].flagged and drift["corpus"].latest_delta == 40
+    assert not drift["dq_violations"].flagged
