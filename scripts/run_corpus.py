@@ -23,7 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import ingest_batch  # noqa: E402
+from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import (  # noqa: E402
+    ingest_batch,
+    record_run,
+)
 from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
 
 
@@ -59,7 +62,8 @@ def main() -> int:
         pack_budget=args.pack_budget,
         n_shards=args.shards,
     )
-    print(json.dumps({"seconds": round(time.perf_counter() - t0, 2), **stats}))
+    run_id = record_run(spark, args.marts, stats)
+    print(json.dumps({"run_id": run_id, "seconds": round(time.perf_counter() - t0, 2), **stats}))
     return 0
 
 
