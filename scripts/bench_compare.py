@@ -20,6 +20,7 @@ FAMILIES = {
         "near_dup_components", "near_dup_verified_pairs", "near_dup_keep_best",
         "near_dup_canonical_ids", "minhash_band_buckets", "minhash_candidate_pairs",
         "minhash_incremental_pairs", "curated_documents", "curated_documents_multimodal",
+        "curated_documents_best",
     ],
     "simhash": ["simhash_documents", "simhash_near_pairs", "simhash_incremental_pairs"],
     "kmeans": ["kmeans_clusters", "semantic_dedup_keep", "ivf_ann_top3"],
