@@ -4848,3 +4848,79 @@ def deposito_saldo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_deposito_saldo(F.col("depositos"), "geral").alias("saldo_geral"),
         extract_deposito_saldo(F.col("depositos"), "reserva").alias("saldo_reserva"),
     )
+
+
+# T5 at-least-once dedup, EXECUTED: this query runs a real Structured
+# Streaming job (file source -> dropDuplicatesWithinWatermark -> parquet
+# sink, Trigger.AvailableNow) inside the catalog callable. The event log
+# is split into two JSONL drop files with every third event REDELIVERED in
+# both; the stream must emit each event exactly once, so the sink equals
+# the plain event table — which is exactly what the oracle selects.
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+       value FROM events WHERE event_id <= 20000
+"""
+
+
+@register("streaming_dedup_executed", _STREAM_DEDUP_SQL)
+def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> exactly-once via a REAL stream (SURVEY.md §2.10
+    T1/T5): the reference's queue redelivery becomes
+    dropDuplicatesWithinWatermark keyed on event_id, run under
+    Trigger.AvailableNow over two drop files whose contents overlap. The
+    result is localCheckpoint-materialized so the temp dirs can be removed
+    before the driver collects."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.runner import dedup_stream, read_json_stream
+
+    # deterministic cap: full coverage at the correctness SFs, bounded
+    # driver-side JSONL staging at bench scale
+    e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus"), "value"
+    )
+    rows = e.collect()
+
+    base = _tempfile.mkdtemp(prefix="stream_dedup_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1.json"), "w") as f1, open(
+            os.path.join(drops, "b2.json"), "w"
+        ) as f2:
+            for r in rows:
+                d = _json.dumps(
+                    {"event_id": r.event_id, "user_id": r.user_id,
+                     "event_type": r.event_type, "tus": r.tus, "value": r.value}
+                )
+                # evens -> file 1, odds -> file 2, every third -> BOTH
+                if r.event_id % 2 == 0 or r.event_id % 3 == 0:
+                    f1.write(d + "\n")
+                if r.event_id % 2 == 1 or r.event_id % 3 == 0:
+                    f2.write(d + "\n")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(
+            "event_id bigint, user_id bigint, event_type string, tus bigint, value double"
+        )
+        stream = (
+            read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+            .withColumn("__et", F.expr("timestamp_micros(tus)"))
+        )
+        deduped = dedup_stream(stream, ["event_id"], "__et").drop("__et")
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
