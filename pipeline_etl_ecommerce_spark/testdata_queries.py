@@ -4924,3 +4924,78 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# T2/T3/T4 EXECUTED: watermarked daily rollup run as a real stream, with
+# every fifth event arriving LATE (second trigger) inside the 3-day
+# watermark. Update-mode re-emission + keyed upsert converge the mart to
+# exactly the batch rollup — which is what the oracle computes.
+_STREAM_ROLLUP_SQL = """
+SELECT CAST(timezone('America/Sao_Paulo', timezone('UTC', ts)) AS DATE) AS event_date,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events WHERE event_id <= 20000
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_rollup_executed", _STREAM_ROLLUP_SQL)
+def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data convergence proven by EXECUTION (SURVEY.md §2.10 T2-T4):
+    a real watermarked 1-day-tumbling stream over two triggers — the
+    second delivers the late slice — MERGEd into a keyed mart that must
+    equal the full batch rollup value-for-value."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .streaming.runner import daily_rollup_stream, read_json_stream, run_upsert_stream
+
+    e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
+        "event_id", "event_type", F.expr("ts DIV 1000").alias("tus"), "value"
+    )
+    rows = e.collect()
+
+    base = _tempfile.mkdtemp(prefix="stream_rollup_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1_ontime.json"), "w") as f1, open(
+            os.path.join(drops, "b2_late.json"), "w"
+        ) as f2:
+            for r in rows:
+                d = _json.dumps(
+                    {"event_id": r.event_id, "event_type": r.event_type,
+                     "tus": r.tus, "value": r.value}
+                )
+                (f2 if r.event_id % 5 == 0 else f1).write(d + "\n")
+        schema = StructType.fromDDL(
+            "event_id bigint, event_type string, tus bigint, value double"
+        )
+        stream = (
+            read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+            .withColumn("__et", F.expr("timestamp_micros(tus)"))
+        )
+        rolled = daily_rollup_stream(
+            stream,
+            ts_col="__et",
+            key_cols=["event_type"],
+            aggs=[
+                F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            ],
+            watermark="3 days",
+        )
+        run_upsert_stream(
+            rolled, target, ["event_date", "event_type"], ckpt
+        ).awaitTermination(300)
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
