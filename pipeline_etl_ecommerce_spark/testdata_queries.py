@@ -624,15 +624,20 @@ _DRIVER_PRIORITY = [
     "ivf_ann_top3",
     "streaming_ingest_pairs_converged",
     "streaming_chunk_replace",
+    # EXECUTED Structured Streaming under the value hash (r2-cont): the
+    # only queries that run a real stream inside the catalog callable —
+    # highest-marginal driver signal, swapped in for the two same-family
+    # second entries pushed to 51+ below (pii_redacted_documents,
+    # decontaminated_documents — both still selfcheck-verified).
+    "streaming_dedup_executed",
+    "streaming_rollup_executed",
     # never driver-checked in round 1 (registration order preserved)
     "ngram_lang_classifier",
     "bm25_query_scores",
     "tfidf_top_terms",
     "doc_repetition_stats",
     "pii_scan",
-    "pii_redacted_documents",
     "decontamination_report",
-    "decontaminated_documents",
     "column_profile",
     "shuffle_shards_docs",
     "event_sessions",
@@ -684,6 +689,8 @@ _DRIVER_PRIORITY = [
     # WAU, and batch 16's six SURVEY-row conversions — all
     # selfcheck-verified at both SFs; CORRECTNESS_r02 covers the first 50
     # here, rotate the rest into the r3 window).
+    "pii_redacted_documents",
+    "decontaminated_documents",
     "weighted_doc_sample",
     "model_scored_documents",
     "exact_span_pairs_docs",
