@@ -5006,3 +5006,217 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# ===========================================================================
+# Batch 17 (r2 cont.): the remaining classic join-DAG shapes — TPC-H Q21
+# (only-late supplier via double EXISTS), Q20 (nested half-quantity
+# threshold), Q9 (multi-dim star profit), Q16 (distinct-count + NOT IN).
+# Each is the decorrelated, one-pass rewrite: the EXISTS/NOT-EXISTS pairs
+# become per-order counters on a single shuffled pass over the fact, never
+# a second scan per subquery — the shape that survives a 100 TB lineitem.
+# ===========================================================================
+
+_WAITING_SUPP_SQL = """
+WITH per AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.is_late = 1 AND w.n_supp >= 2 AND w.n_late = 1
+GROUP BY s.s_name
+"""
+
+
+@register("waiting_suppliers", _WAITING_SUPP_SQL)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order. The reference formulation is
+    EXISTS(other supplier) AND NOT EXISTS(other late supplier); both
+    decorrelate into per-order counters over ONE (orderkey, suppkey)
+    aggregate — one fact shuffle + one window, instead of two extra
+    correlated scans of lineitem. Supplier dim joins broadcast."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"), 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_DOMINANT_SUPP_SQL = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM ps
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS dominant_parts,
+       CAST(SUM(supp_qty) AS DOUBLE) AS dominant_qty
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE 2 * supp_qty > part_qty
+GROUP BY 1, 2
+"""
+
+
+@register("dominant_part_suppliers", _DOMINANT_SUPP_SQL)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping more than half a part's 1996
+    volume. The correlated half-quantity subquery decorrelates into a
+    window total over the SAME (part, supp) aggregate — the fact is read
+    and shuffled exactly once; the half-open timestamp range pushes to the
+    scan. Quantities stay DECIMAL end-to-end so the 2x-threshold compare
+    and the window total are order-independent and engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
+    )
+    w = ps.withColumn(
+        "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        w.filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(s), w.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("dominant_parts"),
+            F.sum("supp_qty").cast("double").alias("dominant_qty"),
+        )
+    )
+
+
+_NATION_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                      - CAST(p.p_retailprice AS DECIMAL(12,2))
+                          * CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+           AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("nation_yearly_profit", _NATION_PROFIT_SQL)
+def nation_yearly_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (net revenue minus inventory cost proxy) per
+    supplier nation per order year, across the full star — lineitem joined
+    to part (name-token filter), supplier, nation, orders. part/supplier/
+    nation broadcast after pruning; orders joins on the orderkey the fact
+    is already flowing on. Every money term is an exact DECIMAL product
+    (max 4dp), so the sum is order-independent; one final 2dp round."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_term = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_term), 2).cast("double").alias("profit"))
+    )
+
+
+_SUPP_CNT_SQL = """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'SMALL%'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+@register("supplier_cnt_by_part", _SUPP_CNT_SQL)
+def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per surviving (brand, size)
+    after inequality/NOT-LIKE/IN-set part predicates and a NOT IN
+    complaint-list exclusion. NOT IN becomes a broadcast LEFT ANTI join
+    (the excluded-supplier list is tiny by construction); the part dim is
+    pre-pruned by its predicates before broadcasting, so the fact-side
+    work is one join + one distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & ~F.col("p_type").like("SMALL%")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
