@@ -174,3 +174,40 @@ def group_percentiles_cont(
         val = F.when(hi.isNull() | (frac == 0.0), lo).otherwise(lo + frac * (hi - lo))
         outs.append(F.round(val, round_to).alias(name))
     return grouped.select(*group_cols, *outs)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Robust per-group aggregates: clip ``value_col`` to its group's
+    nearest-rank [lo_p, hi_p] percentiles (winsorization), then aggregate
+    the clipped values — the standard outlier-tolerant mean/total for
+    metric columns where a handful of extreme rows would otherwise own
+    the statistic.
+
+    Two passes over the group, no quadratic anything: the threshold table
+    from ``group_percentiles`` is one row per group, so it broadcasts back
+    onto the rows; the clipped aggregate sums in DECIMAL (order-exact).
+    Output: group cols, n, p_lo, p_hi, winsorized_sum, winsorized_mean."""
+    gl = list(group_cols)
+    thresholds = group_percentiles(
+        df, gl, value_col, [lo_p, hi_p], out_names=["p_lo", "p_hi"]
+    )
+    clipped = df.select(*gl, value_col).join(F.broadcast(thresholds), gl).withColumn(
+        "__w",
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")).cast(
+            "decimal(18,2)"
+        ),
+    )
+    return clipped.groupBy(*gl).agg(
+        F.count("*").alias("n"),
+        F.max("p_lo").alias("p_lo"),
+        F.max("p_hi").alias("p_hi"),
+        F.round(F.sum("__w"), 2).cast("double").alias("winsorized_sum"),
+        F.round(F.sum("__w").cast("double") / F.count("*"), 6).alias("winsorized_mean"),
+    )

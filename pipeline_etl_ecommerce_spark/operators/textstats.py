@@ -480,3 +480,35 @@ def remove_boilerplate_segments(
             .alias("n_dropped"),
         )
     )
+
+
+def char_diversity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-diversity quality signal per document: distinct-character
+    count and the Simpson diversity index ``1 - Σ p_c²`` over the
+    lowercased character distribution. Low diversity flags the classic
+    junk shapes (padding runs, repeated separators, binary-ish noise) that
+    length/punctuation ratios miss.
+
+    Entropy is the textbook signal, but ``log`` is libm-dependent and not
+    bit-stable across engines; Simpson carries the same ordering
+    information from pure integer arithmetic — counts and squared counts
+    stay BIGINT-exact until a single final division, so the result is
+    engine-exact (this repo's oracle-determinism discipline).
+
+    Two map-side-combinable aggregates keyed on the doc id — the char
+    fan-out never leaves its input partition un-combined."""
+    per_char = (
+        _char_gram_stream(df, text_col, [id_col], 1)
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("__n"))
+    )
+    return per_char.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_chars_total"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("__n") * F.col("__n")).cast("double")
+            / (F.sum("__n") * F.sum("__n")).cast("double"),
+            6,
+        ).alias("simpson_diversity"),
+    )

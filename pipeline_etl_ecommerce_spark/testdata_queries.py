@@ -5220,3 +5220,132 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ===========================================================================
+# Batch 18 (r2 cont.): corpus-curation additions — DSIR-style importance
+# weights (hashed-n-gram likelihood ratio, Xie et al. 2023), Simpson
+# character-diversity quality signal, winsorized robust statistics.
+# ===========================================================================
+
+_DSIR_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang,
+           list_aggregate(list_transform(generate_series(1, 6),
+                i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                     * CAST(power(16, 6 - i) AS BIGINT)), 'sum') % 64 AS bucket
+    FROM toks
+),
+counts AS (
+    SELECT bucket, COUNT(*) AS raw_count,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS target_count
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(raw_count) AS nr, SUM(target_count) AS nt FROM counts),
+ratio AS (
+    SELECT bucket,
+           ROUND((CAST(target_count + 1 AS DOUBLE) * (CAST(nr AS DOUBLE) + 64.0))
+               / (CAST(raw_count + 1 AS DOUBLE) * (CAST(nt AS DOUBLE) + 64.0)),
+               8) AS bucket_ratio
+    FROM counts, tot
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(bucket_ratio AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*),
+             6) AS importance_weight
+FROM b JOIN ratio USING (bucket)
+GROUP BY b.doc_id
+"""
+
+from .operators.importance import dsir_importance_weights  # noqa: E402
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the corpus with the English slice as
+    the target distribution: hashed-unigram bucket likelihood ratios,
+    broadcast onto the token stream, reduced per doc (see
+    operators/importance.py for the scale + determinism contract). The
+    weight column feeds weighted_doc_sample's A-ES top-k to complete the
+    select-by-resampling loop."""
+    return dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", F.col("lang") == "en"
+    )
+
+
+_CHAR_DIVERSITY_SQL = """
+WITH chars AS (
+    SELECT doc_id,
+           substr(lower(text), i, 1) AS gram
+    FROM documents,
+         LATERAL unnest(generate_series(1, greatest(length(text), 1))) AS t(i)
+),
+per AS (
+    SELECT doc_id, gram, COUNT(*) AS n FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_chars_total,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE),
+             6) AS simpson_diversity
+FROM per
+GROUP BY doc_id
+"""
+
+from .operators.textstats import char_diversity  # noqa: E402
+
+
+@register("doc_char_diversity", _CHAR_DIVERSITY_SQL)
+def doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity (Simpson index) quality signal — the
+    low-diversity tail is padding/separator junk that length ratios miss.
+    Integer arithmetic until one final division, so engine-exact without
+    the log() entropy form (operators/textstats.char_diversity)."""
+    return char_diversity(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_WINSORIZED_SQL = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+thresholds AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rk = CAST(ceil(0.05 * n) AS BIGINT) THEN l_extendedprice END) AS p_lo,
+           MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN l_extendedprice END) AS p_hi
+    FROM ranked GROUP BY l_returnflag
+),
+clipped AS (
+    SELECT l.l_returnflag, t.p_lo, t.p_hi,
+           CAST(least(greatest(l.l_extendedprice, t.p_lo), t.p_hi) AS DECIMAL(18,2)) AS w
+    FROM lineitem l JOIN thresholds t USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(p_lo) AS p_lo,
+       MAX(p_hi) AS p_hi,
+       CAST(ROUND(SUM(w), 2) AS DOUBLE) AS winsorized_sum,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+FROM clipped
+GROUP BY l_returnflag
+"""
+
+
+@register("winsorized_price_stats", _WINSORIZED_SQL)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust revenue statistics: extended price winsorized at the
+    per-returnflag nearest-rank [p05, p95], then DECIMAL-summed. The
+    one-row-per-group threshold table broadcasts back onto the fact — two
+    passes, no quadratic step (operators/stats.winsorized_stats)."""
+    from .operators.stats import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )

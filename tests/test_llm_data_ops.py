@@ -367,3 +367,63 @@ def test_random_projection_matches_signature_signs_and_no_shuffle(spark):
 
     # map-side only: a projection must never shuffle
     assert "Exchange" not in proj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_char_diversity_known_values(spark):
+    from pipeline_etl_ecommerce_spark.operators.textstats import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "AaAa")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_diversity(df, "text", "doc_id").collect()}
+    # "aaaa": one symbol -> zero diversity
+    assert got[1]["distinct_chars"] == 1 and got[1]["simpson_diversity"] == 0.0
+    # "abcd": uniform over 4 -> 1 - 4*(1/16) = 0.75
+    assert got[2]["distinct_chars"] == 4 and got[2]["simpson_diversity"] == 0.75
+    # lowercased before counting
+    assert got[3]["distinct_chars"] == 1 and got[3]["n_chars_total"] == 4
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from pipeline_etl_ecommerce_spark.operators.importance import (
+        dsir_importance_weights,
+    )
+
+    target_tok = "alpha beta gamma delta"
+    rows = (
+        # target slice: repeated target vocabulary
+        [(i, target_tok, "en") for i in range(1, 6)]
+        # raw-only vocabulary
+        + [(i, "zork quux blarg frotz", "de") for i in range(6, 11)]
+        # one raw doc written in the target vocabulary
+        + [(11, target_tok, "de")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["importance_weight"]
+        for r in dsir_importance_weights(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    # the raw doc that looks like the target outweighs every raw-only doc
+    assert got[11] > got[6]
+    # and matches the target docs' own weight (identical token bag)
+    assert got[11] == got[1]
+    # weights are likelihood ratios: target-like > 1-ish > raw-only
+    assert got[6] < 1.0
+
+
+def test_dsir_weights_deterministic_across_partitioning(spark):
+    from pipeline_etl_ecommerce_spark.operators.importance import (
+        dsir_importance_weights,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 5} shared common words", "en" if i % 3 == 0 else "xx")
+            for i in range(1, 40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(8)
+    w1 = {r["doc_id"]: r["importance_weight"]
+          for r in dsir_importance_weights(df1, "text", "doc_id", F.col("lang") == "en").collect()}
+    w8 = {r["doc_id"]: r["importance_weight"]
+          for r in dsir_importance_weights(df8, "text", "doc_id", F.col("lang") == "en").collect()}
+    assert w1 == w8

@@ -105,3 +105,18 @@ def test_edit_distance_pairs_blocking_and_threshold(spark):
         prefix_len=60, max_dist=5,
     ).collect()
     assert [(r.doc_a, r.doc_b, r.edit_dist) for r in out] == [(1, 2, 2)]
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from pipeline_etl_ecommerce_spark.operators.stats import winsorized_stats
+
+    # group "a": 1..19 plus a 10_000 outlier; nearest-rank p05 (rank 1) = 1,
+    # p95 (rank 19) = 19 -> the outlier clips to 19
+    rows = [("a", float(v)) for v in range(1, 20)] + [("a", 10_000.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = winsorized_stats(df, ["g"], "x").collect()[0]
+    assert got["n"] == 20
+    assert got["p_lo"] == 1.0 and got["p_hi"] == 19.0
+    expected_sum = float(sum(range(1, 20)) + 19)
+    assert got["winsorized_sum"] == expected_sum
+    assert got["winsorized_mean"] == round(expected_sum / 20, 6)
