@@ -2646,38 +2646,45 @@ from .operators.clustering import (  # noqa: E402
 from .operators.similarity import _dvec  # noqa: E402
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(
+    k: int, iters: int, *, vec_sql: str = "embedding", pfx: str = ""
+) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs mirroring
     ``operators.clustering`` step for step (same init, same 6dp-rounded
-    argmin with cid tie-break, same DECIMAL-sum/9dp-rounded means)."""
+    argmin with cid tie-break, same DECIMAL-sum/9dp-rounded means).
+    ``vec_sql`` picks the vector expression over `embeddings` (a
+    ``list_slice`` trains a per-subspace PQ codebook); ``pfx`` namespaces
+    the CTEs so several trainings compose in one query."""
     d2 = (
-        "ROUND(list_aggregate(list_transform(list_zip(vv.vec, c.cvec),"
+        f"ROUND(list_aggregate(list_transform(list_zip({pfx}vv.vec, c.cvec),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)"
     )
     parts = [
-        "vv AS (SELECT vec_id AS _vid,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
-        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY _vid) - 1 AS INTEGER) AS cid,"
-        f" vec AS cvec FROM (SELECT _vid, vec FROM vv ORDER BY _vid LIMIT {k}))",
+        f"{pfx}vv AS (SELECT vec_id AS _vid,"
+        f" list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"{pfx}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY _vid) - 1 AS INTEGER) AS cid,"
+        f" vec AS cvec FROM (SELECT _vid, vec FROM {pfx}vv ORDER BY _vid LIMIT {k}))",
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{pfx}c{it - 1}"
         parts.append(
-            f"a{it} AS (SELECT _vid, vec, cid, d2 FROM ("
+            f"{pfx}a{it} AS (SELECT _vid, vec, cid, d2 FROM ("
             f" SELECT *, ROW_NUMBER() OVER (PARTITION BY _vid ORDER BY d2, cid) AS rn"
-            f" FROM (SELECT vv._vid, vv.vec, c.cid, {d2} AS d2 FROM vv, {prev} c))"
+            f" FROM (SELECT {pfx}vv._vid, {pfx}vv.vec, c.cid, {d2} AS d2"
+            f" FROM {pfx}vv, {prev} c))"
             f" WHERE rn = 1)"
         )
         if it < iters:
             parts.append(
-                f"m{it} AS (SELECT cid, i - 1 AS pos,"
+                f"{pfx}m{it} AS (SELECT cid, i - 1 AS pos,"
                 f" ROUND(CAST(SUM(CAST(vec[i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS m"
-                f" FROM a{it}, unnest(generate_series(1, len(vec))) AS u(i) GROUP BY cid, i)"
+                f" FROM {pfx}a{it}, unnest(generate_series(1, len(vec))) AS u(i) GROUP BY cid, i)"
             )
             parts.append(
-                f"c{it} AS (SELECT c{it - 1}.cid, COALESCE(n.nv, c{it - 1}.cvec) AS cvec"
-                f" FROM c{it - 1} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nv"
-                f" FROM m{it} GROUP BY cid) n USING (cid))"
+                f"{pfx}c{it} AS (SELECT {pfx}c{it - 1}.cid,"
+                f" COALESCE(n.nv, {pfx}c{it - 1}.cvec) AS cvec"
+                f" FROM {pfx}c{it - 1} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nv"
+                f" FROM {pfx}m{it} GROUP BY cid) n USING (cid))"
             )
     return "WITH " + ",\n".join(parts)
 
@@ -5348,4 +5355,105 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winsorized_stats(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+
+
+# ===========================================================================
+# Batch 19 (r2 cont.): product quantization — the memory layer of IVF-PQ.
+# Two 32-dim subspaces, one pinned Lloyd's codebook each (the oracle
+# replays both trainings via the namespaced CTE generator), ADC top-3.
+# ===========================================================================
+
+_PQ_M, _PQ_K, _PQ_TOPK = 2, 8, 3
+
+_PQ_SQL = (
+    _kmeans_ctes(_PQ_K, _KMEANS_ITERS, vec_sql="list_slice(embedding, 1, 32)", pfx="s0_")
+    + ",\n"
+    + _kmeans_ctes(
+        _PQ_K, _KMEANS_ITERS, vec_sql="list_slice(embedding, 33, 64)", pfx="s1_"
+    )[len("WITH ") :]
+    + f""",
+codes AS (
+    SELECT _vid, 0 AS sub, cid AS code FROM s0_a{_KMEANS_ITERS}
+    UNION ALL
+    SELECT _vid, 1 AS sub, cid AS code FROM s1_a{_KMEANS_ITERS}
+),
+books AS (
+    SELECT 0 AS sub, cid, cvec FROM s0_c{_KMEANS_ITERS - 1}
+    UNION ALL
+    SELECT 1 AS sub, cid, cvec FROM s1_c{_KMEANS_ITERS - 1}
+),
+qsubs AS (
+    SELECT _vid AS query_id, 0 AS sub, vec AS qv FROM s0_vv WHERE _vid < 10
+    UNION ALL
+    SELECT _vid AS query_id, 1 AS sub, vec AS qv FROM s1_vv WHERE _vid < 10
+),
+dtable AS (
+    SELECT q.query_id, b.sub, b.cid AS code,
+           ROUND(list_aggregate(list_transform(list_zip(q.qv, b.cvec),
+                                               p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                'sum'), 6) AS sub_dist
+    FROM qsubs q JOIN books b ON b.sub = q.sub
+),
+scored AS (
+    SELECT d.query_id, c._vid AS cand_id, ROUND(SUM(sub_dist), 6) AS adc_dist
+    FROM codes c JOIN dtable d ON d.sub = c.sub AND d.code = c.code
+    WHERE c._vid <> d.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rnk
+    FROM scored
+) WHERE rnk <= {_PQ_TOPK}
+"""
+)
+
+from .operators.pq import pq_adc_topk, pq_codebooks, pq_encode  # noqa: E402
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "pq_codebooks_m2k8i2",
+        lambda: pq_codebooks(
+            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+            m=_PQ_M, k=_PQ_K, iters=_KMEANS_ITERS, dim=64,
+        ),
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "pq_codes_m2k8i2",
+        lambda: pq_encode(
+            _t(spark, sf_dir, "embeddings"),
+            _pq_codebooks(spark, sf_dir),
+            "embedding",
+            "vec_id",
+            m=_PQ_M,
+            dim=64,
+        ),
+    )
+
+
+@register("pq_adc_top3", _PQ_SQL)
+def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011): per-subspace pinned
+    Lloyd's codebooks + 2-byte codes mart + ADC top-3 for the same query
+    set as the IVF/KNN family. The float corpus never enters the search
+    plan — only the codes mart and a broadcast distance table (see
+    operators/pq.py for the 100 TB contract). Codebooks + codes are
+    session side tables, the persisted-mart pattern."""
+    return pq_adc_topk(
+        _pq_codes(spark, sf_dir),
+        _pq_codebooks(spark, sf_dir),
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10),
+        "embedding",
+        "vec_id",
+        m=_PQ_M,
+        k=_PQ_TOPK,
+        dim=64,
     )

@@ -83,3 +83,54 @@ def test_delta_assignment_matches_training(blobs, spark):
     out = {r["vec_id"]: r["cluster_id"] for r in assign_to_centroids(new, cents, "embedding", "vec_id").collect()}
     blob_of = {r["vec_id"] % 2: r["cluster_id"] for r in kmeans_assign(blobs, "embedding", "vec_id", k=2, iters=3).collect()}
     assert out[100] == blob_of[0] and out[101] == blob_of[1]
+
+
+@pytest.fixture(scope="module")
+def quad_blobs(spark):
+    # 4-dim vectors whose two 2-dim HALVES each form two separated blobs —
+    # the product structure PQ exploits: 2x2 = 4 joint regions from two
+    # k=2 codebooks
+    rows = []
+    for i in range(24):
+        lo = [0.0 + (i % 3) * 0.01, 0.1] if i % 2 == 0 else [10.0, 10.0 + (i % 3) * 0.01]
+        hi = [0.0, 0.2 + (i % 2) * 0.01] if i % 4 < 2 else [20.0 + (i % 3) * 0.01, 20.0]
+        rows.append((i, lo + hi))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codes_recover_product_structure(quad_blobs):
+    from pipeline_etl_ecommerce_spark.operators.pq import pq_codebooks, pq_encode
+
+    books = pq_codebooks(quad_blobs, "embedding", "vec_id", m=2, k=2, iters=3, dim=4)
+    assert books.count() == 4  # 2 subspaces x k=2
+    codes = pq_encode(quad_blobs, books, "embedding", "vec_id", m=2, dim=4).collect()
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    # same half-blob -> same code within each subspace, different blobs differ
+    assert by_vec[0][0] == by_vec[2][0] and by_vec[0][0] != by_vec[1][0]
+    assert by_vec[0][1] == by_vec[1][1] and by_vec[0][1] != by_vec[2][1]
+
+
+def test_pq_adc_ranks_own_region_first(quad_blobs):
+    from pipeline_etl_ecommerce_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(quad_blobs, "embedding", "vec_id", m=2, k=2, iters=3, dim=4)
+    codes = pq_encode(quad_blobs, books, "embedding", "vec_id", m=2, dim=4)
+    queries = quad_blobs.filter("vec_id < 4")
+    got = pq_adc_topk(codes, books, queries, "embedding", "vec_id", m=2, k=3, dim=4)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    # top-ranked neighbors share BOTH codes with the query (distance 0 in
+    # the quantized space) and never include the query itself
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
+    for r in rows:
+        assert r["cand_id"] != r["query_id"]
+        if r["rnk"] == 1:
+            assert code_map[r["cand_id"]] == code_map[r["query_id"]]
