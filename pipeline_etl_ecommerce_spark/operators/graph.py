@@ -1,0 +1,74 @@
+"""Iterative link analysis over pair tables — PageRank on the undirected
+similarity graph the dedup family already produces (verified near-dup
+pairs). Centrality picks the canonical representative of a duplicate
+cluster by how CONNECTED a doc is, a step up from min-id or max-quality
+when clusters are large and chainy.
+
+Distributed shape per iteration (the standard Pregel-style PageRank):
+one equi-join of the rank vector onto the edge list + one groupBy(dst)
+with map-side partial aggregation — no driver-side state, no collect.
+Degrees and ranks are node-sized tables co-partitioned with the edges by
+the join key. For long chains, checkpoint between rounds; the catalog
+runs a fixed small round count so plain lineage is fine.
+
+Cross-engine determinism: floating-point PageRank rounds each rank per
+iteration, and a rank landing on an exact decimal .5 boundary rounds
+differently across engines (first attempt measured 2e-9 divergences).
+So ranks here are FIXED-POINT integers in 1e-9 units: uniform start
+``SCALE div n``, per-edge contribution ``r div deg``, damped update
+``(3·SCALE) div (20·n) + (17·Σc) div 20`` (0.15 and 0.85 as exact
+rationals). Every operation is integer floor-division and integer
+summation — associative, order-independent, and bit-identical on any
+engine. The per-round truncation bias (< 1e-9 per term) is irrelevant
+for a centrality ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # fixed-point unit: 1e-9
+
+
+def pagerank_undirected(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    iters: int = 3,
+    id_out: str = "node_id",
+) -> DataFrame:
+    """PageRank (damping 0.85) over an undirected pair list (each pair
+    becomes two directed edges). Returns ``(id_out, pagerank_e9)`` —
+    the rank in integer 1e-9 units — for every node that appears in a
+    pair, after ``iters`` damped power-iteration rounds from the uniform
+    start. Isolated docs never enter the graph — handle them upstream
+    (they keep themselves as canonical)."""
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").alias("n"))
+    rank = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("r"),
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(rank, edges.src == rank.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        rank = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                F.expr(f"CAST({3 * SCALE} AS BIGINT) div (20 * n) + (17 * sc) div 20").alias("r"),
+            )
+        )
+    return rank.select(F.col("node").alias(id_out), F.col("r").alias("pagerank_e9"))

@@ -5457,3 +5457,61 @@ def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_TOPK,
         dim=64,
     )
+
+
+# ===========================================================================
+# Batch 20 (r2 cont.): PageRank centrality over the verified near-dup
+# graph — 3 damped power-iteration rounds, unrolled in the oracle.
+# ===========================================================================
+
+def _pagerank_rounds_sql(iters: int) -> str:
+    # fixed-point integer rounds (see operators/graph.py): 0.15 = 3/20,
+    # 0.85 = 17/20, all floor division — no float rounding anywhere
+    rounds = []
+    for it in range(1, iters + 1):
+        prev = f"r{it - 1}"
+        rounds.append(
+            f"r{it} AS (SELECT e.dst AS node,"
+            f" (3000000000 // (20 * (SELECT n FROM nn)))"
+            f" + (17 * SUM(r.r // d.deg)) // 20 AS r"
+            f" FROM edges e JOIN {prev} r ON r.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    return ",\n".join(rounds)
+
+
+_PAGERANK_ITERS = 3
+
+_PAGERANK_SQL = f"""
+WITH vpairs AS (
+    SELECT doc_a, doc_b FROM (
+{_VERIFIED_PAIRS_SQL}
+    ) vsub
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM vpairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1000000000 // (SELECT n FROM nn) AS r FROM deg),
+{_pagerank_rounds_sql(_PAGERANK_ITERS)}
+SELECT node AS doc_id, CAST(r AS BIGINT) AS pagerank_e9 FROM r{_PAGERANK_ITERS}
+"""
+
+from .operators.graph import pagerank_undirected  # noqa: E402
+
+
+@register("near_dup_pagerank", _PAGERANK_SQL)
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based canonical selection signal: PageRank over the
+    verified near-dup pair graph (3 damped rounds; see operators/graph.py
+    for the per-round one-join-one-groupBy shape and the FIXED-POINT
+    integer arithmetic the oracle unrolls — float ranks hit 9dp rounding
+    ties between engines, integer 1e-9 units cannot). Reads the shared
+    verified-pairs side table like the components family."""
+    return pagerank_undirected(
+        _verified_pairs(spark, sf_dir), "doc_a", "doc_b",
+        iters=_PAGERANK_ITERS, id_out="doc_id",
+    )

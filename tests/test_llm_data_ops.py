@@ -427,3 +427,22 @@ def test_dsir_weights_deterministic_across_partitioning(spark):
     w8 = {r["doc_id"]: r["importance_weight"]
           for r in dsir_importance_weights(df8, "text", "doc_id", F.col("lang") == "en").collect()}
     assert w1 == w8
+
+
+def test_pagerank_hub_outranks_leaves_and_is_layout_independent(spark):
+    from pipeline_etl_ecommerce_spark.operators.graph import pagerank_undirected
+
+    # star: 0 connected to 1..5, plus an isolated pair (10, 11)
+    pairs = [(0, v) for v in range(1, 6)] + [(10, 11)]
+    df1 = spark.createDataFrame(pairs, "doc_a long, doc_b long").repartition(1)
+    df7 = spark.createDataFrame(pairs, "doc_a long, doc_b long").repartition(7)
+    r1 = {r["node_id"]: r["pagerank_e9"]
+          for r in pagerank_undirected(df1, "doc_a", "doc_b", iters=3).collect()}
+    r7 = {r["node_id"]: r["pagerank_e9"]
+          for r in pagerank_undirected(df7, "doc_a", "doc_b", iters=3).collect()}
+    assert r1 == r7  # integer fixed-point: bit-identical under any layout
+    assert r1[0] > r1[1]  # hub beats leaf
+    assert r1[1] == r1[5]  # symmetric leaves tie exactly
+    assert r1[10] == r1[11]
+    # total mass stays ~1 (floor-truncation loses < n * 2e-9)
+    assert abs(sum(r1.values()) - 1_000_000_000) < 100
