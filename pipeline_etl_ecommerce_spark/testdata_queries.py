@@ -5515,3 +5515,49 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verified_pairs(spark, sf_dir), "doc_a", "doc_b",
         iters=_PAGERANK_ITERS, id_out="doc_id",
     )
+
+
+# DSIR capstone: the full select-by-resampling loop — importance weights
+# feed the A-ES weighted sampler, so the selected corpus is distributed
+# like the target (Xie et al. 2023's estimator end to end).
+_DSIR_SELECT_SQL = f"""
+WITH dsirw AS (
+    SELECT * FROM (
+{_DSIR_SQL}
+    ) dsub
+),
+hashed AS (
+    SELECT doc_id, importance_weight,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM dsirw
+),
+u AS (
+    SELECT doc_id, importance_weight,
+           (list_aggregate(list_transform(generate_series(1, 8),
+                i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+                     * CAST(power(16, 8 - i) AS BIGINT)), 'sum') + 1.0)
+           / (power(16, 8) + 1.0) AS u
+    FROM hashed
+)
+SELECT doc_id, importance_weight,
+       ROUND(power(u, 1.0 / importance_weight), 9) AS sample_score
+FROM u
+ORDER BY sample_score DESC, doc_id
+LIMIT 60
+"""
+
+
+@register("dsir_selected_corpus", _DSIR_SELECT_SQL)
+def dsir_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end to end: hashed-n-gram importance weights (target = the
+    English slice) drive Efraimidis-Spirakis weighted sampling without
+    replacement — selection probability proportional to the target/raw
+    likelihood ratio, the paper's resampling estimator as one composed
+    plan (map-only scoring over the weight table, TakeOrderedAndProject
+    global top-k)."""
+    w = dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", F.col("lang") == "en"
+    )
+    return weighted_sample_topk(w, "importance_weight", "doc_id", k=60).select(
+        "doc_id", "importance_weight", "sample_score"
+    )
