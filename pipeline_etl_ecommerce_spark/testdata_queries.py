@@ -5561,3 +5561,67 @@ def dsir_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(w, "importance_weight", "doc_id", k=60).select(
         "doc_id", "importance_weight", "sample_score"
     )
+
+
+# ===========================================================================
+# Batch 21 (r2 cont.): distributed BPE vocabulary training — the merge
+# loop over the vocab-sized word-frequency table, unrolled in the oracle.
+# ===========================================================================
+
+def _bpe_ctes(rounds: int) -> str:
+    """Unrolled BPE training rounds mirroring ``operators.bpe`` step for
+    step: same ``|sym `` marker encoding, same non-overlapping replace
+    merge, same (count desc, left, right) argmax."""
+    parts = [
+        "wf AS (SELECT w AS word, COUNT(*) AS cnt FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE w <> '' GROUP BY w)",
+        "w0 AS (SELECT cnt, array_to_string(list_transform("
+        "generate_series(1, length(word)), i -> '|' || substr(word, i, 1) || ' '),"
+        " '') AS s FROM wf)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"sy{r} AS (SELECT cnt, list_transform(list_filter(string_split(s, '|'),"
+            f" x -> x <> ''), x -> rtrim(x)) AS sym FROM w{r - 1})"
+        )
+        parts.append(
+            f"p{r} AS (SELECT pr[1] AS lft, pr[2] AS rgt, SUM(cnt) AS c FROM"
+            f" (SELECT cnt, unnest(list_transform(generate_series(1, len(sym) - 1),"
+            f" i -> [sym[i], sym[i + 1]])) AS pr FROM sy{r}) GROUP BY 1, 2)"
+        )
+        parts.append(f"b{r} AS (SELECT lft, rgt, c FROM p{r} ORDER BY c DESC, lft, rgt LIMIT 1)")
+        if r < rounds:
+            parts.append(
+                f"w{r} AS (SELECT cnt, replace(s,"
+                f" '|' || (SELECT lft FROM b{r}) || ' |' || (SELECT rgt FROM b{r}) || ' ',"
+                f" '|' || (SELECT lft FROM b{r}) || (SELECT rgt FROM b{r}) || ' ') AS s"
+                f" FROM w{r - 1})"
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_ROUNDS = 6
+
+_BPE_SQL = (
+    _bpe_ctes(_BPE_ROUNDS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, lft AS \"left\", rgt AS \"right\","
+        f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+from .operators.bpe import learn_bpe_merges  # noqa: E402
+
+
+@register("bpe_merge_table", _BPE_SQL)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) as DataFrame rounds:
+    the corpus collapses to its vocab-sized word-frequency table, then
+    each round is one pair-count groupBy + a one-row argmax that
+    BROADCASTS into a marker-string replace — no driver-side corpus
+    state, integer counts only (see operators/bpe.py). The oracle unrolls
+    all six rounds."""
+    return learn_bpe_merges(_t(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS)

@@ -446,3 +446,40 @@ def test_pagerank_hub_outranks_leaves_and_is_layout_independent(spark):
     assert r1[10] == r1[11]
     # total mass stays ~1 (floor-truncation loses < n * 2e-9)
     assert abs(sum(r1.values()) - 1_000_000_000) < 100
+
+
+def test_bpe_learns_classic_merges_and_tokenizes(spark):
+    from pipeline_etl_ecommerce_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    rows = sorted(learn_bpe_merges(df, "text", rounds=5).collect(), key=lambda r: r["round"])
+    merges = [(r["left"], r["right"]) for r in rows]
+    # 'low' appears 5x (+1 in lower/lowest=7 words containing l-o): l+o
+    # then lo+w win the first two rounds
+    assert merges[0] == ("l", "o") and merges[1] == ("lo", "w")
+    assert rows[0]["pair_count"] == 5 and all(r["pair_count"] >= 1 for r in rows)
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe_merges(df, merges, "text", "doc_id").collect()
+    }
+    # full words that reached a single symbol tokenize to one token, and
+    # token order follows word order
+    assert toks[1][:2] == ["low", "low"]
+    assert "new" in toks[2] and toks[2].count("new") == 4
+
+
+def test_bpe_merge_is_leftmost_nonoverlapping(spark):
+    from pipeline_etl_ecommerce_spark.operators.bpe import learn_bpe_merges
+
+    # 'aaa': the a+a merge must apply leftmost-greedy (aa, a) — round 2's
+    # top pair is then (aa, a), never an overlapping re-merge inside round 1
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    rows = sorted(learn_bpe_merges(df, "text", rounds=2).collect(), key=lambda r: r["round"])
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "a")
+    assert (rows[1]["left"], rows[1]["right"]) == ("aa", "a")
