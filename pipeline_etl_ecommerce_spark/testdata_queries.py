@@ -5136,7 +5136,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NATION_PROFIT_SQL = """
 SELECT n.n_name AS nation,
-       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
        CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                           * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
                       - CAST(p.p_retailprice AS DECIMAL(12,2))

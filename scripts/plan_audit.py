@@ -53,6 +53,11 @@ ALLOWED_NESTED_LOOP = {
     "watermark_d3_events",    # scalar max-date broadcast (the D-3 anchor)
     "insert_if_absent_users", # null-safe anti vs a broadcast dim key set
     "rolling_weekly_active_users",  # broadcast day-spine range join, <= 7 matches/row
+    "dsir_importance_weights",  # scalar corpus-total broadcast onto the bucket table
+    "dsir_selected_corpus",     # same scalar broadcast via the weight table
+    "pq_adc_top3",              # m*k codebook rows broadcast (kmeans-family pattern)
+    "near_dup_pagerank",        # one-row node-count broadcast per iteration
+    "bpe_merge_table",          # one-row argmax merge rule broadcast per round
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
