@@ -5625,3 +5625,155 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, integer counts only (see operators/bpe.py). The oracle unrolls
     all six rounds."""
     return learn_bpe_merges(_t(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS)
+
+
+# ===========================================================================
+# Batch 22 (r2 cont.): the last path-level sink rows EXECUTED under the
+# value hash — S11 append, S13 truncate+reload, S16 partitioned BI mart
+# each run against a real temp mart inside the callable (the same
+# executed-artifact pattern as the streaming_* queries).
+# ===========================================================================
+
+_SINK_APPEND_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+       CAST(SUM(CASE WHEN batch = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
+FROM (
+    SELECT p_brand, 1 AS batch FROM part WHERE p_size <= 25
+    UNION ALL
+    SELECT p_brand, 2 AS batch FROM part WHERE p_size > 20
+)
+GROUP BY p_brand
+"""
+
+
+@register("sink_append_roundtrip", _SINK_APPEND_SQL)
+def sink_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 EXECUTED: two overlapping slices appended to one parquet mart
+    (``append_to_path``), read back and aggregated — append semantics are
+    bag semantics, so the p_size 21..25 overlap must appear once per
+    batch. The oracle is the same bag union computed directly."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import append_to_path
+
+    p = _t(spark, sf_dir, "part")
+    base = _tempfile.mkdtemp(prefix="sink_append_")
+    target = os.path.join(base, "mart")
+    try:
+        append_to_path(
+            p.filter(F.col("p_size") <= 25).select("p_brand", F.lit(1).alias("batch")),
+            target,
+        )
+        append_to_path(
+            p.filter(F.col("p_size") > 20).select("p_brand", F.lit(2).alias("batch")),
+            target,
+        )
+        return (
+            spark.read.parquet(target)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("batch") == 1, 1).otherwise(0)).alias("n_b1"),
+                F.sum(F.when(F.col("batch") == 2, 1).otherwise(0)).alias("n_b2"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+_SINK_RELOAD_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("sink_truncate_reload", _SINK_RELOAD_SQL)
+def sink_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 EXECUTED: the mart is first loaded with a WRONG slice (half the
+    rows, balances zeroed), then truncate+reloaded with the real table
+    (``overwrite_path``); the read-back aggregate must equal the clean
+    batch aggregate — proving the overwrite replaced, not merged."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import overwrite_path
+
+    c = _t(spark, sf_dir, "customer")
+    base = _tempfile.mkdtemp(prefix="sink_reload_")
+    target = os.path.join(base, "mart")
+    try:
+        overwrite_path(
+            c.filter(F.col("c_custkey") % 2 == 0).withColumn("c_acctbal", F.lit(0.0)),
+            target,
+        )
+        overwrite_path(c, target)
+        return (
+            spark.read.parquet(target)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+_SINK_BI_SQL = """
+SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-03-01'
+GROUP BY 1, 2
+"""
+
+
+@register("sink_partitioned_bi_mart", _SINK_BI_SQL)
+def sink_partitioned_bi_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 EXECUTED: a date-partitioned BI mart written with
+    ``append_to_path(partition_by=["order_date"])``, then read back
+    through a partition-PRUNED scan (two months' directories only). The
+    value hash proves the partition column round-trips through the
+    directory encoding and the pruned read sees every row."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import append_to_path
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    base = _tempfile.mkdtemp(prefix="sink_bi_")
+    target = os.path.join(base, "mart")
+    try:
+        append_to_path(
+            o.select("order_date", "o_orderstatus", "o_totalprice"),
+            target,
+            partition_by=["order_date"],
+        )
+        return (
+            spark.read.parquet(target)
+            .filter(
+                (F.col("order_date") >= F.lit("1998-01-01").cast("date"))
+                & (F.col("order_date") < F.lit("1998-03-01").cast("date"))
+            )
+            .groupBy("order_date", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
