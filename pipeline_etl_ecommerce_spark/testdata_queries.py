@@ -5777,3 +5777,57 @@ def sink_partitioned_bi_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# T7 EXECUTED: a 5-day backfill drives the daily batch transform through
+# the runner's date loop into a keyed-upsert mart — run TWICE, because
+# the whole point of T7 is idempotent convergence (a re-run of any slice
+# of history must not change the mart). Oracle = the plain batch rollup
+# of those days.
+_BACKFILL_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-03' AND CAST(ts AS DATE) <= DATE '2024-01-07'
+GROUP BY 1, 2
+"""
+
+
+@register("backfill_daily_rollup", _BACKFILL_SQL)
+def backfill_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 EXECUTED: ``streaming.runner.backfill`` reprocesses
+    2024-01-03..07 day by day (each day one pruned batch transform) into
+    an upsert mart keyed on (event_date, event_type), twice over — the
+    second pass must converge to the identical mart, which must equal
+    the one-shot batch rollup the oracle computes."""
+    import datetime as _dt
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import upsert_to_path
+    from .streaming.runner import backfill
+
+    ev = _events(spark, sf_dir)
+    base = _tempfile.mkdtemp(prefix="backfill_")
+    target = os.path.join(base, "mart")
+
+    def run_day(d: _dt.date) -> DataFrame:
+        return (
+            ev.filter(F.col("event_date") == F.lit(d))
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    days = [_dt.date(2024, 1, 3) + _dt.timedelta(days=i) for i in range(5)]
+    try:
+        backfill(days, run_day, lambda df: upsert_to_path(df, target, ["event_date", "event_type"]))
+        backfill(days, run_day, lambda df: upsert_to_path(df, target, ["event_date", "event_type"]))
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
