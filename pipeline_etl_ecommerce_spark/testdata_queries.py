@@ -5572,28 +5572,35 @@ def _bpe_ctes(rounds: int) -> str:
     """Unrolled BPE training rounds mirroring ``operators.bpe`` step for
     step: same ``|sym `` marker encoding, same non-overlapping replace
     merge, same (count desc, left, right) argmax."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # b{r} scalar subqueries nested inside later rounds' replace() would
+    # otherwise re-evaluate the whole training tree exponentially (the
+    # apply oracle went from minutes to <1s with materialization)
     parts = [
-        "wf AS (SELECT w AS word, COUNT(*) AS cnt FROM"
+        "wf AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM"
         " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
         " WHERE w <> '' GROUP BY w)",
-        "w0 AS (SELECT cnt, array_to_string(list_transform("
+        "w0 AS MATERIALIZED (SELECT cnt, array_to_string(list_transform("
         "generate_series(1, length(word)), i -> '|' || substr(word, i, 1) || ' '),"
         " '') AS s FROM wf)",
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"sy{r} AS (SELECT cnt, list_transform(list_filter(string_split(s, '|'),"
+            f"sy{r} AS MATERIALIZED (SELECT cnt, list_transform(list_filter(string_split(s, '|'),"
             f" x -> x <> ''), x -> rtrim(x)) AS sym FROM w{r - 1})"
         )
         parts.append(
-            f"p{r} AS (SELECT pr[1] AS lft, pr[2] AS rgt, SUM(cnt) AS c FROM"
+            f"p{r} AS MATERIALIZED (SELECT pr[1] AS lft, pr[2] AS rgt, SUM(cnt) AS c FROM"
             f" (SELECT cnt, unnest(list_transform(generate_series(1, len(sym) - 1),"
             f" i -> [sym[i], sym[i + 1]])) AS pr FROM sy{r}) GROUP BY 1, 2)"
         )
-        parts.append(f"b{r} AS (SELECT lft, rgt, c FROM p{r} ORDER BY c DESC, lft, rgt LIMIT 1)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT lft, rgt, c FROM p{r}"
+            f" ORDER BY c DESC, lft, rgt LIMIT 1)"
+        )
         if r < rounds:
             parts.append(
-                f"w{r} AS (SELECT cnt, replace(s,"
+                f"w{r} AS MATERIALIZED (SELECT cnt, replace(s,"
                 f" '|' || (SELECT lft FROM b{r}) || ' |' || (SELECT rgt FROM b{r}) || ' ',"
                 f" '|' || (SELECT lft FROM b{r}) || (SELECT rgt FROM b{r}) || ' ') AS s"
                 f" FROM w{r - 1})"
@@ -5831,3 +5838,60 @@ def backfill_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+def _bpe_apply_sql(rounds: int) -> str:
+    """Apply the learned merges (scalar subqueries from the b{r} CTEs) to
+    every corpus word, in training order, and count subword tokens."""
+    s = "s"
+    for r in range(1, rounds + 1):
+        s = (
+            f"replace({s}, '|' || (SELECT lft FROM b{r}) || ' |' || (SELECT rgt FROM b{r})"
+            f" || ' ', '|' || (SELECT lft FROM b{r}) || (SELECT rgt FROM b{r}) || ' ')"
+        )
+    return f"""
+{_bpe_ctes(rounds)},
+dw AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+enc AS MATERIALIZED (
+    SELECT doc_id, array_to_string(list_transform(generate_series(1, length(w)),
+        i -> '|' || substr(w, i, 1) || ' '), '') AS s
+    FROM dw
+),
+ap AS MATERIALIZED (SELECT doc_id, {s} AS s FROM enc)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(s) - length(replace(s, '|', ''))) AS BIGINT) AS n_subwords
+FROM ap GROUP BY doc_id
+"""
+
+
+_BPE_TOKENIZE_SQL = _bpe_apply_sql(_BPE_ROUNDS)
+
+from .operators.bpe import apply_bpe_merges  # noqa: E402
+
+
+@register("bpe_tokenized_docs", _BPE_TOKENIZE_SQL)
+def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer SHIPPING path: the 6-row learned merge table is
+    collected once (the model artifact — exactly what a tokenizer deploy
+    does) and baked into a map-only codegen replace chain over the
+    corpus; output is per-doc word and subword-token counts. The oracle
+    re-learns AND re-applies the merges entirely in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(
+            learn_bpe_merges(d, "text", rounds=_BPE_ROUNDS).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    toks = apply_bpe_merges(d, merges, "text", "doc_id")
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+    return (
+        d.select("doc_id", n_words.cast("long").alias("n_words"))
+        .join(toks, "doc_id")
+        .select("doc_id", "n_words", F.size("tokens").cast("long").alias("n_subwords"))
+    )
