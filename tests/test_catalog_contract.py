@@ -42,7 +42,11 @@ def test_oracle_sql_mentions_only_known_tables():
 
     known = set(TESTDATA_TABLES)
     for name, sql in tq.oracle_sql().items():
-        ctes = set(re.findall(r"(\w+)\s*(?:\([\w, ]*\))?\s+AS\s*\(", sql, re.IGNORECASE))
+        ctes = set(
+            re.findall(
+                r"(\w+)\s*(?:\([\w, ]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE
+            )
+        )
         # negative lookbehind: "x IS DISTINCT FROM y" is a predicate, not a scan
         targets = set(
             re.findall(r"(?:(?<!DISTINCT )FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE)
