@@ -5746,33 +5746,36 @@ GROUP BY 1, 2
 
 @register("sink_partitioned_bi_mart", _SINK_BI_SQL)
 def sink_partitioned_bi_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S16 EXECUTED: a date-partitioned BI mart written with
-    ``append_to_path(partition_by=["order_date"])``, then read back
-    through a partition-PRUNED scan (two months' directories only). The
-    value hash proves the partition column round-trips through the
-    directory encoding and the pruned read sees every row."""
+    """S16 EXECUTED: a MONTH-partitioned BI mart (daily data, monthly
+    directories — partitioning on the raw date column made one directory
+    per distinct day, thousands of tiny files and a 32s write at sf0.1;
+    the month grain plus a write-side repartition on the partition column
+    gives one file per directory and ~0.5s) read back through a
+    partition-PRUNED scan (two months' directories). The value hash
+    proves the partition column round-trips through the directory
+    encoding and the pruned read sees every row."""
     import shutil as _shutil
     import tempfile as _tempfile
 
     from .sources.sinks import append_to_path
 
-    o = _t(spark, sf_dir, "orders").withColumn(
-        "order_date", F.col("o_orderdate").cast("date")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("order_date", F.col("o_orderdate").cast("date"))
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
     )
     base = _tempfile.mkdtemp(prefix="sink_bi_")
     target = os.path.join(base, "mart")
     try:
         append_to_path(
-            o.select("order_date", "o_orderstatus", "o_totalprice"),
+            o.select("order_month", "order_date", "o_orderstatus", "o_totalprice")
+            .repartition("order_month"),
             target,
-            partition_by=["order_date"],
+            partition_by=["order_month"],
         )
         return (
             spark.read.parquet(target)
-            .filter(
-                (F.col("order_date") >= F.lit("1998-01-01").cast("date"))
-                & (F.col("order_date") < F.lit("1998-03-01").cast("date"))
-            )
+            .filter(F.col("order_month").isin("1998-01", "1998-02"))
             .groupBy("order_date", "o_orderstatus")
             .agg(
                 F.count("*").alias("n_orders"),
