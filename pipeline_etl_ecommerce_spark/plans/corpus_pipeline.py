@@ -11,6 +11,8 @@ One invocation ingests a document batch and converges every derived mart:
                     └─ token chunks             → sequences mart (per-doc replace)
                         └─ greedy packs         → packs mart
                             └─ shuffle shards   → shards mart (partitioned)
+  DSIR importance weights (target = curated)    → importance_weights mart
+  BPE merge table (trained on curated corpus)   → bpe_merges mart
   dq constraint report + column profile         → reports
 
 Incremental contract: the INPUT is a delta batch. Stages 1-3 do
@@ -32,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.bpe import learn_bpe_merges
 from ..operators.chunking import chunk_documents
 from ..operators.dedupe import (
     connected_components,
@@ -40,6 +43,7 @@ from ..operators.dedupe import (
     update_signature_mart,
     verify_candidate_pairs,
 )
+from ..operators.importance import dsir_importance_weights
 from ..operators.dq import check_not_null, check_unique, dq_report
 from ..operators.packing import assemble_packs, pack_sequences
 from ..operators.sharding import shuffle_shards
@@ -171,7 +175,25 @@ def ingest_batch(
         spark, sharded, shards_path, partition_by=["shard"]
     )
 
-    # 9. reports: DQ constraints on the corpus + curated marts
+    # 9. importance-weight mart: DSIR likelihood ratios steering the raw
+    # corpus toward the CURATED distribution (global refresh, 4+ class) —
+    # downstream mixture sampling draws by these weights
+    tagged = corpus.join(
+        curated.select("doc_id").withColumn("__t", F.lit(1)), "doc_id", "left"
+    )
+    weights = dsir_importance_weights(
+        tagged, "text", "doc_id", F.col("__t").isNotNull()
+    )
+    weights_path = _mart(marts, "importance_weights")
+    _, stats["importance_weights"] = _overwrite_and_read(spark, weights, weights_path)
+
+    # 10. tokenizer mart: the BPE merge table learned from the CURATED
+    # corpus — the model artifact training jobs collect and ship
+    merges = learn_bpe_merges(to_chunk, "text", rounds=6)
+    bpe_path = _mart(marts, "bpe_merges")
+    _, stats["bpe_merges"] = _overwrite_and_read(spark, merges, bpe_path)
+
+    # 11. reports: DQ constraints on the corpus + curated marts
     report = dq_report([
         check_not_null(corpus, ["doc_id", "text"], table="corpus"),
         check_unique(corpus, ["doc_id"], table="corpus"),

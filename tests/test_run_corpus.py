@@ -47,6 +47,19 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, batch1):
     assert s1["dq_violations"] == 0
     # packs/shards materialized deterministically
     assert s1["packs"] >= 1 and s1["shards"] == s1["packs"]
+    # importance weights cover the whole corpus; curated (target) docs
+    # score at least as high as the junk doc 4 on average
+    assert s1["importance_weights"] == s1["corpus"]
+    weights = {
+        r.doc_id: r.importance_weight
+        for r in spark.read.parquet(f"{marts}/importance_weights").collect()
+    }
+    cur_avg = sum(weights[d] for d in curated_ids) / len(curated_ids)
+    assert cur_avg > weights[4]
+    # BPE merge table trained on the curated corpus, rounds in order
+    merges = spark.read.parquet(f"{marts}/bpe_merges").collect()
+    assert s1["bpe_merges"] >= 1
+    assert sorted(r["round"] for r in merges) == list(range(1, len(merges) + 1))
 
     # idempotence: replaying the same batch changes nothing
     s2 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
