@@ -5898,3 +5898,62 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(toks, "doc_id")
         .select("doc_id", "n_words", F.size("tokens").cast("long").alias("n_subwords"))
     )
+
+
+# ===========================================================================
+# Batch 23 (r2 cont.): the remaining ranking/frame window surface —
+# percent_rank, cume_dist, first/last_value over an explicit ROWS frame,
+# and a RANGE-framed running sum — in one pass over one window shuffle.
+# ===========================================================================
+
+_WINDOW_SURFACE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_order,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+WHERE o_custkey < 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("customer_order_window_surface", _WINDOW_SURFACE_SQL)
+def customer_order_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of SQL's window surface in one plan: percent_rank /
+    cume_dist, an unbounded-following last_value frame, and a time-RANGE
+    trailing-30-day spend — all five functions share the single
+    (custkey, orderdate) sort, so the plan is ONE Exchange + one Window
+    (the range frame re-sorts only logically). DECIMAL running sum keeps
+    the frame aggregate engine-exact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # integer DAY numbers, not epoch seconds: the NTZ->instant cast goes
+    # through the session timezone and DST makes the shift non-constant,
+    # flipping rows at the 30-day boundary (measured). Days are tz-free.
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_range), 2
+        )
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
