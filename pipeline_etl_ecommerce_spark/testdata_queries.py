@@ -5957,3 +5957,106 @@ def customer_order_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("trailing_30d_spend"),
     )
+
+
+# T4/T5 EXECUTED, stateful sessionization: a REAL session_window stream
+# (two triggers; the second is a far-future sentinel that advances the
+# watermark past every real session end, closing all state) upserted into
+# a session mart. Oracle = gaps-and-islands over the same events with
+# session_window's boundary rule (a gap of EXACTLY `gap` starts a new
+# session — merge happens only strictly inside the window end).
+_STREAM_SESSIONS_SQL = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS tus, event_id
+    FROM events WHERE event_id <= 20000 AND user_id < 50
+),
+marked AS (
+    SELECT user_id, tus,
+           CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w >= {6 * 3600 * 1_000_000}
+                THEN 1 ELSE 0 END AS is_start
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+    SELECT user_id, tus,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_index
+    FROM marked
+)
+SELECT user_id,
+       MIN(tus) AS session_start_us,
+       MAX(tus) + {6 * 3600 * 1_000_000} AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_index
+"""
+
+
+@register("streaming_sessions_executed", _STREAM_SESSIONS_SQL)
+def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization EXECUTED (SURVEY.md §2.10 T4/T5
+    + applyInPandasWithState's declarative sibling): session_window with
+    a 6-hour gap over a real two-trigger file stream; a sentinel event 40
+    days past the horizon advances the watermark so every real session
+    closes and append-mode emits it exactly once into the keyed mart.
+    Output in tz-free epoch micros; the oracle replays session_window's
+    boundary rule as batch gaps-and-islands."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .streaming.runner import read_json_stream, run_upsert_stream, session_stream
+
+    gap_us = 6 * 3600 * 1_000_000
+    e = _events(spark, sf_dir).filter(
+        (F.col("event_id") <= 20000) & (F.col("user_id") < 50)
+    ).select("user_id", F.expr("ts DIV 1000").alias("tus"))
+    rows = e.collect()
+    max_tus = max(r.tus for r in rows)
+
+    base = _tempfile.mkdtemp(prefix="stream_sessions_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1_events.json"), "w") as f1:
+            for r in rows:
+                f1.write(_json.dumps({"user_id": r.user_id, "tus": r.tus}) + "\n")
+        with open(os.path.join(drops, "b2_sentinel.json"), "w") as f2:
+            f2.write(
+                _json.dumps({"user_id": -1, "tus": max_tus + 40 * 86400 * 1_000_000})
+                + "\n"
+            )
+        schema = StructType.fromDDL("user_id bigint, tus bigint")
+        stream = (
+            read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+            .withColumn("__et", F.expr("timestamp_micros(tus)"))
+        )
+        sessions = session_stream(
+            stream,
+            ts_col="__et",
+            key_cols=["user_id"],
+            aggs=[F.count("*").alias("n_events")],
+            gap="6 hours",
+            watermark="1 day",
+        ).select(
+            "user_id",
+            F.unix_micros(F.col("session_start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_end")).alias("session_end_us"),
+            "n_events",
+        )
+        run_upsert_stream(
+            sessions, target, ["user_id", "session_start_us"], ckpt, output_mode="append"
+        ).awaitTermination(300)
+        return (
+            spark.read.parquet(target)
+            .filter(F.col("user_id") >= 0)
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
