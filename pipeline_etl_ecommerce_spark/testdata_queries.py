@@ -686,9 +686,13 @@ _DRIVER_PRIORITY = [
     # index, boilerplate pruning, yoy full-outer, percentile_cont, JL
     # projection, collocation, dq report, incremental simhash, funnel,
     # pseudonymization, props flattening, lang confusion, curated-best,
-    # WAU, and batch 16's six SURVEY-row conversions — all
-    # selfcheck-verified at both SFs; CORRECTNESS_r02 covers the first 50
-    # here, rotate the rest into the r3 window).
+    # WAU, batch 16's six SURVEY-row conversions, AND the late-r2
+    # batches 17-23: TPC-H Q9/Q16/Q20/Q21 shapes, DSIR family, char
+    # diversity, winsorized stats, PQ, fixed-point PageRank, BPE
+    # learn+apply, executed sinks S11/S13/S16 + T7 backfill, window
+    # surface, executed session stream — all selfcheck-verified at both
+    # SFs; CORRECTNESS_r02 covers the first 50 here, rotate the rest
+    # into the r3 window).
     "pii_redacted_documents",
     "decontaminated_documents",
     "weighted_doc_sample",

@@ -134,3 +134,21 @@ def test_pq_adc_ranks_own_region_first(quad_blobs):
         assert r["cand_id"] != r["query_id"]
         if r["rnk"] == 1:
             assert code_map[r["cand_id"]] == code_map[r["query_id"]]
+
+
+def test_pq_delta_encoding_matches_full(quad_blobs):
+    # delta-ingest contract (same as assign_to_centroids): encoding a
+    # subset against the trained codebooks equals the full encoding
+    from pipeline_etl_ecommerce_spark.operators.pq import pq_codebooks, pq_encode
+
+    books = pq_codebooks(quad_blobs, "embedding", "vec_id", m=2, k=2, iters=3, dim=4)
+    full = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(quad_blobs, books, "embedding", "vec_id", m=2, dim=4).collect()
+    }
+    delta = quad_blobs.filter("vec_id >= 12")
+    part = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(delta, books, "embedding", "vec_id", m=2, dim=4).collect()
+    }
+    assert part == {k: v for k, v in full.items() if k[0] >= 12}
