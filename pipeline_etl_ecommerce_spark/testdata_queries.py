@@ -6064,3 +6064,128 @@ def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# ===========================================================================
+# Batch 24 (r2 cont.): operational ingestion robustness EXECUTED —
+# schema evolution across mart generations, and the corrupt-record
+# quarantine (dead-letter) path of the JSON source.
+# ===========================================================================
+
+_SCHEMA_EVO_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority
+FROM (
+    SELECT o_orderstatus, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+"""
+
+
+@register("sink_schema_evolution", _SCHEMA_EVO_SQL)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution EXECUTED: generation 1 of a mart lacks a column
+    that generation 2 adds (the standard additive-column migration);
+    ``mergeSchema`` reads both generations as one table, old rows
+    surfacing NULL for the new column. The hash check proves the merged
+    read sees every row of both generations with the right nullability —
+    the operational contract a 100 TB mart's readers rely on during a
+    rolling schema change."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import append_to_path
+
+    o = _t(spark, sf_dir, "orders")
+    base = _tempfile.mkdtemp(prefix="schema_evo_")
+    target = os.path.join(base, "mart")
+    try:
+        append_to_path(
+            o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus"),
+            target,
+        )
+        append_to_path(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority"
+            ),
+            target,
+        )
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(target)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("o_orderpriority").alias("n_with_priority"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+_QUARANTINE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_good,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE event_id <= 20000 AND event_id % 97 = 0) AS n_quarantined
+FROM events
+WHERE event_id <= 20000 AND event_id % 97 <> 0
+GROUP BY event_type
+"""
+
+
+@register("json_quarantine_ingest", _QUARANTINE_SQL)
+def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter ingestion EXECUTED: a JSON drop where every 97th event
+    line is TRUNCATED mid-record is read PERMISSIVE with a
+    ``_corrupt_record`` column; corrupt lines quarantine to a dead-letter
+    mart instead of poisoning the batch, good rows aggregate normally.
+    The oracle recomputes both populations from the id rule — the hash
+    check proves no good row is lost and every corrupt line is captured
+    (the S8 source's operational failure path, reference ingestion
+    scripts crash on the first bad payload)."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
+        "event_id", "event_type"
+    )
+    rows = e.collect()
+    base = _tempfile.mkdtemp(prefix="quarantine_")
+    drop = os.path.join(base, "drop.json")
+    dead = os.path.join(base, "dead_letter")
+    try:
+        with open(drop, "w") as f:
+            for r in rows:
+                line = _json.dumps({"event_id": r.event_id, "event_type": r.event_type})
+                f.write((line[: len(line) // 2] if r.event_id % 97 == 0 else line) + "\n")
+        schema = StructType.fromDDL(
+            "event_id bigint, event_type string, _corrupt_record string"
+        )
+        raw = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(drop)
+            .cache()  # Spark requires caching to reference _corrupt_record
+        )
+        bad = raw.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+        bad.write.mode("overwrite").parquet(dead)
+        n_bad = spark.read.parquet(dead).count()
+        good = raw.filter(F.col("_corrupt_record").isNull())
+        return (
+            good.groupBy("event_type")
+            .agg(F.count("*").alias("n_good"))
+            .withColumn("n_quarantined", F.lit(n_bad).cast("long"))
+            .localCheckpoint()
+        )
+    finally:
+        raw.unpersist()
+        _shutil.rmtree(base, ignore_errors=True)
