@@ -6189,3 +6189,66 @@ def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         raw.unpersist()
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# Tokenizer fertility by language — THE metric that decides whether a
+# shared BPE vocabulary under-serves a language (high subwords/word =
+# more tokens per sentence = less effective context for that language).
+_BPE_FERTILITY_SQL = f"""
+{_bpe_ctes(_BPE_ROUNDS)},
+dw AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+enc AS MATERIALIZED (
+    SELECT doc_id, array_to_string(list_transform(generate_series(1, length(w)),
+        i -> '|' || substr(w, i, 1) || ' '), '') AS s
+    FROM dw
+),
+ap AS MATERIALIZED (SELECT doc_id, {{APPLY}} AS s FROM enc)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(ap.s) - length(replace(ap.s, '|', ''))) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(length(ap.s) - length(replace(ap.s, '|', ''))) AS DOUBLE)
+             / COUNT(*), 6) AS fertility
+FROM ap JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def _bpe_apply_expr(rounds: int) -> str:
+    s = "s"
+    for r in range(1, rounds + 1):
+        s = (
+            f"replace({s}, '|' || (SELECT lft FROM b{r}) || ' |' || (SELECT rgt FROM b{r})"
+            f" || ' ', '|' || (SELECT lft FROM b{r}) || (SELECT rgt FROM b{r}) || ' ')"
+        )
+    return s
+
+
+@register("bpe_fertility_by_lang", _BPE_FERTILITY_SQL.replace("{APPLY}", _bpe_apply_expr(_BPE_ROUNDS)))
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subwords/word) under the learned
+    merge table — the multilingual-vocabulary fairness metric. Same
+    shipped-merge-list plan as bpe_tokenized_docs, reduced by language."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(
+            learn_bpe_merges(d, "text", rounds=_BPE_ROUNDS).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    toks = apply_bpe_merges(d, merges, "text", "doc_id")
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+    per_doc = (
+        d.select("doc_id", "lang", n_words.cast("long").alias("nw"))
+        .join(toks, "doc_id")
+        .select("lang", "nw", F.size("tokens").cast("long").alias("ns"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("nw").alias("n_words"),
+        F.sum("ns").alias("n_subwords"),
+        F.round(F.sum("ns").cast("double") / F.sum("nw"), 6).alias("fertility"),
+    )
