@@ -6252,3 +6252,133 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ns").alias("n_subwords"),
         F.round(F.sum("ns").cast("double") / F.sum("nw"), 6).alias("fertility"),
     )
+
+
+# ===========================================================================
+# Batch 25 (r2 cont.): the remaining set-op and null-semantics surface —
+# multiset INTERSECT ALL / EXCEPT ALL, the NOT-IN-with-NULL trap (Spark's
+# null-aware anti join), and a CSV source round-trip.
+# ===========================================================================
+
+_BAG_SETOPS_SQL = """
+WITH y96 AS (
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+y97 AS (
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+boths AS (SELECT l_partkey FROM y96 INTERSECT ALL SELECT l_partkey FROM y97),
+only96 AS (SELECT l_partkey FROM y96 EXCEPT ALL SELECT l_partkey FROM y97)
+SELECT 'intersect_all' AS op, l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM boths GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS op, l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM only96 GROUP BY 2
+"""
+
+
+@register("part_sales_bag_setops", _BAG_SETOPS_SQL)
+def part_sales_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (SURVEY §2.7 completion): per-part 1996
+    vs 1997 sale OCCURRENCES under INTERSECT ALL (min of multiplicities)
+    and EXCEPT ALL (surplus of the left). Spark plans both as a single
+    aggregate-join on the key — no row-by-row matching."""
+    li = _t(spark, sf_dir, "lineitem")
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    boths = y96.intersectAll(y97).groupBy("l_partkey").agg(F.count("*").alias("n"))
+    only96 = y96.exceptAll(y97).groupBy("l_partkey").agg(F.count("*").alias("n"))
+    return boths.select(F.lit("intersect_all").alias("op"), "l_partkey", "n").unionByName(
+        only96.select(F.lit("except_all").alias("op"), "l_partkey", "n")
+    )
+
+
+_NOT_IN_NULL_SQL = """
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 500)
+    ) AS n_without_nulls,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey NOT IN (
+         SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+         FROM customer WHERE c_acctbal < 500)
+    ) AS n_with_nulls
+"""
+
+
+@register("not_in_null_semantics", _NOT_IN_NULL_SQL)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT-IN-with-NULL trap, engine-correct (SQL three-valued
+    logic): once the subquery contains a single NULL, ``x NOT IN (...)``
+    can never be TRUE and the result is empty — Spark plans this as a
+    null-aware anti join, NOT a plain left-anti (which would silently
+    keep rows). Both counts computed via spark.sql to exercise the SQL
+    surface exactly as a user would write it."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__niv_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__niv_customer")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM __niv_orders
+             WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM __niv_customer WHERE c_acctbal < 500)
+            ) AS n_without_nulls,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM __niv_orders
+             WHERE o_custkey NOT IN (
+                 SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+                 FROM __niv_customer WHERE c_acctbal < 500)
+            ) AS n_with_nulls
+        """
+    )
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n_name
+"""
+
+
+@register("csv_source_roundtrip", _CSV_ROUNDTRIP_SQL)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source EXECUTED: the supplier dim exported to headered CSV and
+    read back with an EXPLICIT schema (never inference — an inference
+    pre-pass is a second full scan at 100 TB and can mis-type empty
+    partitions), then joined and aggregated. Proves the text-format
+    round-trip preserves types and values exactly."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    base = _tempfile.mkdtemp(prefix="csv_rt_")
+    path = os.path.join(base, "supplier_csv")
+    try:
+        s.write.option("header", "true").csv(path)
+        back = (
+            spark.read.schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+            .option("header", "true")
+            .csv(path)
+        )
+        return (
+            back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
