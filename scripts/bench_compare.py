@@ -25,6 +25,11 @@ FAMILIES = {
     "simhash": ["simhash_documents", "simhash_near_pairs", "simhash_incremental_pairs"],
     "kmeans": ["kmeans_clusters", "semantic_dedup_keep", "ivf_ann_top3"],
     "lang_model": ["ngram_lang_classifier", "lang_confusion_matrix"],
+    # r2-cont additions sharing side tables / collected models
+    "pagerank": ["near_dup_pagerank"],  # bills the LSH marts if first consumer
+    "pq": ["pq_adc_top3"],              # codebook + codes side tables
+    "bpe": ["bpe_merge_table", "bpe_tokenized_docs", "bpe_fertility_by_lang"],
+    "dsir": ["dsir_importance_weights", "dsir_selected_corpus"],
 }
 
 
