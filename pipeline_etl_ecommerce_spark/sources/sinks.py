@@ -444,3 +444,54 @@ class writer_lock:
 
 class WriterLockHeld(RuntimeError):
     """Raised by non-blocking ``writer_lock`` when the mart is being written."""
+
+
+def zorder_key(x, y, *, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer expressions into one BIGINT, so locality in the
+    combined key preserves locality in BOTH dimensions. Pure integer
+    shift/mask arithmetic built from codegen HOFs — deterministic on any
+    engine (the repo's oracle discipline; no floats anywhere).
+
+    Inputs must already be quantized to ``[0, 2^bits)`` — quantization is
+    the caller's policy decision (day numbers, id buckets, histogram
+    bins); values are masked defensively."""
+    from pyspark.sql import functions as F
+
+    xm = F.col(x) if isinstance(x, str) else x
+    ym = F.col(y) if isinstance(y, str) else y
+    mask = (1 << bits) - 1
+    xb = xm.cast("long").bitwiseAND(F.lit(mask))
+    yb = ym.cast("long").bitwiseAND(F.lit(mask))
+    # unrolled with literal shift counts (shiftleft's bit count must be a
+    # literal) — 2*bits adds, all whole-stage codegen, no HOF lambdas
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def write_zorder_mart(
+    df: DataFrame,
+    path: str,
+    x_col,
+    y_col,
+    *,
+    bits: int = 16,
+    target_partitions: int | None = None,
+) -> None:
+    """Two-dimensional data-skipping layout (Delta ``OPTIMIZE ZORDER BY``
+    reduction): cluster files by the Morton key of (x, y) so a box
+    predicate on EITHER or BOTH dimensions overlaps a bounded subset of
+    files — the multi-dim generalization of ``write_sorted_mart``, which
+    can only serve one dimension. The ``__zkey`` column is persisted so
+    readers can range-filter on it directly (min/max footer stats prune)."""
+    out = df.withColumn("__zkey", zorder_key(x_col, y_col, bits=bits))
+    n = target_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        out.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

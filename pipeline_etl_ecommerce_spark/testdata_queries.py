@@ -6382,3 +6382,43 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# ===========================================================================
+# Batch 26 (r2 cont.): Z-order (Morton) clustering key — the multi-dim
+# data-skipping layout (Delta OPTIMIZE ZORDER reduction). The key itself
+# is pure integer bit arithmetic, so it goes under the value hash; the
+# file-layout half (write_zorder_mart) is proven by the footer-stats
+# disjointness test in tests/test_sinks.py.
+# ===========================================================================
+
+_ZORDER_SQL = """
+WITH e AS (
+    SELECT event_id,
+           user_id % 65536 AS x,
+           (CAST(ts AS DATE) - DATE '1970-01-01') % 65536 AS y
+    FROM events WHERE event_id <= 20000
+)
+SELECT event_id,
+       CAST(list_aggregate(list_transform(generate_series(0, 15),
+            i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))),
+            'sum') AS BIGINT) AS zkey
+FROM e
+"""
+
+
+@register("zorder_events_key", _ZORDER_SQL)
+def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (user, day): locality in the key preserves
+    locality in BOTH dimensions, so files clustered by it serve box
+    predicates on either — what a 1-D sort layout cannot (see
+    sources/sinks.zorder_key / write_zorder_mart). Map-only unrolled
+    shift/mask codegen; engine-exact integers."""
+    from .sources.sinks import zorder_key
+
+    e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000)
+    x = F.pmod(F.col("user_id"), F.lit(65536))
+    y = F.pmod(
+        F.datediff(F.col("event_date"), F.lit("1970-01-01").cast("date")), F.lit(65536)
+    )
+    return e.select("event_id", zorder_key(x, y, bits=16).alias("zkey"))

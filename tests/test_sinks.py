@@ -345,3 +345,64 @@ def test_writer_lock_excludes_second_writer(spark, tmp_path):
     with writer_lock(path, blocking=False):
         transactional_upsert_to_path(_df(spark, [("b", 2, 2)]), path, ["k"])
     assert read_versioned(spark, path).count() == 2
+
+
+def test_zorder_key_interleaves_bits_exactly(spark):
+    from pipeline_etl_ecommerce_spark.sources.sinks import zorder_key
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in [0, 1, 5, 255, 65535] for y in [0, 2, 7, 1024, 65535]]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+    # locality sanity: neighbors in both dims stay within a small z-window
+    assert abs(ref(10, 10) - ref(11, 11)) < 16
+
+
+def test_write_zorder_mart_files_cover_disjoint_zkey_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pipeline_etl_ecommerce_spark.sources.sinks import write_zorder_mart
+
+    path = str(tmp_path / "zmart")
+    df = (
+        spark.range(0, 8000)
+        .withColumn("x", (F.col("id") * 13) % 256)
+        .withColumn("y", (F.col("id") * 29) % 256)
+    )
+    write_zorder_mart(df.orderBy(F.rand(seed=2)), path, "x", "y", bits=8, target_partitions=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "__zkey"
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint — footer stats actually prune
+    # a small 2-D box maps to a bounded zkey interval: the box [0,15]^2
+    # lives entirely under zkey < 16*16 (bits interleave), so only files
+    # whose range overlaps [0, 256) can contain it
+    touching = [r for r in ranges if r[0] < 256]
+    assert len(touching) < len(ranges)
