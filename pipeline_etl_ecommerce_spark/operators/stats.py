@@ -211,3 +211,29 @@ def winsorized_stats(
         F.round(F.sum("__w"), 2).cast("double").alias("winsorized_sum"),
         F.round(F.sum("__w").cast("double") / F.count("*"), 6).alias("winsorized_mean"),
     )
+
+
+def group_mad(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimate (stddev breaks on one wild outlier; MAD ignores half the
+    data going bad). Nearest-rank (type-1) medians both times, so every
+    selected value is an actual data value and the result is
+    engine-exact with no interpolation arithmetic.
+
+    Two passes, each one window over the same group partitioning: median
+    of x, broadcast back (one row per group), then median of |x - med|.
+    Output: group cols, n, median, mad."""
+    gl = list(group_cols)
+    med = group_percentiles(df, gl, value_col, [0.5], out_names=["median"])
+    dev = (
+        df.select(*gl, value_col)
+        .join(F.broadcast(med), gl)
+        .withColumn("__dev", F.abs(F.col(value_col) - F.col("median")))
+    )
+    mad = group_percentiles(dev, gl, "__dev", [0.5], out_names=["mad"])
+    n = df.groupBy(*gl).agg(F.count("*").alias("n"))
+    return n.join(med, gl).join(mad, gl).select(*gl, "n", "median", "mad")

@@ -6422,3 +6422,49 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("event_date"), F.lit("1970-01-01").cast("date")), F.lit(65536)
     )
     return e.select("event_id", zorder_key(x, y, bits=16).alias("zkey"))
+
+
+_MAD_SQL = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+med AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS median
+    FROM ranked GROUP BY l_returnflag
+),
+dev AS (
+    SELECT l.l_returnflag, abs(l.l_extendedprice - m.median) AS d
+    FROM lineitem l JOIN med m USING (l_returnflag)
+),
+dranked AS (
+    SELECT l_returnflag, d,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY d) AS rk,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM dev
+),
+madt AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+    FROM dranked GROUP BY l_returnflag
+)
+SELECT r.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, MAX(m.median) AS median, MAX(t.mad) AS mad
+FROM lineitem r
+JOIN med m USING (l_returnflag)
+JOIN madt t USING (l_returnflag)
+GROUP BY r.l_returnflag
+"""
+
+
+@register("price_mad_by_returnflag", _MAD_SQL)
+def price_mad_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of extended price per return flag —
+    robust dispersion via two nearest-rank median passes over one group
+    partitioning (operators/stats.group_mad); completes the robust-stats
+    family next to the winsorized aggregates."""
+    from .operators.stats import group_mad
+
+    return group_mad(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice")

@@ -120,3 +120,13 @@ def test_winsorized_stats_clips_outliers(spark):
     expected_sum = float(sum(range(1, 20)) + 19)
     assert got["winsorized_sum"] == expected_sum
     assert got["winsorized_mean"] == round(expected_sum / 20, 6)
+
+
+def test_group_mad_ignores_outliers(spark):
+    from pipeline_etl_ecommerce_spark.operators.stats import group_mad
+
+    # 1..9 with one wild outlier: median 5 (rank ceil(0.5*10)=5), MAD is
+    # the median of |x-5| = [4,3,2,1,0,1,2,3,4,9995] sorted -> rank 5 = 2
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 10_000.0)]
+    got = group_mad(spark.createDataFrame(rows, "g string, x double"), ["g"], "x").collect()[0]
+    assert got["n"] == 10 and got["median"] == 5.0 and got["mad"] == 2.0
