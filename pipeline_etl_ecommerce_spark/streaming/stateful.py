@@ -46,3 +46,34 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EXACT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+EXACT_STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def _accumulate_cents(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, cents) = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Oracle-exact variant of ``running_user_totals``: the value column
+    arrives pre-quantized to integer ``cents``, so the per-key state is
+    pure integer arithmetic — associative, order-independent, and
+    bit-identical to any batch engine's sum regardless of micro-batch
+    composition. The float variant's pandas double sum is deterministic
+    per run but not SQL-replayable; this one is."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate_cents,
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

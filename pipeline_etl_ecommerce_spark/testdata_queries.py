@@ -6468,3 +6468,69 @@ def price_mad_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.stats import group_mad
 
     return group_mad(_t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice")
+
+
+# T5 custom-state EXECUTED: applyInPandasWithState carries per-user
+# (count, cents) across two REAL micro-batches; the keyed last-wins
+# upsert keeps each user's final snapshot, which must equal the batch
+# aggregate. Integer cents make the Python state arithmetic exactly
+# SQL-replayable (a float state sum is deterministic but not
+# replayable — see streaming/stateful.py).
+_STATEFUL_TOTALS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+WHERE event_id <= 20000 AND user_id < 50
+GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_totals", _STATEFUL_TOTALS_SQL)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator EXECUTED (SURVEY.md §2.10 T5, the
+    applyInPandasWithState path): per-user running totals accumulate in
+    the checkpointed state store across two file triggers; every
+    emission is a running snapshot and the keyed upsert keeps the
+    last-wins row, converging the mart to the batch aggregate."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .streaming.runner import read_json_stream, run_upsert_stream
+    from .streaming.stateful import running_user_totals_exact
+
+    e = _events(spark, sf_dir).filter(
+        (F.col("event_id") <= 20000) & (F.col("user_id") < 50)
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    rows = e.collect()
+
+    base = _tempfile.mkdtemp(prefix="stateful_totals_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1.json"), "w") as f1, open(
+            os.path.join(drops, "b2.json"), "w"
+        ) as f2:
+            for r in rows:
+                line = _json.dumps({"user_id": r.user_id, "cents": r.cents}) + "\n"
+                (f1 if r.event_id % 2 == 0 else f2).write(line)
+        schema = StructType.fromDDL("user_id bigint, cents bigint")
+        stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+        totals = running_user_totals_exact(stream)
+        run_upsert_stream(
+            totals, target, ["user_id"], ckpt,
+            output_mode="append", order_by=["n_events"],
+        ).awaitTermination(300)
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
