@@ -6534,3 +6534,79 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# Stream-stream interval join EXECUTED: the last executed-streaming
+# family member — clicks and purchases arrive as two REAL file streams
+# (each split across two triggers, so matches span trigger boundaries
+# through the two-sided join state), inner-joined on user within a
+# 24-hour attribution window. Oracle = the identical batch interval
+# join on epoch micros.
+_STREAM_ATTRIB_SQL = """
+WITH c AS (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS ctus
+    FROM events WHERE event_type = 'click' AND event_id <= 20000
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ptus
+    FROM events WHERE event_type = 'purchase' AND event_id <= 20000
+)
+SELECT p.purchase_id, c.click_id, p.user_id,
+       p.ptus AS purchase_us, c.ctus AS click_us
+FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ctus >= p.ptus - 86400000000
+               AND c.ctus <= p.ptus
+"""
+
+
+@register("streaming_attribution_executed", _STREAM_ATTRIB_SQL)
+def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join EXECUTED (the streaming form of the
+    as-of/range join family): two watermarked file streams, two triggers
+    each, purchases attributed to same-user clicks within the preceding
+    24 hours through Spark's two-sided join state — a click buffered in
+    trigger 1 still joins a purchase arriving in trigger 2. Append sink;
+    must hash-match the batch interval join."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.pipelines import click_attribution_join_stream
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").collect()
+    purchases = ev.filter(F.col("event_type") == "purchase").collect()
+
+    base = _tempfile.mkdtemp(prefix="stream_attrib_")
+    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
+    target, ckpt = os.path.join(base, "target"), os.path.join(base, "ckpt")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+    try:
+        for rows, d, idc in ((clicks, cdir, "click_id"), (purchases, pdir, "purchase_id")):
+            with open(os.path.join(d, "b1.json"), "w") as f1, open(
+                os.path.join(d, "b2.json"), "w"
+            ) as f2:
+                for r in rows:
+                    line = _json.dumps(
+                        {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
+                    ) + "\n"
+                    (f1 if r.event_id % 2 == 0 else f2).write(line)
+        click_attribution_join_stream(
+            spark, cdir, pdir, target, ckpt,
+            attribution_window="24 hours", watermark="48 hours",
+            max_files_per_trigger=1,
+        ).awaitTermination(300)
+        return (
+            spark.read.parquet(target)
+            .select(
+                "purchase_id", "click_id", "user_id",
+                F.unix_micros("purchase_time").alias("purchase_us"),
+                F.unix_micros("click_time").alias("click_us"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
