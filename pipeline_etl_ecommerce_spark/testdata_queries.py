@@ -6610,3 +6610,36 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# Correlated LATERAL join surface: top-2 customers per nation expressed
+# the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
+# than the window-rank rewrite; Catalyst decorrelates it itself.
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+
+@register("lateral_top2_customers", _LATERAL_SQL)
+def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through spark.sql — the per-row
+    dependent join surface (top-2 customers by balance per nation).
+    Catalyst rewrites the correlation; no manual window needed. Exercises
+    the SQL path end-to-end exactly as a user would write it."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM __lat_nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM __lat_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
