@@ -10,6 +10,11 @@ from .dedupe import (
 from .similarity import cosine_topk, lsh_bucket_topk, embedding_norms
 from .textstats import lang_id, quality_features, token_count, bpe_ish_token_count, fingerprint
 from .multimodal import extract_features, documents_as_media
+from .importance import dsir_importance_weights, hashed_bucket_distribution
+from .pq import pq_adc_topk, pq_codebooks, pq_encode
+from .graph import pagerank_undirected
+from .bpe import apply_bpe_merges, learn_bpe_merges, word_frequencies
+from .sketches import build_hll_mart, merge_hll_estimate
 
 __all__ = [
     "AllocSpec",
@@ -33,4 +38,15 @@ __all__ = [
     "fingerprint",
     "extract_features",
     "documents_as_media",
+    "dsir_importance_weights",
+    "hashed_bucket_distribution",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "pagerank_undirected",
+    "apply_bpe_merges",
+    "learn_bpe_merges",
+    "word_frequencies",
+    "build_hll_mart",
+    "merge_hll_estimate",
 ]

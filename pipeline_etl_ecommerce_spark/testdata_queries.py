@@ -6643,3 +6643,36 @@ def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# Spark 4 VARIANT surface: semi-structured props through parse_json +
+# variant_get — the open-format answer to shredding JSON at 100 TB
+# (binary variant encoding decodes fields without re-parsing text).
+# Same aggregate as json_props_extract, through the VARIANT path.
+_VARIANT_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_present
+FROM events
+WHERE event_id <= 20000
+GROUP BY event_type
+"""
+
+
+@register("events_props_variant", _VARIANT_PROPS_SQL)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` field reads — at scale the parse happens at ingest
+    and every downstream query decodes fields without re-tokenizing
+    JSON text. try-semantics: absent keys/null props yield NULL and drop
+    out of SUM/COUNT, mirroring the ->> oracle."""
+    e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000)
+    v = e.select(
+        "event_type",
+        F.expr("try_variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("k_sum"),
+        F.count("k").alias("k_present"),
+    )
