@@ -5635,7 +5635,10 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS into a marker-string replace — no driver-side corpus
     state, integer counts only (see operators/bpe.py). The oracle unrolls
     all six rounds."""
-    return learn_bpe_merges(_t(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS)
+    return _side_table(
+        spark, sf_dir, "bpe_merges_r6",
+        lambda: learn_bpe_merges(_t(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS),
+    )
 
 
 # ===========================================================================
@@ -5880,6 +5883,20 @@ _BPE_TOKENIZE_SQL = _bpe_apply_sql(_BPE_ROUNDS)
 from .operators.bpe import apply_bpe_merges  # noqa: E402
 
 
+def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """The learned merge table as a collected model artifact, shared per
+    (session, sf_dir) like the other marts — training runs once, the
+    tokenize/fertility consumers reuse the list."""
+    mart = _side_table(
+        spark, sf_dir, "bpe_merges_r6",
+        lambda: learn_bpe_merges(_t(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS),
+    )
+    return [
+        (r["left"], r["right"])
+        for r in sorted(mart.collect(), key=lambda r: r["round"])
+    ]
+
+
 @register("bpe_tokenized_docs", _BPE_TOKENIZE_SQL)
 def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer SHIPPING path: the 6-row learned merge table is
@@ -5888,14 +5905,7 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; output is per-doc word and subword-token counts. The oracle
     re-learns AND re-applies the merges entirely in SQL."""
     d = _t(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in sorted(
-            learn_bpe_merges(d, "text", rounds=_BPE_ROUNDS).collect(),
-            key=lambda r: r["round"],
-        )
-    ]
-    toks = apply_bpe_merges(d, merges, "text", "doc_id")
+    toks = apply_bpe_merges(d, _bpe_merge_list(spark, sf_dir), "text", "doc_id")
     n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
     return (
         d.select("doc_id", n_words.cast("long").alias("n_words"))
@@ -6233,14 +6243,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table — the multilingual-vocabulary fairness metric. Same
     shipped-merge-list plan as bpe_tokenized_docs, reduced by language."""
     d = _t(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in sorted(
-            learn_bpe_merges(d, "text", rounds=_BPE_ROUNDS).collect(),
-            key=lambda r: r["round"],
-        )
-    ]
-    toks = apply_bpe_merges(d, merges, "text", "doc_id")
+    toks = apply_bpe_merges(d, _bpe_merge_list(spark, sf_dir), "text", "doc_id")
     n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
     per_doc = (
         d.select("doc_id", "lang", n_words.cast("long").alias("nw"))
