@@ -26,6 +26,8 @@ sized once at stream start (not per-batch).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 import datetime as dt
 from collections.abc import Callable, Iterable
 
@@ -181,3 +183,22 @@ def session_stream(
         F.col("session_window.end").alias("session_end"),
         *rest,
     )
+
+
+@_contextmanager
+def stream_shuffle_partitions(spark, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
+    run. Stateful operators instantiate one state-store per shuffle
+    partition PER TRIGGER, so the right number tracks the stream's state
+    volume, not the core count — measured at sf0.1/local[32]: the
+    stream-stream attribution join runs 13.7s with 32 state partitions
+    and 3.5s with 8 (the work is state-store setup, not compute). On a
+    real cluster this is the same knob, sized to keyspace × state size.
+    The previous value is restored on exit; the partition count is baked
+    into the checkpoint at first trigger, so set it BEFORE ``start()``."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -4892,7 +4892,7 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from .streaming.runner import dedup_stream, read_json_stream
+    from .streaming.runner import dedup_stream, read_json_stream, stream_shuffle_partitions
 
     # deterministic cap: full coverage at the correctness SFs, bounded
     # driver-side JSONL staging at bench scale
@@ -4930,15 +4930,16 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__et", F.expr("timestamp_micros(tus)"))
         )
         deduped = dedup_stream(stream, ["event_id"], "__et").drop("__et")
-        (
-            deduped.writeStream.format("parquet")
-            .option("path", target)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
-        )
+        with stream_shuffle_partitions(spark, 8):
+            (
+                deduped.writeStream.format("parquet")
+                .option("path", target)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(300)
+            )
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
@@ -4970,7 +4971,12 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    from .streaming.runner import daily_rollup_stream, read_json_stream, run_upsert_stream
+    from .streaming.runner import (
+        daily_rollup_stream,
+        read_json_stream,
+        run_upsert_stream,
+        stream_shuffle_partitions,
+    )
 
     e = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
         "event_id", "event_type", F.expr("ts DIV 1000").alias("tus"), "value"
@@ -5011,9 +5017,10 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             watermark="3 days",
         )
-        run_upsert_stream(
-            rolled, target, ["event_date", "event_type"], ckpt
-        ).awaitTermination(300)
+        with stream_shuffle_partitions(spark, 8):
+            run_upsert_stream(
+                rolled, target, ["event_date", "event_type"], ckpt
+            ).awaitTermination(300)
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
@@ -6023,7 +6030,12 @@ def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    from .streaming.runner import read_json_stream, run_upsert_stream, session_stream
+    from .streaming.runner import (
+        read_json_stream,
+        run_upsert_stream,
+        session_stream,
+        stream_shuffle_partitions,
+    )
 
     gap_us = 6 * 3600 * 1_000_000
     e = _events(spark, sf_dir).filter(
@@ -6064,9 +6076,11 @@ def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("session_end")).alias("session_end_us"),
             "n_events",
         )
-        run_upsert_stream(
-            sessions, target, ["user_id", "session_start_us"], ckpt, output_mode="append"
-        ).awaitTermination(300)
+        with stream_shuffle_partitions(spark, 8):
+            run_upsert_stream(
+                sessions, target, ["user_id", "session_start_us"], ckpt,
+                output_mode="append",
+            ).awaitTermination(300)
         return (
             spark.read.parquet(target)
             .filter(F.col("user_id") >= 0)
@@ -6503,7 +6517,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    from .streaming.runner import read_json_stream, run_upsert_stream
+    from .streaming.runner import read_json_stream, run_upsert_stream, stream_shuffle_partitions
     from .streaming.stateful import running_user_totals_exact
 
     e = _events(spark, sf_dir).filter(
@@ -6530,10 +6544,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = StructType.fromDDL("user_id bigint, cents bigint")
         stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
         totals = running_user_totals_exact(stream)
-        run_upsert_stream(
-            totals, target, ["user_id"], ckpt,
-            output_mode="append", order_by=["n_events"],
-        ).awaitTermination(300)
+        with stream_shuffle_partitions(spark, 8):
+            run_upsert_stream(
+                totals, target, ["user_id"], ckpt,
+                output_mode="append", order_by=["n_events"],
+            ).awaitTermination(300)
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
@@ -6575,6 +6590,7 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile as _tempfile
 
     from .streaming.pipelines import click_attribution_join_stream
+    from .streaming.runner import stream_shuffle_partitions
 
     ev = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
         "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
@@ -6597,11 +6613,12 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
                         {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
                     ) + "\n"
                     (f1 if r.event_id % 2 == 0 else f2).write(line)
-        click_attribution_join_stream(
-            spark, cdir, pdir, target, ckpt,
-            attribution_window="24 hours", watermark="48 hours",
-            max_files_per_trigger=1,
-        ).awaitTermination(300)
+        with stream_shuffle_partitions(spark, 8):
+            click_attribution_join_stream(
+                spark, cdir, pdir, target, ckpt,
+                attribution_window="24 hours", watermark="48 hours",
+                max_files_per_trigger=1,
+            ).awaitTermination(300)
         return (
             spark.read.parquet(target)
             .select(
