@@ -60,3 +60,33 @@ def test_oracle_sql_mentions_only_known_tables():
             and t.lower() not in {"unnest", "generate_series", "read_parquet"}
         }
         assert not unknown, f"{name}: unknown FROM targets {unknown}"
+
+
+def test_coverage_doc_references_real_queries():
+    # doc-rot guard: every query name COVERAGE.md cites in its driver-query
+    # column must exist in the registered catalog
+    import os
+    import re as _re
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")) as fh:
+        text = fh.read()
+    cited = set()
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 2 or cells[-1] in {"driver query", "---"}:
+            continue
+        for tok in _re.findall(r"[a-z][a-z0-9_]{4,}", cells[-1]):
+            cited.add(tok)
+    known = set(tq.queries())
+    # only enforce tokens that LOOK like query names (snake_case with _)
+    candidates = {t for t in cited if "_" in t and not t.startswith(("tests", "test_", "e2e"))}
+    # words that appear in prose annotations, not names
+    prose = {t for t in candidates if t not in known}
+    unknown = sorted(
+        t for t in prose
+        if any(t.startswith(p) for p in ("flagship", "pricing", "daily", "sink_", "streaming_",
+                                          "near_dup", "minhash", "simhash", "bpe_", "dsir_",
+                                          "pq_", "zorder", "json_", "csv_", "lateral",
+                                          "events_", "backfill", "not_in", "part_sales"))
+    )
+    assert not unknown, f"COVERAGE.md cites unknown queries: {unknown}"
