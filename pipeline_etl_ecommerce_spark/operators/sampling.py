@@ -216,3 +216,40 @@ def hash_topk_sample(
         .filter(F.col("_rk") <= k)
         .drop("_h8", "_rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    id_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not document count — the unit
+    data mixtures are actually specified in (a source's contribution to a
+    training run is its token mass). Per stratum, documents are taken in
+    identity-hash order (the same deterministic draw as the other
+    samplers: stable across runs, engines, layouts, and delta ingests)
+    until the stratum's cumulative tokens reach ``budget``; the boundary
+    document that crosses the budget IS included, so every stratum with
+    enough mass contributes at least ``budget`` tokens.
+
+    One shuffle (the per-stratum window); the cumulative sum is integer
+    arithmetic, engine-exact. Output adds ``cum_tokens_before`` — the
+    stratum's token mass before this doc in hash order."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql.window import Window
+
+    h = _hash8(F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_tokens_before",
+        (F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col).cast("long")),
+    )
+    return out.filter(F.col("cum_tokens_before") < budget)

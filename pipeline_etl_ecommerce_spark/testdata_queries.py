@@ -6696,3 +6696,47 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("k_sum"),
         F.count("k").alias("k_present"),
     )
+
+
+# Token-budget mixture: the unit data mixtures are really specified in.
+# Per language, docs are taken in identity-hash order until 3000 tokens;
+# the boundary doc crossing the budget is included.
+_TOKEN_BUDGET_SQL = """
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                END AS BIGINT) AS n_tokens,
+           substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_tokens_before
+    FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens_before
+FROM c WHERE cum_tokens_before < 3000
+"""
+
+from .operators.sampling import token_budget_sample  # noqa: E402
+
+
+@register("token_budget_mixture", _TOKEN_BUDGET_SQL)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling (3000 tokens each): the
+    mixture arm a training-run recipe actually asks for — contribution
+    measured in token mass, deterministic identity-hash order, integer
+    cumulative sums (operators/sampling.token_budget_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + F.lit(1)
+    )
+    out = token_budget_sample(
+        d.withColumn("n_tokens", tokens.cast("long")),
+        "lang", "n_tokens", "doc_id", budget=3000,
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens_before")

@@ -146,3 +146,24 @@ def test_weighted_sample_per_stratum_and_guards(spark):
     assert [r["id"] for r in weighted_sample_topk(dfz, "w", "id", k=10).collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample_topk(dfz, "w", "id", k=0)
+
+
+def test_token_budget_sample_fills_and_bounds_each_stratum(spark):
+    from pipeline_etl_ecommerce_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_budget_sample(df, "lang", "n_tokens", "doc_id", budget=95).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    for lang, picked in by.items():
+        total = sum(r["n_tokens"] for r in picked)
+        # boundary doc included: coverage >= budget, overshoot < one doc
+        assert 95 <= total < 95 + 10
+        assert len(picked) == 10  # ceil(95/10)
+    # determinism across layouts
+    out2 = token_budget_sample(
+        df.repartition(7), "lang", "n_tokens", "doc_id", budget=95
+    ).collect()
+    assert sorted((r["doc_id"]) for r in out2) == sorted(r["doc_id"] for r in out)
