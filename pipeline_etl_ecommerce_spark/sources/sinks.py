@@ -495,3 +495,44 @@ def write_zorder_mart(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_aggregate_mart(
+    old: DataFrame | None,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an additive aggregate mart: the
+    delta batch's PARTIAL aggregates merge into the mart by summing
+    per-key — the opposite contract from ``merge_upsert`` (which
+    REPLACES a key's row). Valid for any commutative-monoid measure
+    (counts, sums, min/max with the right combiner); averages must be
+    carried as (sum, count) pairs and derived on read.
+
+    At 100 TB this is why a daily ingest costs O(delta): the fact table
+    is never re-scanned — each batch aggregates itself and merges
+    key-wise into the mart (one small shuffle on the mart key)."""
+    if old is None:
+        return delta_agg
+    allc = keys + sum_cols
+    stacked = old.select(*allc).unionByName(delta_agg.select(*allc))
+    return stacked.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def merge_aggregate_mart_to_path(
+    delta_agg: DataFrame, path: str, keys: list[str], sum_cols: list[str]
+) -> None:
+    """Path-level IVM merge: read the mart if present, additively merge
+    the delta's partial aggregates, swap. Same non-atomic caveat as
+    ``upsert_to_path``; wrap with ``writer_lock`` / use the
+    transactional mart for crash safety."""
+    spark = delta_agg.sparkSession
+    if not os.path.exists(path):
+        delta_agg.write.mode("overwrite").parquet(path)
+        return
+    old = spark.read.parquet(path)
+    merged = merge_aggregate_mart(old, delta_agg, keys, sum_cols)
+    _write_and_swap(merged, path, prefix="ivm_")

@@ -6740,3 +6740,54 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_tokens", "doc_id", budget=3000,
     )
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens_before")
+
+
+# Incremental view maintenance EXECUTED: three delta batches of lineitem
+# each aggregate THEMSELVES and additively merge into a mart — the fact
+# is never re-scanned — and the converged mart must equal the one-shot
+# aggregate. DECIMAL partial sums stay exact under re-aggregation.
+_IVM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("incremental_agg_mart", _IVM_SQL)
+def incremental_agg_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive aggregate-mart maintenance (IVM) EXECUTED: lineitem
+    arrives as three disjoint delta batches; each batch computes its own
+    partial aggregate and merges key-wise into the mart
+    (sources/sinks.merge_aggregate_mart_to_path) — O(delta) per ingest,
+    the fact never re-scanned. The converged mart hash-matches the
+    one-shot batch aggregate; DECIMAL partials keep every merge exact."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import merge_aggregate_mart_to_path
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = _tempfile.mkdtemp(prefix="ivm_")
+    target = os.path.join(base, "mart")
+    keys = ["l_returnflag", "l_linestatus"]
+    try:
+        for part in range(3):
+            delta = li.filter(F.col("l_orderkey") % 3 == part)
+            agg = delta.groupBy(*keys).agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            )
+            merge_aggregate_mart_to_path(agg, target, keys, ["n_rows", "sum_qty", "sum_price"])
+        mart = spark.read.parquet(target)
+        return mart.select(
+            *keys,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_price").cast("double").alias("sum_price"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -406,3 +406,27 @@ def test_write_zorder_mart_files_cover_disjoint_zkey_ranges(spark, tmp_path):
     # whose range overlaps [0, 256) can contain it
     touching = [r for r in ranges if r[0] < 256]
     assert len(touching) < len(ranges)
+
+
+def test_merge_aggregate_mart_matches_full_recompute(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.sources.sinks import merge_aggregate_mart_to_path
+
+    path = str(tmp_path / "ivm")
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(300)], "k int, n long, v double"
+    )
+    for part in range(4):
+        delta = df.filter(F.col("n") % 4 == part)
+        agg = delta.groupBy("k").agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+        )
+        merge_aggregate_mart_to_path(agg, path, ["k"], ["rows", "sv"])
+    got = {r["k"]: (r["rows"], float(r["sv"])) for r in spark.read.parquet(path).collect()}
+    want = {
+        r["k"]: (r["rows"], float(r["sv"]))
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("rows"), F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"))
+        .collect()
+    }
+    assert got == want
