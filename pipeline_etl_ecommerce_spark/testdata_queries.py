@@ -6791,3 +6791,33 @@ def incremental_agg_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# S7 under the oracle: point-lookup enrichment — the reference's per-row
+# dim fetch (one SELECT per key) becomes a broadcast left join with
+# COALESCE defaults for missing keys; same row count in as out.
+_POINT_LOOKUP_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       COALESCE(c.c_name, 'UNKNOWN') AS customer_name,
+       COALESCE(c.c_mktsegment, 'NONE') AS segment,
+       CAST(COALESCE(c.c_acctbal, 0.0) AS DOUBLE) AS acctbal
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey <= 5000
+"""
+
+
+@register("point_lookup_enrichment", _POINT_LOOKUP_SQL)
+def point_lookup_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (SURVEY §2.1): the reference enriches row-by-row with one dim
+    SELECT per key; Spark-first, the dim broadcasts and the lookup is a
+    single left join with NULL-safe defaults — per-row latency becomes
+    one map-side stage, row count preserved."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).cast("double").alias("acctbal"),
+    )
