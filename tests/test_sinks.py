@@ -430,3 +430,37 @@ def test_merge_aggregate_mart_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_merge_aggregate_mart_handles_retractions(spark, tmp_path):
+    # CDC deletes as NEGATIVE deltas: retracting rows subtracts their
+    # partials, converging the mart to the aggregate of the survivors
+    from pipeline_etl_ecommerce_spark.sources.sinks import merge_aggregate_mart_to_path
+
+    path = str(tmp_path / "ivm_retract")
+    df = spark.createDataFrame(
+        [(i % 2, i, float(i)) for i in range(100)], "k int, n long, v double"
+    )
+    agg_all = df.groupBy("k").agg(
+        F.count("*").alias("rows"), F.sum(F.col("v").cast("decimal(18,2)")).alias("sv")
+    )
+    merge_aggregate_mart_to_path(agg_all, path, ["k"], ["rows", "sv"])
+    # retract every n >= 50 by ingesting its negation
+    retract = (
+        df.filter("n >= 50")
+        .groupBy("k")
+        .agg(
+            (-F.count("*")).alias("rows"),
+            (-F.sum(F.col("v").cast("decimal(18,2)"))).alias("sv"),
+        )
+    )
+    merge_aggregate_mart_to_path(retract, path, ["k"], ["rows", "sv"])
+    got = {r["k"]: (r["rows"], float(r["sv"])) for r in spark.read.parquet(path).collect()}
+    want = {
+        r["k"]: (r["rows"], float(r["sv"]))
+        for r in df.filter("n < 50")
+        .groupBy("k")
+        .agg(F.count("*").alias("rows"), F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"))
+        .collect()
+    }
+    assert got == want
