@@ -517,7 +517,8 @@ def union_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIRST_LINE_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
-           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_shipdate, l_linenumber, l_partkey, l_quantity) AS rn
     FROM lineitem
 ) t WHERE rn = 1
 """
@@ -525,10 +526,13 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
 
 @register("first_lineitem_per_order", _FIRST_LINE_SQL)
 def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic data repeats (orderkey, shipdate, linenumber) for a
+    # handful of rows at sf0.1, so the tie-break must extend to every
+    # output column to make the pick engine-independent
     li = _t(spark, sf_dir, "lineitem")
-    return first_per_group(li, "l_orderkey", ["l_shipdate", "l_linenumber"]).select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
-    )
+    return first_per_group(
+        li, "l_orderkey", ["l_shipdate", "l_linenumber", "l_partkey", "l_quantity"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
 
 # ===========================================================================
