@@ -6825,3 +6825,47 @@ def point_lookup_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
         F.coalesce(F.col("c_acctbal"), F.lit(0.0)).cast("double").alias("acctbal"),
     )
+
+
+# E3 under the oracle: a [start, end] range exploding to one row per
+# day (the reference's visits→daily fan-out) via sequence() — bounded
+# by the 60-day order→ship cap in the predicate, so the fan-out is
+# bounded per row by construction, never data-dependent-unbounded.
+_DAYS_EXPLODE_SQL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(u.d AS DATE) AS active_day
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey,
+     LATERAL unnest(generate_series(CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE),
+                                    INTERVAL 1 DAY)) AS u(d)
+WHERE l.l_orderkey <= 2000
+  AND l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+"""
+
+
+@register("order_ship_days_explode", _DAYS_EXPLODE_SQL)
+def order_ship_days_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (SURVEY §2.9): a date RANGE exploding to daily rows —
+    ``sequence(start, end, 1 day)`` + explode, the reference's
+    visits→daily fan-out. The 60-day cap rides the join predicate so the
+    per-row fan-out is bounded by construction; at scale an unbounded
+    range explode is a blow-up, cap it or spine-join instead."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.expr("o_orderdate + INTERVAL 60 DAYS"))
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate").cast("date"),
+                F.col("l_shipdate").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("active_day"),
+    )
