@@ -6869,3 +6869,42 @@ def order_ship_days_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("active_day"),
     )
+
+
+# Retrieval composition: ANN hits re-joined to the DOCUMENT corpus with
+# quality/length metadata — the retrieve-then-read shape of a RAG or
+# hard-negative-mining pipeline (vector index answers ids, the document
+# store serves the payloads; ids align 1:1 here as vec_id == doc_id).
+_SEMANTIC_SEARCH_SQL = f"""
+WITH hits AS (
+    SELECT query_id, cand_id, cos_sim, rnk FROM (
+{_KNN_SQL}
+    ) ksub
+)
+SELECT h.query_id, h.cand_id, h.cos_sim, h.rnk,
+       d.lang, d.n_chars,
+       CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                 ELSE length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+            END AS BIGINT) AS cand_tokens
+FROM hits h JOIN documents d ON d.doc_id = h.cand_id
+"""
+
+
+@register("semantic_search_docs", _SEMANTIC_SEARCH_SQL)
+def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-read: exact-cosine top-3 ids from the embedding
+    index joined back to the document store for language/length metadata
+    — the two-table shape every RAG / hard-negative pipeline runs (the
+    index never stores payloads; the doc join is id-keyed and broadcast
+    here because the hit set is tiny). Composes the verified knn family
+    with the documents table."""
+    hits = knn_cosine_top3(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + F.lit(1)
+    )
+    meta = d.select("doc_id", "lang", "n_chars", tokens.cast("long").alias("cand_tokens"))
+    return hits.join(meta, hits.cand_id == meta.doc_id).select(
+        "query_id", "cand_id", "cos_sim", "rnk", "lang", "n_chars", "cand_tokens"
+    )
