@@ -25,6 +25,15 @@ the next match, while ``aaa`` under an ``a+a`` merge correctly yields
 so an unrolled SQL oracle replays training bit-for-bit. All counts are
 integers — no float anywhere.
 
+Reserved characters: the marker encoding assumes no SYMBOL contains
+``|`` (the start marker) or whitespace (the symbol terminator) — a word
+containing either would produce empty/corrupt symbols after the
+split/rtrim decode and poison pair counts. ``word_frequencies``
+therefore EXCLUDES words containing ``|`` or non-space whitespace from
+the training vocabulary (documented contract, mirrored in the SQL
+oracles); real tokenizers handle these via byte-level pre-encoding,
+which is out of scope here.
+
 Lineage doubles per round (each round's frame references the previous);
 ``localCheckpoint(eager=False)`` linearizes it. Driver collect: none.
 """
@@ -48,13 +57,16 @@ _PAIRS = (
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt): the vocabulary-sized table BPE trains on — the one
-    corpus-sized shuffle in the whole procedure."""
+    corpus-sized shuffle in the whole procedure. Words containing the
+    reserved marker ``|`` or non-space whitespace are excluded (see the
+    module docstring: they cannot round-trip the symbol encoding)."""
     return (
         df.select(
             F.explode(
                 F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
             ).alias("word")
         )
+        .filter(~F.col("word").rlike(r"[|\s]"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

@@ -85,6 +85,8 @@ def pq_encode(
     identically whether it arrived in the training batch or a delta."""
     if dim is None:
         dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     parts = []
     for s in range(m):
@@ -126,6 +128,8 @@ def pq_adc_topk(
     original float corpus."""
     if dim is None:
         dim = len(queries.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     # distance table: for every (query, sub, cid): 6dp-rounded sq dist —
     # the same rounding contract as clustering._sq_dist

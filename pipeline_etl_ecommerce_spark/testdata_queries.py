@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 NS_PER_DAY = 86_400_000_000_000
+
+# (session id, sf_dir) pairs whose events.ts epoch-scale probe passed — the
+# guard in _events() runs once per pair, not once per query.
+_EVENTS_PROBE_OK: set[tuple[int, str]] = set()
 
 
 def register(name: str, sql: str | None = None):
@@ -64,27 +69,88 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{f.name} BIGINT" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
             for f in spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema.fields
         )
-        df = (
-            spark.read.schema(forced)
-            .parquet(os.path.join(sf_dir, "events.parquet"))
-            .withColumn("ts", F.col("ts") * F.lit(1000))
-        )
-        # The ×1000 above assumes the forced-BIGINT read of a TIMESTAMP(NANOS)
-        # column yields epoch MICROS. If a Spark build instead surfaces raw
-        # nanos, every timestamp would silently inflate 1000×; probe the max
-        # once and fail loudly outside a plausible epoch-nanos range
-        # (1990..2120 ≈ 6.3e17..4.7e18). Runs only on the rare fallback path.
-        probe = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        if probe is not None and not (6.3e17 < probe < 4.7e18):
-            raise ValueError(
-                f"events.ts fallback scaling produced implausible epoch-nanos "
-                f"(max={probe}); the forced-BIGINT read did not return micros — "
-                f"adjust the scale factor in _events()"
-            )
+        df = spark.read.schema(forced).parquet(os.path.join(sf_dir, "events.parquet"))
+        # The ×1000 below assumes the forced-BIGINT read of the timestamp
+        # column yields epoch MICROS. If a build instead surfaced raw nanos,
+        # every timestamp would silently inflate 1000× — and under ANSI mode
+        # the multiply itself would overflow long into a confusing
+        # ARITHMETIC_OVERFLOW. Probe the max BEFORE scaling and fail loudly
+        # outside a plausible epoch-micros range (1990..2120 ≈
+        # 6.3e14..4.7e15). Once per (session, sf_dir): a parquet-footer-sized
+        # agg, not something to repeat on all ~40 event queries.
+        cache_key = (id(spark), os.path.abspath(sf_dir))
+        if cache_key not in _EVENTS_PROBE_OK:
+            probe = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            if probe is not None and not (6.3e14 < probe < 4.7e15):
+                raise ValueError(
+                    f"events.ts forced-BIGINT read produced implausible epoch-micros "
+                    f"(max={probe}); the reader did not return micros — adjust the "
+                    f"scale factor in _events()"
+                )
+            _EVENTS_PROBE_OK.add(cache_key)
+        df = df.withColumn("ts", F.col("ts") * F.lit(1000))
     return df.withColumn(
         "event_date",
         F.date_add(F.lit("1970-01-01").cast("date"), F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("int")),
     )
+
+
+US_PER_DAY = 86_400_000_000
+
+BUSINESS_TZ = "America/Sao_Paulo"
+
+
+@contextmanager
+def _session_tz(spark: SparkSession, tz: str = BUSINESS_TZ):
+    """Pin the session timezone around an EXECUTED callable (one that runs a
+    real stream / writes a sink before returning a materialized result).
+
+    The driver owns the SparkSession and may run it under any host timezone
+    (CORRECTNESS_r02's one red row was exactly this: the driver session ran
+    UTC, so ``date_trunc('DAY', ...)`` bucketed 150 UTC-day groups instead of
+    the 155 America/Sao_Paulo-day groups the oracle pins). Callables whose
+    results are materialized *inside* the callable (localCheckpoint / parquet
+    read-back of an executed sink) can safely pin-and-restore, because the
+    returned rows no longer depend on session conf at the driver's collect
+    time. LAZY callables must NOT use this — they should make the timezone
+    explicit in the column expression instead (see ``_tz_day``)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def _tz_day(us_col, tz: str = BUSINESS_TZ):
+    """Session-independent calendar day of a naive-UTC epoch-micros column in
+    ``tz``. Every function in the chain carries its timezone explicitly:
+    ``timestamp_micros`` builds the instant, ``from_utc_timestamp`` shifts by
+    the per-instant offset of ``tz`` (DST-correct), ``unix_micros`` drops back
+    to tz-free epoch arithmetic, and the day number is integer floor-division
+    — nothing reads ``spark.sql.session.timeZone``. Matches DuckDB's
+    ``CAST(timezone(tz, timezone('UTC', ts)) AS DATE)``."""
+    shifted = F.unix_micros(F.from_utc_timestamp(F.timestamp_micros(us_col), tz))
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(shifted / F.lit(US_PER_DAY)).cast("int"),
+    )
+
+
+def _await_stream(query, timeout: int = 300) -> None:
+    """``awaitTermination`` that REFUSES to fall through on timeout.
+
+    ``StreamingQuery.awaitTermination(t)`` returns False when the stream is
+    still running after ``t`` seconds; ignoring that boolean means a loaded
+    driver session could read a partially-written sink and return an
+    arbitrarily wrong — but plausible-looking — result. Raise instead: a loud
+    timeout is diagnosable, a silent partial read is not."""
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not terminate within {timeout}s; "
+            "refusing to read a partially-written sink"
+        )
 
 
 # ===========================================================================
@@ -612,97 +678,97 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Driver correctness window. The round-1 driver gave CORRECTNESS rows only to
-# the FIRST 50 registered queries; everything after curated_documents_multimodal
-# went unchecked. queries()/oracle_sql() therefore emit a curated order, not
-# file order: (a) this round's oracle fixes (json_props_extract HUGEINT cast,
-# near_dup_components recursive-CTE oracle, pinned-IVF oracle), then (b) the 51
-# queries that have never had a driver row, then (c) the four weakest-marginal
-# of those rotated to 51+ so the window holds exactly 50, then (d) the round-1
-# greens — still protected by scripts/selfcheck.py and pytest.
+# Driver correctness window (the driver records rows for the FIRST 50 names
+# queries() emits). Round-3 rotation: CORRECTNESS_r01+r02 together cover 97
+# distinct queries; the r3 window is (a) streaming_rollup_executed — r02's one
+# red row, now fixed (session-tz pin inside the callable) and kept in-window
+# to prove it, then (b) 49 of the 71 never-driver-checked queries, ordered
+# SURVEY-row conversions → executed sinks/streams → SQL-semantics edge rows →
+# TPC-H late shapes → the SCD2/dedup/retrieval/DSIR/PQ/BPE families. The 22
+# left over (listed at 51+) are the r4 window, all selfcheck-verified at both
+# SFs meanwhile. Previously-green queries stay protected by selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # round-2 fixes/additions that need an in-window driver row to prove them
-    "json_props_extract",
-    "near_dup_components",
-    "ivf_ann_top3",
-    "streaming_ingest_pairs_converged",
-    "streaming_chunk_replace",
-    # EXECUTED Structured Streaming under the value hash (r2-cont): the
-    # only queries that run a real stream inside the catalog callable —
-    # highest-marginal driver signal, swapped in for the two same-family
-    # second entries pushed to 51+ below (pii_redacted_documents,
-    # decontaminated_documents — both still selfcheck-verified).
-    "streaming_dedup_executed",
+    # (a) r02's one red row, fixed this round (callable pins the session tz
+    # around construction+execution; result localCheckpointed under the pin)
+    # — stays in-window so the fix gets a driver row.
     "streaming_rollup_executed",
-    # never driver-checked in round 1 (registration order preserved)
-    "ngram_lang_classifier",
-    "bm25_query_scores",
-    "tfidf_top_terms",
-    "doc_repetition_stats",
-    "pii_scan",
-    "decontamination_report",
-    "column_profile",
-    "shuffle_shards_docs",
-    "event_sessions",
-    "last_touch_attribution",
-    "clicks_before_purchase",
-    "rollup_returnflag_status",
-    "cube_status_priority",
-    "pivot_status_qty",
-    "corpus_top_terms",
-    "returnflag_price_stats",
-    "price_percentiles",
-    "order_price_histogram",
-    "user_daily_gapfill",
-    "user_rolling_value",
-    "fuzzy_text_pairs",
-    "doc_chunks",
-    "dup_ngram_stats",
-    "mixture_sampled_docs",
-    "kmeans_clusters",
-    "semantic_dedup_keep",
-    "shipping_priority_top10",
-    "local_supplier_volume",
-    "user_event_deltas",
-    "small_quantity_revenue",
-    "corpus_training_sequences",
-    "late_shipment_priority",
-    "quality_gate_p25",
-    "returned_item_top_customers",
-    "large_order_customers",
-    "forecast_revenue_change",
-    "customer_order_distribution",
-    "disjunctive_predicate_revenue",
-    "promo_revenue_share",
-    "top_supplier_quarter",
-    "nation_pair_volume",
-    "parts_sold_both_years",
-    "nation_market_share",
-    # ---- position 51+: rotated out of the window (weakest marginal signal:
-    # rows-only check or a same-family query already inside the window —
-    # per_lang_eval_sample/idle_rich_customers pushed out by the two
-    # streaming-composition queries above, which had no check at all).
-    # weighted_doc_sample/model_scored_documents are new in r2
-    # (selfcheck-verified); first in line for the r3 window rotation,
-    # together with the ~25 r2-continuation queries registered after the
-    # priority list (SCD2/debounce/cohort family, keep-best, inverted
-    # index, boilerplate pruning, yoy full-outer, percentile_cont, JL
-    # projection, collocation, dq report, incremental simhash, funnel,
-    # pseudonymization, props flattening, lang confusion, curated-best,
-    # WAU, batch 16's six SURVEY-row conversions, AND the late-r2
-    # batches 17-23: TPC-H Q9/Q16/Q20/Q21 shapes, DSIR family, char
-    # diversity, winsorized stats, PQ, fixed-point PageRank, BPE
-    # learn+apply, executed sinks S11/S13/S16 + T7 backfill, window
-    # surface, executed session stream — all selfcheck-verified at both
-    # SFs; CORRECTNESS_r02 covers the first 50 here, rotate the rest
-    # into the r3 window).
+    # (b1) SURVEY-row conversions that have never had a driver row
+    "sp_timezone_daily_rollup",
+    "keyed_update_retailprice",
+    "locale_parse_roundtrip",
+    "queue_claim_transitions",
+    "part_name_explode_outer",
+    "priority_bag_union_counts",
+    "deposito_saldo_extract",
+    "order_ship_days_explode",
+    "point_lookup_enrichment",
+    "json_quarantine_ingest",
+    "csv_source_roundtrip",
+    # (b2) EXECUTED sinks / streams (real write+read-back under the hash)
+    "sink_append_roundtrip",
+    "sink_truncate_reload",
+    "sink_partitioned_bi_mart",
+    "backfill_daily_rollup",
+    "sink_schema_evolution",
+    "zorder_events_key",
+    "incremental_agg_mart",
+    "streaming_sessions_executed",
+    "streaming_stateful_totals",
+    "streaming_attribution_executed",
+    # (b3) SQL-semantics edge rows
+    "not_in_null_semantics",
+    "lateral_top2_customers",
+    "events_props_variant",
+    "part_sales_bag_setops",
+    # (b4) TPC-H late shapes (Q21/Q9/Q16/Q20 families)
+    "waiting_suppliers",
+    "dominant_part_suppliers",
+    "nation_yearly_profit",
+    "supplier_cnt_by_part",
+    # (b5) operator families registered after the r2 window
+    "scd2_event_type_history",
+    "debounced_events",
+    "cohort_retention_weekly",
+    "session_funnel_counts",
+    "near_dup_keep_best",
+    "near_dup_pagerank",
+    "simhash_incremental_pairs",
+    "inverted_index_postings",
+    "boilerplate_pruned_documents",
+    "collocation_lift_top20",
+    "embedding_random_projection",
+    "dq_constraint_report",
+    "dsir_importance_weights",
+    "dsir_selected_corpus",
+    "pq_adc_top3",
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
+    "bpe_fertility_by_lang",
+    "pseudonymized_events",
+    "token_budget_mixture",
+    # ---- position 51+: the 22 never-driver-checked queries that did not fit
+    # this window — the whole r4 rotation, all selfcheck-verified at sf0.001
+    # and sf0.01 (sketch_profile_lineitem rows-only by design). Ordered:
+    # same-family seconds and statistical variants first, then sampling /
+    # scoring / curated-mart composites.
+    "lang_confusion_matrix",
     "pii_redacted_documents",
+    "per_lang_eval_sample",
     "decontaminated_documents",
+    "customer_order_window_surface",
+    "events_props_flat_daily",
+    "curated_documents_best",
+    "rolling_weekly_active_users",
+    "doc_char_diversity",
+    "winsorized_price_stats",
+    "price_mad_by_returnflag",
+    "price_percentiles_cont",
+    "yoy_part_revenue",
+    "semantic_search_docs",
+    "exact_span_pairs_docs",
     "weighted_doc_sample",
     "model_scored_documents",
-    "exact_span_pairs_docs",
-    "per_lang_eval_sample",
     "idle_rich_customers",
     "user_moving_avg_rows",
     "doc_counts_grouping_sets",
@@ -4624,13 +4690,15 @@ GROUP BY 1
 @register("sp_timezone_daily_rollup", _SP_TZ_SQL)
 def sp_timezone_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rollup on America/Sao_Paulo wall-clock dates (the reference's
-    business timezone, SURVEY.md §2.8 F2 / §2.10 T4): the int64-nanos UTC
-    instants render as SP dates because the session tz is pinned — a UTC
-    event at 01:00 lands on the PREVIOUS SP calendar day."""
+    business timezone, SURVEY.md §2.8 F2 / §2.10 T4): a UTC event at 01:00
+    lands on the PREVIOUS SP calendar day. The conversion is explicit in the
+    column expression (``_tz_day``: from_utc_timestamp + epoch arithmetic),
+    so the result is identical under ANY driver session timezone — this is a
+    LAZY callable, collected after it returns, and must not depend on a
+    session-tz pin the way r2's version did."""
     e = _events(spark, sf_dir)
-    ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
     return (
-        e.withColumn("sp_date", F.to_date(ts))
+        e.withColumn("sp_date", _tz_day(F.expr("ts DIV 1000")))
         .groupBy("sp_date")
         .agg(
             F.count("*").cast("long").alias("n_events"),
@@ -4935,14 +5003,13 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deduped = dedup_stream(stream, ["event_id"], "__et").drop("__et")
         with stream_shuffle_partitions(spark, 8):
-            (
+            _await_stream(
                 deduped.writeStream.format("parquet")
                 .option("path", target)
                 .option("checkpointLocation", ckpt)
                 .outputMode("append")
                 .trigger(availableNow=True)
                 .start()
-                .awaitTermination(300)
             )
         return spark.read.parquet(target).localCheckpoint()
     finally:
@@ -4968,7 +5035,17 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data convergence proven by EXECUTION (SURVEY.md §2.10 T2-T4):
     a real watermarked 1-day-tumbling stream over two triggers — the
     second delivers the late slice — MERGEd into a keyed mart that must
-    equal the full batch rollup value-for-value."""
+    equal the full batch rollup value-for-value.
+
+    Session-independence: ``daily_rollup_stream`` buckets days in the
+    SESSION timezone by contract (the engine semantic the reference's cron
+    batches assume), so this callable pins the session tz to the business
+    timezone for the duration of the run and restores it afterwards — the
+    result is localCheckpoint-materialized before the pin is released, so
+    the rows the driver collects cannot depend on its ambient tz. This was
+    CORRECTNESS_r02's one red row: an unpinned UTC driver session produced
+    150 UTC-day groups where the oracle pins 155 America/Sao_Paulo-day
+    groups."""
     import json as _json
     import shutil as _shutil
     import tempfile as _tempfile
@@ -5005,27 +5082,32 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = StructType.fromDDL(
             "event_id bigint, event_type string, tus bigint, value double"
         )
-        stream = (
-            read_json_stream(spark, drops, schema, max_files_per_trigger=1)
-            .withColumn("__et", F.expr("timestamp_micros(tus)"))
-        )
-        rolled = daily_rollup_stream(
-            stream,
-            ts_col="__et",
-            key_cols=["event_type"],
-            aggs=[
-                F.count("*").alias("n_events"),
-                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-                .cast("double")
-                .alias("total_value"),
-            ],
-            watermark="3 days",
-        )
-        with stream_shuffle_partitions(spark, 8):
-            run_upsert_stream(
-                rolled, target, ["event_date", "event_type"], ckpt
-            ).awaitTermination(300)
-        return spark.read.parquet(target).localCheckpoint()
+        # Pin the session tz BEFORE the plan is built: ResolveTimeZone bakes
+        # the session zone into date_trunc at analysis time, so the pin must
+        # cover DataFrame construction, not just stream execution. The
+        # localCheckpoint materializes the result while still pinned.
+        with _session_tz(spark):
+            stream = (
+                read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+                .withColumn("__et", F.expr("timestamp_micros(tus)"))
+            )
+            rolled = daily_rollup_stream(
+                stream,
+                ts_col="__et",
+                key_cols=["event_type"],
+                aggs=[
+                    F.count("*").alias("n_events"),
+                    F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                    .cast("double")
+                    .alias("total_value"),
+                ],
+                watermark="3 days",
+            )
+            with stream_shuffle_partitions(spark, 8):
+                _await_stream(run_upsert_stream(
+                    rolled, target, ["event_date", "event_type"], ckpt
+                ))
+            return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
 
@@ -6081,10 +6163,10 @@ def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         with stream_shuffle_partitions(spark, 8):
-            run_upsert_stream(
+            _await_stream(run_upsert_stream(
                 sessions, target, ["user_id", "session_start_us"], ckpt,
                 output_mode="append",
-            ).awaitTermination(300)
+            ))
         return (
             spark.read.parquet(target)
             .filter(F.col("user_id") >= 0)
@@ -6189,6 +6271,8 @@ def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _tempfile.mkdtemp(prefix="quarantine_")
     drop = os.path.join(base, "drop.json")
     dead = os.path.join(base, "dead_letter")
+    raw = None  # bound inside try; guard the finally so an early failure
+    # (e.g. writing the drop file) surfaces as itself, not a NameError
     try:
         with open(drop, "w") as f:
             for r in rows:
@@ -6215,7 +6299,8 @@ def json_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
-        raw.unpersist()
+        if raw is not None:
+            raw.unpersist()
         _shutil.rmtree(base, ignore_errors=True)
 
 
@@ -6549,10 +6634,10 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
         totals = running_user_totals_exact(stream)
         with stream_shuffle_partitions(spark, 8):
-            run_upsert_stream(
+            _await_stream(run_upsert_stream(
                 totals, target, ["user_id"], ckpt,
                 output_mode="append", order_by=["n_events"],
-            ).awaitTermination(300)
+            ))
         return spark.read.parquet(target).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
@@ -6618,11 +6703,11 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
                     ) + "\n"
                     (f1 if r.event_id % 2 == 0 else f2).write(line)
         with stream_shuffle_partitions(spark, 8):
-            click_attribution_join_stream(
+            _await_stream(click_attribution_join_stream(
                 spark, cdir, pdir, target, ckpt,
                 attribution_window="24 hours", watermark="48 hours",
                 max_files_per_trigger=1,
-            ).awaitTermination(300)
+            ))
         return (
             spark.read.parquet(target)
             .select(
@@ -6908,3 +6993,43 @@ def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(meta, hits.cand_id == meta.doc_id).select(
         "query_id", "cand_id", "cos_sim", "rnk", "lang", "n_chars", "cand_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bench attribution: the shared side-table marts (signatures, centroids,
+# trained models, PQ codes) are built lazily by their FIRST consumer, which
+# made that consumer's bench number absorb the whole family's build cost
+# (r2: near_dup_components billed ~9 s of LSH mart build while
+# near_dup_verified_pairs ran in 0.09 s). At scale these are persisted
+# tables keyed by corpus version — their build is an ingest-time cost, not
+# a query cost — so the bench warms them in an explicit setup step billed
+# separately under "side_table_build".
+# ---------------------------------------------------------------------------
+def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Materialize every shared per-(session, sf_dir) side-table mart.
+    Returns {mart_name: build_seconds}; all subsequent catalog queries read
+    the persisted tables. Dependency order (verified pairs need band keys,
+    components need verified pairs, assignments need centroids, codes need
+    codebooks) so each number is that mart's own cost."""
+    import time as _time
+
+    builders: list[tuple[str, Callable[[], object]]] = [
+        ("winnow_fingerprints", lambda: _winnow_fps(spark, sf_dir)),
+        ("minhash_band_keys", lambda: _band_keys(spark, sf_dir)),
+        ("simhash32", lambda: _simhash_sigs(spark, sf_dir)),
+        ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
+        ("near_dup_components", lambda: _components(spark, sf_dir)),
+        ("embedding_lsh_pairs", lambda: _emb_pairs(spark, sf_dir)),
+        ("lang_trigram_profiles", lambda: _lang_profiles(spark, sf_dir)),
+        ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
+        ("kmeans_assignment", lambda: _kmeans_assignment(spark, sf_dir)),
+        ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
+        ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
+        ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
+    ]
+    timings: dict[str, float] = {}
+    for name, fn in builders:
+        t0 = _time.perf_counter()
+        fn()
+        timings[name] = round(_time.perf_counter() - t0, 3)
+    return timings

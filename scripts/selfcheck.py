@@ -3,7 +3,14 @@ and its ``oracle_sql()`` on DuckDB over the same parquet, compare row count,
 column names, and values (order-insensitive; floats exact-compared first,
 then reported by max abs diff when not identical).
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` (or env SELFCHECK_HOSTILE=1) runs the catalog under a
+deliberately unfriendly session — UTC timezone, none of the engine's tuned
+confs — the way an external driver that owns its own SparkSession would.
+Every callable must be self-sufficient: green under ``--hostile`` is the
+proof that no result depends on ambient session configuration
+(CORRECTNESS_r02's one red row was exactly such a dependence).
 """
 
 from __future__ import annotations
@@ -55,11 +62,35 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def hostile_spark():
+    """A driver-shaped session: UTC tz, default confs, no engine tuning."""
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("selfcheck", cpus=8, shuffle_partitions=8)
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("selfcheck-hostile")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    hostile = os.environ.get("SELFCHECK_HOSTILE") == "1"
+    if "--hostile" in argv:
+        hostile = True
+        argv = [a for a in argv if a != "--hostile"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    if hostile:
+        print("[mode] HOSTILE session: UTC tz, default confs")
+        spark = hostile_spark()
+    else:
+        spark = get_spark("selfcheck", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")

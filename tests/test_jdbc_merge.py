@@ -1,0 +1,98 @@
+"""Contract tests for the JDBC staging-table MERGE recipe.
+
+No MySQL/Postgres server exists in this sandbox, so the server-side
+semantics are proven against DuckDB, whose ``INSERT ... ON CONFLICT DO
+UPDATE`` implements the same upsert contract the recipe generates for
+Postgres — and (with the alias syntax swapped) for MySQL's ``ON DUPLICATE
+KEY UPDATE`` (reference ``tarefa_consolidar_dados.php:144-150``). The
+oracle for the end state is the engine's own ``merge_upsert``: the DB that
+ran the generated statement must hold exactly the rows the DataFrame-side
+merge produces.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pipeline_etl_ecommerce_spark.sources.jdbc_merge import (
+    merge_statement,
+    truncate_statement,
+)
+from pipeline_etl_ecommerce_spark.sources.sinks import dedupe_last_wins, merge_upsert
+
+COLS = ["k1", "k2", "val", "note"]
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE target (k1 BIGINT, k2 VARCHAR, val DOUBLE, note VARCHAR, PRIMARY KEY (k1, k2))")
+    c.execute("CREATE TABLE staging (k1 BIGINT, k2 VARCHAR, val DOUBLE, note VARCHAR)")
+    yield c
+    c.close()
+
+
+OLD = [(1, "a", 10.0, "old"), (2, "b", 20.0, "old"), (3, "c", 30.0, "old")]
+NEW = [(2, "b", 99.0, "new"), (4, "d", 40.0, "new")]
+
+
+def _run_recipe(con, new_rows):
+    con.executemany("INSERT INTO target VALUES (?, ?, ?, ?)", OLD)
+    con.executemany("INSERT INTO staging VALUES (?, ?, ?, ?)", new_rows)
+    stmt = merge_statement("duckdb", "target", "staging", ["k1", "k2"], COLS)
+    con.execute(stmt)
+    con.execute(truncate_statement("duckdb", "staging"))
+    return sorted(con.execute("SELECT * FROM target").fetchall())
+
+
+def test_duckdb_merge_matches_engine_merge(spark, con):
+    got = _run_recipe(con, NEW)
+    old_df = spark.createDataFrame(OLD, COLS)
+    new_df = spark.createDataFrame(NEW, COLS)
+    want = sorted(tuple(r) for r in merge_upsert(old_df, new_df, ["k1", "k2"]).collect())
+    assert got == want
+    # matched key updated, unmatched inserted, untouched preserved
+    assert (2, "b", 99.0, "new") in got and (4, "d", 40.0, "new") in got
+    assert (1, "a", 10.0, "old") in got
+
+
+def test_merge_is_idempotent(con):
+    first = _run_recipe(con, NEW)
+    con.executemany("INSERT INTO staging VALUES (?, ?, ?, ?)", NEW)
+    con.execute(merge_statement("duckdb", "target", "staging", ["k1", "k2"], COLS))
+    second = sorted(con.execute("SELECT * FROM target").fetchall())
+    assert first == second
+
+
+def test_in_delta_duplicates_collapse_last_wins(spark, con):
+    # two staged rows for the same key: the recipe dedupes BEFORE staging
+    # (MySQL would apply them in arbitrary order) — last-wins on `val`.
+    dup = [(2, "b", 50.0, "low"), (2, "b", 99.0, "high")]
+    delta = dedupe_last_wins(spark.createDataFrame(dup, COLS), ["k1", "k2"], ["val"])
+    staged = [tuple(r) for r in delta.collect()]
+    assert staged == [(2, "b", 99.0, "high")]
+    got = _run_recipe(con, staged)
+    assert (2, "b", 99.0, "high") in got
+
+
+def test_statement_shapes():
+    my = merge_statement("mysql", "t", "s", ["k"], ["k", "v"])
+    assert my == (
+        "INSERT INTO t (k, v) SELECT k, v FROM s AS new "
+        "ON DUPLICATE KEY UPDATE v = new.v"
+    )
+    pg = merge_statement("postgres", "t", "s", ["k"], ["k", "v"])
+    assert pg == (
+        "INSERT INTO t (k, v) SELECT k, v FROM s "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+    # all-key table: postgres degrades to DO NOTHING, mysql to a no-op set
+    assert "DO NOTHING" in merge_statement("postgres", "t", "s", ["k"], ["k"])
+    assert "k = new.k" in merge_statement("mysql", "t", "s", ["k"], ["k"])
+    with pytest.raises(ValueError):
+        merge_statement("oracle", "t", "s", ["k"], ["k", "v"])
+    with pytest.raises(ValueError):
+        merge_statement("mysql", "t", "s", [], ["k", "v"])
+    with pytest.raises(ValueError):
+        merge_statement("mysql", "t", "s", ["absent"], ["k", "v"])
