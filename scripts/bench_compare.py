@@ -1,8 +1,14 @@
 """Round-over-round bench comparison: diff two bench_detail.json files
-per query (NEVER totals — the catalog grows between rounds) with the
-side-table caveat applied: a query family shares materialized side
-tables, so a per-query delta inside one family is only meaningful at the
-family level (the FIRST consumer bills the build — NOTES.md).
+per query (NEVER totals — the catalog grows between rounds).
+
+Family logic: queries sharing session side tables used to bill the mart
+build to whichever ran first in catalog order, so per-query deltas inside
+a family were only meaningful as the family SUM. Since round 3 the bench
+builds all side tables in a separate "side_table_build" setup step, so
+NEW details have flat families — but the family sum is still the right
+unit when the OLD file predates the split (its first consumers carry
+build cost the new file bills to setup; compare family+setup against
+family to stay apples-to-apples).
 
 Usage: python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.5]
 Exit 1 when any non-family-explained query regressed past threshold x.
@@ -14,7 +20,7 @@ import argparse
 import json
 
 # Queries that share session side tables: deltas are judged on the family
-# SUM because the build bills whoever runs first in catalog order.
+# SUM (see module docstring for the pre/post side_table_build caveat).
 FAMILIES = {
     "lsh": [
         "near_dup_components", "near_dup_verified_pairs", "near_dup_keep_best",
@@ -25,7 +31,6 @@ FAMILIES = {
     "simhash": ["simhash_documents", "simhash_near_pairs", "simhash_incremental_pairs"],
     "kmeans": ["kmeans_clusters", "semantic_dedup_keep", "ivf_ann_top3"],
     "lang_model": ["ngram_lang_classifier", "lang_confusion_matrix"],
-    # r2-cont additions sharing side tables / collected models
     "pagerank": ["near_dup_pagerank"],  # bills the LSH marts if first consumer
     "pq": ["pq_adc_top3"],              # codebook + codes side tables
     "bpe": ["bpe_merge_table", "bpe_tokenized_docs", "bpe_fertility_by_lang"],
@@ -40,13 +45,20 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
 
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old_doc = json.load(open(args.old))
+    new_doc = json.load(open(args.new))
+    old, new = old_doc["queries"], new_doc["queries"]
     fam_of = {q: f for f, qs in FAMILIES.items() for q in qs}
 
     regressions: list[str] = []
     print(f"{len(new)} queries in NEW ({len(set(new) - set(old))} added, "
           f"{len(set(old) - set(new))} removed)")
+    for side in ("side_table_build",):
+        o = (old_doc.get(side) or {}).get("total")
+        n = (new_doc.get(side) or {}).get("total")
+        if o is not None or n is not None:
+            print(f"  {side}: {o if o is not None else 'n/a'} -> "
+                  f"{n if n is not None else 'n/a'}s (setup, billed separately)")
 
     fam_old: dict[str, float] = {}
     fam_new: dict[str, float] = {}

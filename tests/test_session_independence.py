@@ -117,3 +117,19 @@ def test_events_normalization_on_plausible_micros(spark, tmp_path):
     # nanos round-trip: naive micros × 1000
     naive_us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert row["ts"] == naive_us * 1000
+
+
+def test_tz_day_tracks_dst_offsets(spark):
+    """America/Sao_Paulo observed DST until 2019 (UTC-2 in southern
+    summer). _tz_day must apply the PER-INSTANT offset, not a fixed -3h:
+    2018-01-15 02:30 UTC is 00:30 Jan 15 under DST (UTC-2) but would be
+    23:30 Jan 14 under the naive fixed offset."""
+    us = int(dt.datetime(2018, 1, 15, 2, 30, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    df = spark.range(1).select(F.lit(us).alias("us"))
+    with _session_tz(spark, "UTC"):
+        got = df.select(_tz_day(F.col("us")).alias("d")).collect()[0]["d"]
+    assert got == dt.date(2018, 1, 15)
+    # and a winter instant uses UTC-3 as usual
+    us_w = int(dt.datetime(2018, 7, 15, 2, 30, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    got_w = spark.range(1).select(_tz_day(F.lit(us_w)).alias("d")).collect()[0]["d"]
+    assert got_w == dt.date(2018, 7, 14)

@@ -464,3 +464,32 @@ def test_merge_aggregate_mart_handles_retractions(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_vacuum_retention_gives_concurrent_readers_one_commit_grace(spark, tmp_path):
+    """The retention contract for readers running WHILE a writer commits:
+    a reader that resolved the current snapshot just before a commit is one
+    version behind afterwards — with the default keep=2, vacuum must never
+    delete that snapshot, so the in-flight (lazy, un-materialized) read
+    still completes. Only a reader >= keep commits stale loses its files."""
+    from pipeline_etl_ecommerce_spark.sources.sinks import current_snapshot_path
+
+    path = str(tmp_path / "grace")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1)]), path, ["k"])
+
+    # reader resolves v1 and builds a LAZY plan over its files
+    pinned = current_snapshot_path(path)
+    lazy_reader = spark.read.parquet(pinned)
+
+    # writer commits v2 and vacuums with the default retention
+    transactional_upsert_to_path(_df(spark, [("a", 99, 2)]), path, ["k"])
+    vacuum_versions(path, keep=2)
+
+    # the one-behind reader still completes against its pinned snapshot
+    assert {r["v"] for r in lazy_reader.collect()} == {1}
+
+    # one more commit + vacuum expires v1: a reader two commits stale is
+    # out of the retention window by contract
+    transactional_upsert_to_path(_df(spark, [("a", 7, 3)]), path, ["k"])
+    vacuum_versions(path, keep=2)
+    assert not os.path.isdir(pinned)
