@@ -58,11 +58,20 @@ class TokenProvider:
                 ) - self._skew
             return self._token
 
-    def invalidate(self) -> None:
+    def invalidate(self, failed_token: str | None = None) -> None:
         """Force the next ``token()`` to refresh (server-side revocation —
-        the 401-despite-unexpired case)."""
+        the 401-despite-unexpired case).
+
+        Pass the token that FAILED: the clear is compare-and-swap, so when
+        N concurrent pages all 401 on the same stale token, only the first
+        invalidation clears it — the siblings see the cache already holds a
+        DIFFERENT (fresh) token and leave it alone. An unconditional clear
+        would discard the replacement and turn one expiry into N refresh
+        calls (and, with providers that revoke the prior grant on each
+        refresh, into a revocation storm). ``None`` forces the clear."""
         with self._lock:
-            self._token = None
+            if failed_token is None or self._token == failed_token:
+                self._token = None
 
 
 def with_auth_retry(
@@ -72,10 +81,11 @@ def with_auth_retry(
     replay up to ``retries`` times (the reference's retry-on-401 loop).
     Anything else propagates — auth retry must not mask real errors."""
     for _ in range(retries):
+        tok = provider.token()
         try:
-            return call(provider.token())
+            return call(tok)
         except TokenExpired:
-            provider.invalidate()
+            provider.invalidate(tok)  # compare-and-clear: see invalidate()
     return call(provider.token())
 
 

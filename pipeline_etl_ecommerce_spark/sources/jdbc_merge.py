@@ -63,6 +63,14 @@ def merge_statement(
     identifiers are emitted verbatim, so callers own quoting/validation of
     table and column names (they come from the pipeline's own schema, not
     from user input).
+
+    NOT-NULL keys only: SQL unique constraints treat NULL key components as
+    never-matching, so this single-statement form would re-insert null-key
+    rows on every run instead of updating them. For nullable keys (the
+    reference's vendas key includes a nullable id_variacao) use
+    ``merge_statements_null_safe``, which matches with ``<=>`` /
+    ``IS NOT DISTINCT FROM`` — the same null-safe contract as the engine's
+    ``merge_upsert``.
     """
     if dialect not in _DIALECTS:
         raise ValueError(f"dialect must be one of {_DIALECTS}, got {dialect!r}")
@@ -102,6 +110,43 @@ def merge_statement(
     )
 
 
+def merge_statements_null_safe(
+    dialect: str,
+    target: str,
+    staging: str,
+    keys: list[str],
+    cols: list[str],
+) -> list[str]:
+    """Null-safe upsert as DELETE-matching-then-INSERT (two statements —
+    run them inside one transaction).
+
+    ``ON DUPLICATE KEY`` / ``ON CONFLICT`` never fire when a key component
+    is NULL (SQL UNIQUE treats NULLs as distinct), so the single-statement
+    recipe silently DUPLICATES null-key rows on every re-run — while the
+    engine's ``merge_upsert`` matches NULL keys null-safely (the reference's
+    vendas key has a nullable id_variacao; its MySQL job really does have
+    this duplication bug). For nullable keys use this variant: delete the
+    null-safe-matched target rows (MySQL ``<=>`` / standard ``IS NOT
+    DISTINCT FROM``), then insert the whole staging table. Idempotent for
+    any key content."""
+    if dialect not in _DIALECTS:
+        raise ValueError(f"dialect must be one of {_DIALECTS}, got {dialect!r}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"keys not in cols: {missing}")
+    col_list = ", ".join(cols)
+    if dialect == "mysql":
+        pred = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        delete = f"DELETE t FROM {target} t JOIN {staging} s ON {pred}"
+    else:
+        pred = " AND ".join(f"t.{k} IS NOT DISTINCT FROM s.{k}" for k in keys)
+        delete = f"DELETE FROM {target} t USING {staging} s WHERE {pred}"
+    insert = f"INSERT INTO {target} ({col_list}) SELECT {col_list} FROM {staging}"
+    return [delete, insert]
+
+
 def truncate_statement(dialect: str, staging: str) -> str:
     if dialect not in _DIALECTS:
         raise ValueError(f"dialect must be one of {_DIALECTS}, got {dialect!r}")
@@ -121,17 +166,24 @@ def stage_and_merge(
     batchsize: int = 5_000,
     num_partitions: int | None = None,
     run_sql: Callable[[str], None] | None = None,
-) -> str:
+    null_safe: bool = False,
+) -> list[str]:
     """Full upsert flow: collapse in-delta duplicates → stage via
-    ``df.write.jdbc`` → execute the merge statement → truncate staging.
+    ``df.write.jdbc`` → execute the merge statement(s) → truncate staging.
 
     ``run_sql`` executes a statement against the database from the driver
     (e.g. a ``mysql.connector``/``psycopg`` cursor, or in tests a DuckDB
     connection). It is required to actually merge; without it the function
-    stages only and returns the statement for the caller to run — the
+    stages only and returns the statements for the caller to run — the
     escape hatch for operators whose DB credentials live outside Spark.
 
-    Returns the merge statement that was (or must be) executed.
+    ``null_safe=True`` switches to the DELETE-then-INSERT recipe
+    (``merge_statements_null_safe``) — REQUIRED whenever a key column is
+    nullable, because ``ON CONFLICT``/``ON DUPLICATE KEY`` treat NULL keys
+    as never-matching and would duplicate those rows on every re-run. The
+    caller's ``run_sql`` should wrap the statements in one transaction.
+
+    Returns the list of merge statements that were (or must be) executed.
     """
     staging = staging or f"{target}__staging"
     delta = dedupe_last_wins(df, keys, order_by)
@@ -141,8 +193,12 @@ def stage_and_merge(
     if num_partitions is not None:
         writer = writer.option("numPartitions", str(num_partitions))
     writer.jdbc(url, staging, properties=properties or {})
-    stmt = merge_statement(dialect, target, staging, keys, delta.columns)
+    if null_safe:
+        stmts = merge_statements_null_safe(dialect, target, staging, keys, delta.columns)
+    else:
+        stmts = [merge_statement(dialect, target, staging, keys, delta.columns)]
     if run_sql is not None:
-        run_sql(stmt)
+        for stmt in stmts:
+            run_sql(stmt)
         run_sql(truncate_statement(dialect, staging))
-    return stmt
+    return stmts

@@ -39,9 +39,13 @@ def load_tables(
     return out
 
 
-def read_json_payloads(spark: SparkSession, path: str, schema: StructType, *, multiline: bool = False) -> DataFrame:
+def read_json_payloads(
+    spark: SparkSession, path: str | list[str], schema: StructType, *, multiline: bool = False
+) -> DataFrame:
     """Read API-shaped JSON payloads with an explicit schema (SURVEY.md §2.1 S4-S8).
 
+    ``path`` may be a directory/glob or an explicit list of files (the REST
+    landing zone passes the exact files it just landed).
     ``multiline=True`` for pretty-printed single-document files; default is
     JSON-lines, the scalable layout (splittable → parallel scan)."""
     reader = spark.read.schema(schema)

@@ -106,20 +106,22 @@ def fetch_page_number(
     raise RuntimeError("page-number pagination exceeded 1e6 pages; server is looping")
 
 
-def land_pages(pages: Iterator[list[dict]], drop_dir: str, *, prefix: str = "page") -> int:
+def land_pages(
+    pages: Iterator[list[dict]], drop_dir: str, *, prefix: str = "page"
+) -> list[str]:
     """Write each page as one JSON-lines file in ``drop_dir`` (zero-padded
     sequence names keep file order == fetch order for audit). Returns the
-    number of pages landed. The landing zone is the connector/engine
-    boundary: everything after it is distributed."""
+    landed file paths. The landing zone is the connector/engine boundary:
+    everything after it is distributed."""
     os.makedirs(drop_dir, exist_ok=True)
-    n = 0
+    paths: list[str] = []
     for i, page in enumerate(pages):
         path = os.path.join(drop_dir, f"{prefix}_{i:06d}.json")
         with open(path, "w") as fh:
             for row in page:
                 fh.write(json.dumps(row) + "\n")
-        n += 1
-    return n
+        paths.append(path)
+    return paths
 
 
 def ingest_pages(
@@ -128,16 +130,17 @@ def ingest_pages(
     schema: StructType,
     drop_dir: str,
 ) -> DataFrame:
-    """Land pages then parse them distributed with an explicit schema (never
-    inferSchema on an API payload: one odd page would flip column types).
-    An empty source yields an empty DataFrame with the right schema."""
-    land_pages(pages, drop_dir)
-    return spark.read.schema(schema).json(drop_dir + "/*.json") if _has_files(
-        drop_dir
-    ) else spark.createDataFrame([], schema)
+    """Land pages then parse them distributed with an explicit schema via
+    ``readers.read_json_payloads`` (never inferSchema on an API payload: one
+    odd page would flip column types). Reads EXACTLY the files this call
+    landed — a reused drop directory's leftover pages from a previous,
+    longer run are not silently unioned in. An empty source yields an empty
+    DataFrame with the right schema. For corrupt-record quarantine, read
+    the landed paths through the S8 PERMISSIVE/columnNameOfCorruptRecord
+    path instead (see the json_quarantine catalog query)."""
+    from .readers import read_json_payloads
 
-
-def _has_files(drop_dir: str) -> bool:
-    return os.path.isdir(drop_dir) and any(
-        f.endswith(".json") for f in os.listdir(drop_dir)
-    )
+    paths = land_pages(pages, drop_dir)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return read_json_payloads(spark, paths, schema)

@@ -34,9 +34,11 @@ ORACLE: dict[str, str] = {}
 
 NS_PER_DAY = 86_400_000_000_000
 
-# (session id, sf_dir) pairs whose events.ts epoch-scale probe passed — the
-# guard in _events() runs once per pair, not once per query.
-_EVENTS_PROBE_OK: set[tuple[int, str]] = set()
+# (applicationId, sf_dir) pairs whose events.ts epoch-scale probe passed —
+# the guard in _events() runs once per pair, not once per query. Keyed by
+# applicationId (like _side_table), NOT id(spark): id() values are reused
+# after GC, so a new session could inherit a dead session's probe pass.
+_EVENTS_PROBE_OK: set[tuple[str, str]] = set()
 
 
 def register(name: str, sql: str | None = None):
@@ -78,7 +80,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # outside a plausible epoch-micros range (1990..2120 ≈
         # 6.3e14..4.7e15). Once per (session, sf_dir): a parquet-footer-sized
         # agg, not something to repeat on all ~40 event queries.
-        cache_key = (id(spark), os.path.abspath(sf_dir))
+        cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
         if cache_key not in _EVENTS_PROBE_OK:
             probe = df.agg(F.max("ts").alias("m")).collect()[0]["m"]
             if probe is not None and not (6.3e14 < probe < 4.7e15):
@@ -5682,9 +5684,14 @@ def _bpe_ctes(rounds: int) -> str:
     # otherwise re-evaluate the whole training tree exponentially (the
     # apply oracle went from minutes to <1s with materialization)
     parts = [
+        # mirrors bpe.word_frequencies exactly, INCLUDING the reserved-
+        # character exclusion ('|' and non-space whitespace cannot round-
+        # trip the marker encoding) — without this the two engines train
+        # on different vocabularies the moment a corpus contains one such
+        # word (latent on current testdata, which has none)
         "wf AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM"
         " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
-        " WHERE w <> '' GROUP BY w)",
+        " WHERE w <> '' AND NOT regexp_matches(w, '[|\\s]') GROUP BY w)",
         "w0 AS MATERIALIZED (SELECT cnt, array_to_string(list_transform("
         "generate_series(1, length(word)), i -> '|' || substr(word, i, 1) || ' '),"
         " '') AS s FROM wf)",

@@ -5,10 +5,12 @@ Family logic: queries sharing session side tables used to bill the mart
 build to whichever ran first in catalog order, so per-query deltas inside
 a family were only meaningful as the family SUM. Since round 3 the bench
 builds all side tables in a separate "side_table_build" setup step, so
-NEW details have flat families — but the family sum is still the right
-unit when the OLD file predates the split (its first consumers carry
-build cost the new file bills to setup; compare family+setup against
-family to stay apples-to-apples).
+NEW details have flat families. When the OLD file predates the split (its
+first consumers carry build cost the new file bills to setup), the NEW
+side's family sum gets its setup marts' build time added back
+(MART_FAMILY below) so the comparison stays apples-to-apples — otherwise
+the removed build cost would mask a real within-family regression across
+the transition round.
 
 Usage: python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.5]
 Exit 1 when any non-family-explained query regressed past threshold x.
@@ -37,6 +39,20 @@ FAMILIES = {
     "dsir": ["dsir_importance_weights", "dsir_selected_corpus"],
 }
 
+# side_table_build mart -> family whose OLD first consumer used to bill it
+MART_FAMILY = {
+    "minhash_band_keys": "lsh",
+    "near_dup_verified_pairs": "lsh",
+    "near_dup_components": "lsh",
+    "simhash32": "simhash",
+    "kmeans_centroids": "kmeans",
+    "kmeans_assignment": "kmeans",
+    "lang_trigram_profiles": "lang_model",
+    "pq_codebooks": "pq",
+    "pq_codes": "pq",
+    "bpe_merges": "bpe",
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -62,6 +78,14 @@ def main() -> int:
 
     fam_old: dict[str, float] = {}
     fam_new: dict[str, float] = {}
+    # transition compensation: OLD pre-split (no setup entry) vs NEW
+    # post-split — add NEW's setup mart costs back into their families
+    old_has_split = "side_table_build" in old_doc
+    if not old_has_split:
+        for mart, sec in (new_doc.get("side_table_build", {}).get("marts") or {}).items():
+            f = MART_FAMILY.get(mart)
+            if f:
+                fam_new[f] = fam_new.get(f, 0.0) + sec
     for q in set(old) & set(new):
         f = fam_of.get(q)
         if f:

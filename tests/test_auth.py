@@ -87,3 +87,25 @@ def test_bearer_fetch_composes_with_offset_pagination():
 
     pages = list(fetch_offset_limit(bearer_fetch(p, transport), limit=4))
     assert [r["id"] for pg in pages for r in pg] == list(range(10))
+
+
+def test_concurrent_401s_on_same_token_refresh_once():
+    """N in-flight pages all failing on the same stale token must cause ONE
+    refresh, not N: invalidate() is compare-and-clear, so siblings arriving
+    after the first refresh see a different cached token and keep it."""
+    clock = FakeClock()
+    p, calls = _provider(clock)
+    stale = p.token()  # tok1, now revoked server-side
+
+    def worker(_):
+        def call(token):
+            if token == stale:
+                raise TokenExpired()
+            return {"ok": token}
+
+        return with_auth_retry(p, call)["ok"]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(worker, range(16)))
+    assert set(results) == {"tok2"}
+    assert len(calls) == 2  # initial grant + exactly one re-grant

@@ -17,6 +17,7 @@ import pytest
 
 from pipeline_etl_ecommerce_spark.sources.jdbc_merge import (
     merge_statement,
+    merge_statements_null_safe,
     truncate_statement,
 )
 from pipeline_etl_ecommerce_spark.sources.sinks import dedupe_last_wins, merge_upsert
@@ -96,3 +97,68 @@ def test_statement_shapes():
         merge_statement("mysql", "t", "s", [], ["k", "v"])
     with pytest.raises(ValueError):
         merge_statement("mysql", "t", "s", ["absent"], ["k", "v"])
+
+
+@pytest.fixture()
+def con_nullable():
+    # no PRIMARY KEY: nullable key components (the reference's vendas key
+    # has a nullable id_variacao) cannot be a PK; uniqueness is the
+    # recipe's responsibility via null-safe delete-then-insert
+    c = duckdb.connect()
+    c.execute("CREATE TABLE target (k1 BIGINT, k2 VARCHAR, val DOUBLE, note VARCHAR)")
+    c.execute("CREATE TABLE staging (k1 BIGINT, k2 VARCHAR, val DOUBLE, note VARCHAR)")
+    yield c
+    c.close()
+
+
+NULLKEY_OLD = [(1, None, 10.0, "old"), (2, "b", 20.0, "old")]
+NULLKEY_NEW = [(1, None, 99.0, "new"), (3, None, 30.0, "new")]
+
+
+def _run_null_safe(con, new_rows):
+    con.executemany("INSERT INTO staging VALUES (?, ?, ?, ?)", new_rows)
+    for stmt in merge_statements_null_safe("duckdb", "target", "staging", ["k1", "k2"], COLS):
+        con.execute(stmt)
+    con.execute(truncate_statement("duckdb", "staging"))
+    return sorted(con.execute("SELECT * FROM target").fetchall(), key=str)
+
+
+def test_null_safe_merge_updates_null_key_rows(spark, con_nullable):
+    con_nullable.executemany("INSERT INTO target VALUES (?, ?, ?, ?)", NULLKEY_OLD)
+    got = _run_null_safe(con_nullable, NULLKEY_NEW)
+    ddl = "k1 bigint, k2 string, val double, note string"  # k2 all-NULL: inference would fail
+    old_df = spark.createDataFrame(NULLKEY_OLD, ddl)
+    new_df = spark.createDataFrame(NULLKEY_NEW, ddl)
+    want = sorted((tuple(r) for r in merge_upsert(old_df, new_df, ["k1", "k2"]).collect()), key=str)
+    assert got == want
+    # the NULL-key row was UPDATED, not duplicated
+    assert (1, None, 99.0, "new") in got and (1, None, 10.0, "old") not in got
+
+
+def test_null_safe_merge_is_idempotent_with_null_keys(con_nullable):
+    con_nullable.executemany("INSERT INTO target VALUES (?, ?, ?, ?)", NULLKEY_OLD)
+    first = _run_null_safe(con_nullable, NULLKEY_NEW)
+    second = _run_null_safe(con_nullable, NULLKEY_NEW)
+    assert first == second  # single-statement ON CONFLICT would duplicate here
+
+
+def test_single_statement_form_documents_null_key_hazard(con_nullable):
+    """Prove the hazard the null-safe variant exists for: ON CONFLICT
+    never matches a NULL key component, so re-running duplicates."""
+    con_nullable.execute("CREATE UNIQUE INDEX tk ON target (k1, k2)")
+    con_nullable.executemany("INSERT INTO target VALUES (?, ?, ?, ?)", NULLKEY_OLD)
+    stmt = merge_statement("duckdb", "target", "staging", ["k1", "k2"], COLS)
+    con_nullable.executemany("INSERT INTO staging VALUES (?, ?, ?, ?)", NULLKEY_NEW)
+    con_nullable.execute(stmt)
+    n = con_nullable.execute("SELECT COUNT(*) FROM target WHERE k1 = 1").fetchone()[0]
+    assert n == 2  # duplicated — exactly why nullable keys need the null-safe recipe
+
+
+def test_null_safe_statement_shapes():
+    my = merge_statements_null_safe("mysql", "t", "s", ["k1", "k2"], COLS)
+    assert my[0] == "DELETE t FROM t t JOIN s s ON t.k1 <=> s.k1 AND t.k2 <=> s.k2"
+    assert my[1].startswith("INSERT INTO t (k1, k2, val, note) SELECT")
+    pg = merge_statements_null_safe("postgres", "t", "s", ["k1"], COLS)
+    assert "IS NOT DISTINCT FROM" in pg[0]
+    with pytest.raises(ValueError):
+        merge_statements_null_safe("mysql", "t", "s", [], COLS)

@@ -91,8 +91,24 @@ def test_empty_source_yields_typed_empty_frame(spark, tmp_path):
 
 def test_landing_roundtrip(spark, tmp_path):
     drop = str(tmp_path / "drop")
-    n = land_pages(fetch_offset_limit(_offset_fetch(), limit=7), drop)
-    assert n == 4
+    paths = land_pages(fetch_offset_limit(_offset_fetch(), limit=7), drop)
+    assert len(paths) == 4
     df = spark.read.schema(SCHEMA).json(drop + "/*.json")
     got = sorted((r["id"], r["name"]) for r in df.collect())
     assert got == [(r["id"], r["name"]) for r in ROWS]
+
+
+def test_reused_drop_dir_does_not_union_stale_pages(spark, tmp_path):
+    """Run 1 lands 5 pages; run 2 into the SAME dir lands 3 (the API
+    shrank). ingest_pages must return run 2's rows only — the two stale
+    run-1 files still on disk are not silently unioned in."""
+    drop = str(tmp_path / "drop")
+    land_pages(fetch_offset_limit(_offset_fetch(), limit=5), drop)  # 5 files
+
+    short = ROWS[:12]
+
+    def fetch2(offset, limit):
+        return {"results": short[offset : offset + limit], "paging": {"total": len(short)}}
+
+    df = ingest_pages(spark, fetch_offset_limit(fetch2, limit=5), SCHEMA, drop)
+    assert sorted(r["id"] for r in df.collect()) == list(range(12))
