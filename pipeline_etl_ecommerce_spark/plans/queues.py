@@ -83,3 +83,53 @@ def mark_done(queue: DataFrame, done_ids: DataFrame, status: str = "concluido") 
     )
     untouched = queue.join(F.broadcast(done_ids.select("id")), "id", "left_anti")
     return untouched.unionByName(flagged)
+
+
+def reclaim_stale(
+    queue: DataFrame,
+    *,
+    now,
+    timeout_minutes: int = 30,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Crash recovery the reference LACKS (SURVEY.md §7.3): a worker that
+    dies after claiming leaves its rows stranded in ``processando`` forever
+    — the reference has no path back to ``pendente``, so those ids are
+    simply never processed. Define the recovery instead of copying the gap:
+
+    - ``processando`` rows whose ``data_processamento`` is older than
+      ``timeout_minutes`` (vs the caller-supplied ``now`` — injected, never
+      wall-clock inside the plan, so replays are deterministic) revert to
+      ``pendente`` with ``tentativas`` incremented;
+    - rows that have already been retried ``max_retries`` times go to
+      ``falha`` (the dead-letter status) instead of looping forever on a
+      poison message.
+
+    Safe under at-least-once: reclaimed work re-runs, and every downstream
+    sink is a keyed upsert, so duplicates converge. A missing ``tentativas``
+    column starts at 0."""
+    if "tentativas" not in queue.columns:
+        queue = queue.withColumn("tentativas", F.lit(0).cast("int"))
+    cutoff = F.lit(now).cast("timestamp") - F.expr(
+        f"INTERVAL {int(timeout_minutes)} MINUTES"
+    )
+    stale = (F.col("status") == "processando") & (
+        F.col("data_processamento") < cutoff
+    )
+    exhausted = F.col("tentativas") >= F.lit(int(max_retries))
+    # one select so BOTH expressions see the ORIGINAL row — sequential
+    # withColumns would let the status test read the already-incremented
+    # counter and dead-letter one retry early
+    new_status = (
+        F.when(stale & exhausted, F.lit("falha"))
+        .when(stale, F.lit("pendente"))
+        .otherwise(F.col("status"))
+        .alias("status")
+    )
+    new_tent = (
+        F.when(stale & ~exhausted, F.col("tentativas") + 1)
+        .otherwise(F.col("tentativas"))
+        .alias("tentativas")
+    )
+    replaced = {"status": new_status, "tentativas": new_tent}
+    return queue.select(*[replaced.get(c, F.col(c)) for c in queue.columns])

@@ -162,3 +162,45 @@ def test_trends_posexplode_rank(spark):
     )
     rows = {r["palavra_chave"]: r["posicao_tendencia"] for r in capture_trends(trends, D).collect()}
     assert rows == {"lanterna tatica": 1, "lanterna led": 2, "faca": 3}
+
+
+def test_reclaim_stale_reverts_timed_out_claims(spark):
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    old = now - dt.timedelta(hours=2)
+    fresh = now - dt.timedelta(minutes=5)
+    queue = spark.createDataFrame(
+        [
+            (1, "MLB1", D, "processando", old),     # stranded -> pendente
+            (2, "MLB2", D, "processando", fresh),   # live claim, untouched
+            (3, "MLB3", D, "pendente", None),       # untouched
+            (4, "MLB4", D, "concluido", old),       # terminal, untouched
+        ],
+        schemas.TAREFAS_PENDENTES_TRAFEGO,
+    )
+    out = {r["id"]: (r["status"], r["tentativas"]) for r in
+           reclaim_stale(queue, now=now, timeout_minutes=30).collect()}
+    assert out[1] == ("pendente", 1)
+    assert out[2] == ("processando", 0)
+    assert out[3] == ("pendente", 0)
+    assert out[4] == ("concluido", 0)
+
+
+def test_reclaim_stale_dead_letters_poison_rows(spark):
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    old = now - dt.timedelta(hours=2)
+    queue = spark.createDataFrame(
+        [(1, "MLB1", D, "processando", old)], schemas.TAREFAS_PENDENTES_TRAFEGO
+    )
+    q = queue
+    # crash-loop the worker: claim times out over and over
+    for _ in range(3):
+        q = reclaim_stale(q, now=now, timeout_minutes=30)
+        row = q.collect()[0]
+        assert row["status"] == "pendente"
+        q = q.withColumn("status", F.lit("processando"))  # re-claimed, dies again
+    final = reclaim_stale(q, now=now, timeout_minutes=30).collect()[0]
+    assert final["status"] == "falha" and final["tentativas"] == 3
