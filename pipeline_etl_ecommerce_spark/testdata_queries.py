@@ -762,6 +762,7 @@ _DRIVER_PRIORITY = [
     "bpe_fertility_by_lang",
     "pseudonymized_events",
     "token_budget_mixture",
+    "orc_source_roundtrip",
     "lang_confusion_matrix",
     "pii_redacted_documents",
     "per_lang_eval_sample",
@@ -6674,6 +6675,48 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
                 .cast("double")
                 .alias("total_balance"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("orc_source_roundtrip", _ORC_ROUNDTRIP_SQL)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source EXECUTED: the second columnar format Spark reads
+    natively (the reference's BI extracts are format-agnostic dumps;
+    SURVEY.md §2.1 S16 boundary). Orders round-trips through ORC and is
+    read back with a status filter that ORC serves from stripe-level
+    min/max plus bloom-filterable predicate pushdown — same data-skipping
+    contract as the parquet path. The oracle recomputes from the parquet
+    original, so the hash proves type and value fidelity across formats."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = _tempfile.mkdtemp(prefix="orc_rt_")
+    path = os.path.join(base, "orders_orc")
+    try:
+        o.write.orc(path)
+        back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
             )
             .localCheckpoint()
         )
