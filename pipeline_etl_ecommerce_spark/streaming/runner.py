@@ -202,3 +202,33 @@ def stream_shuffle_partitions(spark, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def idempotent_foreach_batch(sink, marker_dir: str):
+    """Exactly-once wrapper for NON-idempotent foreachBatch sinks.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a crash between sink success and checkpoint
+    commit, the SAME (batch_id, data) is redelivered. Keyed-upsert sinks
+    absorb that (replay converges), but append-style sinks would duplicate
+    — the standard fix is batch-id journaling: skip a batch whose marker
+    exists, write the marker only AFTER the sink succeeds. Deterministic
+    replay (same batch_id -> same data, guaranteed by the checkpointed
+    source offsets) makes skip-on-marker exactly-once.
+
+    The marker write is the commit point: a crash before it re-runs the
+    sink (at-least-once on the sink's own side effects), a crash after it
+    never re-runs. Markers live next to the sink's own storage so they
+    share its durability."""
+    import os as _os
+
+    def wrapped(batch_df, batch_id: int) -> None:
+        _os.makedirs(marker_dir, exist_ok=True)
+        marker = _os.path.join(marker_dir, f"batch_{batch_id:020d}.done")
+        if _os.path.exists(marker):
+            return  # redelivered after a post-sink crash: already applied
+        sink(batch_df, batch_id)
+        with open(marker, "w") as fh:
+            fh.write("committed\n")
+
+    return wrapped

@@ -7241,29 +7241,51 @@ def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Materialize every shared per-(session, sf_dir) side-table mart.
-    Returns {mart_name: build_seconds}; all subsequent catalog queries read
-    the persisted tables. Dependency order (verified pairs need band keys,
-    components need verified pairs, assignments need centroids, codes need
-    codebooks) so each number is that mart's own cost."""
-    import time as _time
+    Returns {mart_name: build_seconds, "__wall": total}; all subsequent
+    catalog queries read the persisted tables.
 
-    builders: list[tuple[str, Callable[[], object]]] = [
-        ("winnow_fingerprints", lambda: _winnow_fps(spark, sf_dir)),
-        ("minhash_band_keys", lambda: _band_keys(spark, sf_dir)),
-        ("simhash32", lambda: _simhash_sigs(spark, sf_dir)),
-        ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
-        ("near_dup_components", lambda: _components(spark, sf_dir)),
-        ("embedding_lsh_pairs", lambda: _emb_pairs(spark, sf_dir)),
-        ("lang_trigram_profiles", lambda: _lang_profiles(spark, sf_dir)),
-        ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
-        ("kmeans_assignment", lambda: _kmeans_assignment(spark, sf_dir)),
-        ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
-        ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
-        ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
+    Independent marts build CONCURRENTLY in dependency waves (Spark's FIFO
+    scheduler interleaves the jobs across idle cores — exactly how a real
+    ingest submits them), so wall time is well under the per-mart sum;
+    per-mart seconds remain each build's own span for attribution. Wave 2+
+    entries wait on wave-1 marts they read (verified pairs need band keys,
+    components need verified pairs, assignments need centroids, codes need
+    codebooks)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    waves: list[list[tuple[str, Callable[[], object]]]] = [
+        [
+            ("winnow_fingerprints", lambda: _winnow_fps(spark, sf_dir)),
+            ("minhash_band_keys", lambda: _band_keys(spark, sf_dir)),
+            ("simhash32", lambda: _simhash_sigs(spark, sf_dir)),
+            ("embedding_lsh_pairs", lambda: _emb_pairs(spark, sf_dir)),
+            ("lang_trigram_profiles", lambda: _lang_profiles(spark, sf_dir)),
+            ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
+            ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
+            ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
+        ],
+        [
+            ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
+            ("kmeans_assignment", lambda: _kmeans_assignment(spark, sf_dir)),
+            ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
+        ],
+        [
+            ("near_dup_components", lambda: _components(spark, sf_dir)),
+        ],
     ]
     timings: dict[str, float] = {}
-    for name, fn in builders:
+    t_wall = _time.perf_counter()
+
+    def timed(item: tuple[str, Callable[[], object]]) -> tuple[str, float]:
+        name, fn = item
         t0 = _time.perf_counter()
         fn()
-        timings[name] = round(_time.perf_counter() - t0, 3)
+        return name, round(_time.perf_counter() - t0, 3)
+
+    for wave in waves:
+        with ThreadPoolExecutor(max_workers=len(wave)) as pool:
+            for name, sec in pool.map(timed, wave):
+                timings[name] = sec
+    timings["__wall"] = round(_time.perf_counter() - t_wall, 3)
     return timings

@@ -516,3 +516,51 @@ def test_click_attribution_stream_stream_join(spark, tmp_path):
     click_attribution_join_stream(*args).awaitTermination(120)
     got2 = {(r.purchase_id, r.click_id) for r in spark.read.parquet(target).collect()}
     assert got2 == {(101, 1), (101, 2), (102, 4)}
+
+
+def test_idempotent_foreach_batch_skips_redelivered_batches(spark, tmp_path):
+    """Simulate the crash-between-sink-and-checkpoint window: the same
+    (batch_id, data) is delivered twice. An append sink alone duplicates;
+    under the batch-id journal the replay is a no-op — and a NEW batch id
+    still lands."""
+    from pipeline_etl_ecommerce_spark.streaming.runner import idempotent_foreach_batch
+
+    target = str(tmp_path / "append_target")
+    markers = str(tmp_path / "markers")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+
+    def append_sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(target)
+
+    sink = idempotent_foreach_batch(append_sink, markers)
+    sink(df, 0)
+    sink(df, 0)  # redelivery of the SAME batch: must be skipped
+    assert spark.read.parquet(target).count() == 2
+    sink(df, 1)  # a genuinely new batch still appends
+    assert spark.read.parquet(target).count() == 4
+
+
+def test_idempotent_foreach_batch_reruns_after_precommit_crash(spark, tmp_path):
+    """A sink that crashes BEFORE the marker write must re-run on
+    redelivery (at-least-once on its side effects), then commit."""
+    from pipeline_etl_ecommerce_spark.streaming.runner import idempotent_foreach_batch
+
+    target = str(tmp_path / "t2")
+    markers = str(tmp_path / "m2")
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    calls = []
+
+    def flaky_sink(batch_df, batch_id):
+        calls.append(batch_id)
+        if len(calls) == 1:
+            raise RuntimeError("crash before marker commit")
+        batch_df.write.mode("append").parquet(target)
+
+    sink = idempotent_foreach_batch(flaky_sink, markers)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        sink(df, 0)
+    sink(df, 0)  # redelivery re-runs because no marker was committed
+    assert calls == [0, 0]
+    assert spark.read.parquet(target).count() == 1
