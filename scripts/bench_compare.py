@@ -82,10 +82,18 @@ def main() -> int:
     # post-split — add NEW's setup mart costs back into their families
     old_has_split = "side_table_build" in old_doc
     if not old_has_split:
-        for mart, sec in (new_doc.get("side_table_build", {}).get("marts") or {}).items():
+        marts = new_doc.get("side_table_build", {}).get("marts") or {}
+        wall = new_doc.get("side_table_build", {}).get("total")
+        span_sum = sum(marts.values())
+        # marts build CONCURRENTLY, so per-mart spans measure contended
+        # latency and their sum exceeds the true wall cost — amortize the
+        # wall across marts proportionally to their spans, else the
+        # compensation overstates NEW family cost and cries wolf
+        scale = (wall / span_sum) if wall and span_sum > wall else 1.0
+        for mart, sec in marts.items():
             f = MART_FAMILY.get(mart)
             if f:
-                fam_new[f] = fam_new.get(f, 0.0) + sec
+                fam_new[f] = fam_new.get(f, 0.0) + sec * scale
     for q in set(old) & set(new):
         f = fam_of.get(q)
         if f:
