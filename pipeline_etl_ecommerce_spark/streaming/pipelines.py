@@ -338,6 +338,63 @@ def click_attribution_join_stream(
     )
 
 
+def click_conversion_outer_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    conversion_window: str = "24 hours",
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream-stream LEFT OUTER interval join: every click is attributed to
+    each same-user purchase within the following ``conversion_window`` — or
+    emitted once with NULL purchase columns as a proven non-conversion.
+
+    The outer side makes the watermark LOAD-BEARING for results, not just
+    for state eviction: an unmatched click can only be declared unmatched
+    once BOTH watermarks pass its join horizon (otherwise a matching
+    purchase might still arrive), so null rows surface one-or-more
+    micro-batches AFTER the horizon closes. Callers draining finite input
+    with Trigger.AvailableNow must push the watermark past the last real
+    horizon and then run at least one more batch — in practice: land
+    far-future sentinel rows on BOTH sides as two separate trigger files,
+    run again on the same checkpoint, and the second sentinel batch flushes
+    the withheld non-conversions (the catalog's executed query does exactly
+    this). State stays bounded exactly as in the inner join."""
+    clicks = (
+        read_json_stream(spark, clicks_dir, CLICK_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+        .withColumn("click_time", F.expr("timestamp_micros(ts)"))
+        .withWatermark("click_time", watermark)
+        .select("click_id", "user_id", "click_time")
+    )
+    purchases = (
+        read_json_stream(spark, purchases_dir, PURCHASE_SCHEMA, max_files_per_trigger=max_files_per_trigger)
+        .withColumn("purchase_time", F.expr("timestamp_micros(ts)"))
+        .withWatermark("purchase_time", watermark)
+        .select("purchase_id", F.col("user_id").alias("p_user_id"), "purchase_time")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user_id"
+            f" AND purchase_time >= click_time"
+            f" AND purchase_time <= click_time + INTERVAL {conversion_window}"
+        ),
+        "leftOuter",
+    ).select("click_id", "user_id", "click_time", "purchase_id", "purchase_time")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def corpus_pipeline_stream(
     spark: SparkSession,
     drop_dir: str,

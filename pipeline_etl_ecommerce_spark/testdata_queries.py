@@ -763,6 +763,7 @@ _DRIVER_PRIORITY = [
     "pseudonymized_events",
     "token_budget_mixture",
     "orc_source_roundtrip",
+    "streaming_outer_join_executed",
     "lang_confusion_matrix",
     "pii_redacted_documents",
     "per_lang_eval_sample",
@@ -6948,6 +6949,108 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
                 "purchase_id", "click_id", "user_id",
                 F.unix_micros("purchase_time").alias("purchase_us"),
                 F.unix_micros("click_time").alias("click_us"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+# Stream-stream LEFT OUTER interval join EXECUTED: the outer side makes
+# the watermark load-bearing for RESULTS — an unmatched click may only be
+# declared a non-conversion once both watermarks pass its join horizon,
+# and the null rows surface in a batch AFTER the horizon closes. The
+# harness proves the full protocol: two real triggers per side, then a
+# second AvailableNow run on the same checkpoint whose two far-future
+# sentinel batches advance the watermark and flush the withheld
+# non-conversions. Oracle = the identical batch LEFT JOIN.
+_STREAM_OUTER_SQL = """
+WITH c AS (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS ctus
+    FROM events WHERE event_type = 'click' AND event_id <= 12000
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ptus
+    FROM events WHERE event_type = 'purchase' AND event_id <= 12000
+)
+SELECT c.click_id, c.user_id, c.ctus AS click_us,
+       p.purchase_id, p.ptus AS purchase_us
+FROM c LEFT JOIN p ON p.user_id = c.user_id
+                    AND p.ptus >= c.ctus
+                    AND p.ptus <= c.ctus + 86400000000
+"""
+
+
+@register("streaming_outer_join_executed", _STREAM_OUTER_SQL)
+def streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join EXECUTED (see
+    streaming.pipelines.click_conversion_outer_stream): clicks with no
+    same-user purchase in the following 24 h must be emitted exactly once
+    with NULL purchase columns — only after the watermark proves no match
+    can still arrive. Hash-matches the batch LEFT JOIN, which is the
+    convergence contract for the whole outer-join protocol."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .streaming.pipelines import click_conversion_outer_stream
+    from .streaming.runner import stream_shuffle_partitions
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 12000).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").collect()
+    purchases = ev.filter(F.col("event_type") == "purchase").collect()
+    max_tus = max(
+        [r.tus for r in clicks] + [r.tus for r in purchases] + [0]
+    )
+
+    base = _tempfile.mkdtemp(prefix="stream_outer_")
+    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
+    target, ckpt = os.path.join(base, "target"), os.path.join(base, "ckpt")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+    try:
+        for rows, d, idc in ((clicks, cdir, "click_id"), (purchases, pdir, "purchase_id")):
+            with open(os.path.join(d, "b1.json"), "w") as f1, open(
+                os.path.join(d, "b2.json"), "w"
+            ) as f2:
+                for r in rows:
+                    line = _json.dumps(
+                        {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
+                    ) + "\n"
+                    (f1 if r.event_id % 2 == 0 else f2).write(line)
+        with stream_shuffle_partitions(spark, 8):
+            _await_stream(click_conversion_outer_stream(
+                spark, cdir, pdir, target, ckpt,
+                conversion_window="24 hours", watermark="1 day",
+                max_files_per_trigger=1,
+            ))
+            # Sentinel flush: two far-future rows per side, each its own
+            # trigger file. Batch 1 advances the watermark past every real
+            # click's horizon; batch 2 evicts the now-closed state and
+            # emits the withheld NULL rows. Sentinels (negative ids, +30
+            # days) never match anything and never close their own
+            # horizon, so they stay in state and never reach the sink.
+            for wave in (1, 2):
+                far = max_tus + 30 * 86_400_000_000 + wave * 86_400_000_000
+                with open(os.path.join(cdir, f"sentinel{wave}.json"), "w") as fc:
+                    fc.write(_json.dumps({"click_id": -wave, "user_id": -1, "ts": far}) + "\n")
+                with open(os.path.join(pdir, f"sentinel{wave}.json"), "w") as fp:
+                    fp.write(_json.dumps({"purchase_id": -wave, "user_id": -1, "ts": far}) + "\n")
+            _await_stream(click_conversion_outer_stream(
+                spark, cdir, pdir, target, ckpt,
+                conversion_window="24 hours", watermark="1 day",
+                max_files_per_trigger=1,
+            ))
+        return (
+            spark.read.parquet(target)
+            .filter(F.col("click_id") >= 0)
+            .select(
+                "click_id", "user_id",
+                F.unix_micros("click_time").alias("click_us"),
+                "purchase_id",
+                F.unix_micros("purchase_time").alias("purchase_us"),
             )
             .localCheckpoint()
         )
