@@ -102,12 +102,16 @@ def reclaim_stale(
       wall-clock inside the plan, so replays are deterministic) revert to
       ``pendente`` with ``tentativas`` incremented;
     - rows that have already been retried ``max_retries`` times go to
-      ``falha`` (the dead-letter status) instead of looping forever on a
-      poison message.
+      ``erro`` — the queue's ONE documented failure status
+      (schemas.py `_QUEUE_COMMON`; also what ``mark_done`` writes) —
+      instead of looping forever on a poison message. Dead-lettered rows
+      are distinguishable from worker-reported errors by
+      ``tentativas >= max_retries``.
 
     Safe under at-least-once: reclaimed work re-runs, and every downstream
     sink is a keyed upsert, so duplicates converge. A missing ``tentativas``
-    column starts at 0."""
+    column — or a NULL value in it (rows appended after the column was
+    introduced) — counts as 0."""
     if "tentativas" not in queue.columns:
         queue = queue.withColumn("tentativas", F.lit(0).cast("int"))
     cutoff = F.lit(now).cast("timestamp") - F.expr(
@@ -116,19 +120,23 @@ def reclaim_stale(
     stale = (F.col("status") == "processando") & (
         F.col("data_processamento") < cutoff
     )
-    exhausted = F.col("tentativas") >= F.lit(int(max_retries))
+    # NULL-safe counter: a NULL tentativas would make BOTH when-branches
+    # NULL (treated as false), so a poison row would revert to pendente
+    # with its counter stuck at NULL and retry FOREVER
+    tent = F.coalesce(F.col("tentativas"), F.lit(0))
+    exhausted = tent >= F.lit(int(max_retries))
     # one select so BOTH expressions see the ORIGINAL row — sequential
     # withColumns would let the status test read the already-incremented
     # counter and dead-letter one retry early
     new_status = (
-        F.when(stale & exhausted, F.lit("falha"))
+        F.when(stale & exhausted, F.lit("erro"))
         .when(stale, F.lit("pendente"))
         .otherwise(F.col("status"))
         .alias("status")
     )
     new_tent = (
-        F.when(stale & ~exhausted, F.col("tentativas") + 1)
-        .otherwise(F.col("tentativas"))
+        F.when(stale & ~exhausted, tent + 1)
+        .otherwise(tent)
         .alias("tentativas")
     )
     replaced = {"status": new_status, "tentativas": new_tent}

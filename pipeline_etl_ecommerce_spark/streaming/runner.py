@@ -204,27 +204,40 @@ def stream_shuffle_partitions(spark, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def idempotent_foreach_batch(sink, marker_dir: str):
-    """Exactly-once wrapper for NON-idempotent foreachBatch sinks.
+def idempotent_foreach_batch(sink, marker_dir: str, *, query_key: str | None = None):
+    """Batch-id journal for NON-idempotent foreachBatch sinks: skip a batch
+    whose marker exists, write the marker only AFTER the sink succeeds.
 
     Structured Streaming guarantees at-least-once delivery to
     ``foreachBatch``: after a crash between sink success and checkpoint
     commit, the SAME (batch_id, data) is redelivered. Keyed-upsert sinks
-    absorb that (replay converges), but append-style sinks would duplicate
-    — the standard fix is batch-id journaling: skip a batch whose marker
-    exists, write the marker only AFTER the sink succeeds. Deterministic
-    replay (same batch_id -> same data, guaranteed by the checkpointed
-    source offsets) makes skip-on-marker exactly-once.
+    absorb that (replay converges); for others the journal upgrades the
+    guarantee — with two contracts the caller owns:
+
+    - **The journal gives exactly-once only for sinks whose per-batch
+      effect is ATOMIC** (all-or-nothing: a transaction, a staging-dir
+      rename, an overwrite). A multi-file append that crashes MID-write
+      leaves partial output with no marker, and the redelivered batch
+      re-appends everything — duplicates. For such sinks this wrapper
+      reduces duplication to the crash window but cannot eliminate it;
+      use the keyed-upsert sinks for true convergence.
+    - **Marker identity = (marker_dir, query_key, batch_id), and batch
+      ids restart at 0 when the stream's checkpoint is reset.** The
+      marker_dir must live and DIE with the checkpoint dir (delete both
+      together), and two queries must never share a (marker_dir,
+      query_key) — otherwise a fresh stream finds stale markers and
+      silently drops its first batches. Pass a distinct ``query_key``
+      when several journaled sinks share one directory.
 
     The marker write is the commit point: a crash before it re-runs the
-    sink (at-least-once on the sink's own side effects), a crash after it
-    never re-runs. Markers live next to the sink's own storage so they
-    share its durability."""
+    sink, a crash after it never re-runs."""
     import os as _os
+
+    prefix = f"{query_key}_" if query_key else ""
 
     def wrapped(batch_df, batch_id: int) -> None:
         _os.makedirs(marker_dir, exist_ok=True)
-        marker = _os.path.join(marker_dir, f"batch_{batch_id:020d}.done")
+        marker = _os.path.join(marker_dir, f"{prefix}batch_{batch_id:020d}.done")
         if _os.path.exists(marker):
             return  # redelivered after a post-sink crash: already applied
         sink(batch_df, batch_id)

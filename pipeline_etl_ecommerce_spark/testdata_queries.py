@@ -6878,6 +6878,38 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def _stage_click_purchase_drops(
+    spark: SparkSession, sf_dir: str, base: str, *, max_id: int
+) -> tuple[str, str, int]:
+    """Shared harness for the stream-stream join queries: collect the
+    click/purchase event slices (event_id <= max_id) and land each side as
+    TWO parity-split JSONL trigger files under ``base`` — so every join
+    must span trigger boundaries through the two-sided state. Returns
+    (clicks_dir, purchases_dir, max_tus); the single place the landing
+    format lives, so the inner and outer harnesses cannot diverge."""
+    import json as _json
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= max_id).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").collect()
+    purchases = ev.filter(F.col("event_type") == "purchase").collect()
+    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+    for rows, d, idc in ((clicks, cdir, "click_id"), (purchases, pdir, "purchase_id")):
+        with open(os.path.join(d, "b1.json"), "w") as f1, open(
+            os.path.join(d, "b2.json"), "w"
+        ) as f2:
+            for r in rows:
+                line = _json.dumps(
+                    {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
+                ) + "\n"
+                (f1 if r.event_id % 2 == 0 else f2).write(line)
+    max_tus = max([r.tus for r in clicks] + [r.tus for r in purchases] + [0])
+    return cdir, pdir, max_tus
+
+
 # Stream-stream interval join EXECUTED: the last executed-streaming
 # family member — clicks and purchases arrive as two REAL file streams
 # (each split across two triggers, so matches span trigger boundaries
@@ -6909,34 +6941,16 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
     24 hours through Spark's two-sided join state — a click buffered in
     trigger 1 still joins a purchase arriving in trigger 2. Append sink;
     must hash-match the batch interval join."""
-    import json as _json
     import shutil as _shutil
     import tempfile as _tempfile
 
     from .streaming.pipelines import click_attribution_join_stream
     from .streaming.runner import stream_shuffle_partitions
 
-    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
-        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").collect()
-    purchases = ev.filter(F.col("event_type") == "purchase").collect()
-
     base = _tempfile.mkdtemp(prefix="stream_attrib_")
-    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
     target, ckpt = os.path.join(base, "target"), os.path.join(base, "ckpt")
-    os.makedirs(cdir)
-    os.makedirs(pdir)
     try:
-        for rows, d, idc in ((clicks, cdir, "click_id"), (purchases, pdir, "purchase_id")):
-            with open(os.path.join(d, "b1.json"), "w") as f1, open(
-                os.path.join(d, "b2.json"), "w"
-            ) as f2:
-                for r in rows:
-                    line = _json.dumps(
-                        {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
-                    ) + "\n"
-                    (f1 if r.event_id % 2 == 0 else f2).write(line)
+        cdir, pdir, _ = _stage_click_purchase_drops(spark, sf_dir, base, max_id=20000)
         with stream_shuffle_partitions(spark, 8):
             _await_stream(click_attribution_join_stream(
                 spark, cdir, pdir, target, ckpt,
@@ -6996,30 +7010,12 @@ def streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
     from .streaming.pipelines import click_conversion_outer_stream
     from .streaming.runner import stream_shuffle_partitions
 
-    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 12000).select(
-        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").collect()
-    purchases = ev.filter(F.col("event_type") == "purchase").collect()
-    max_tus = max(
-        [r.tus for r in clicks] + [r.tus for r in purchases] + [0]
-    )
-
     base = _tempfile.mkdtemp(prefix="stream_outer_")
-    cdir, pdir = os.path.join(base, "clicks"), os.path.join(base, "purchases")
     target, ckpt = os.path.join(base, "target"), os.path.join(base, "ckpt")
-    os.makedirs(cdir)
-    os.makedirs(pdir)
     try:
-        for rows, d, idc in ((clicks, cdir, "click_id"), (purchases, pdir, "purchase_id")):
-            with open(os.path.join(d, "b1.json"), "w") as f1, open(
-                os.path.join(d, "b2.json"), "w"
-            ) as f2:
-                for r in rows:
-                    line = _json.dumps(
-                        {idc: r.event_id, "user_id": r.user_id, "ts": r.tus}
-                    ) + "\n"
-                    (f1 if r.event_id % 2 == 0 else f2).write(line)
+        cdir, pdir, max_tus = _stage_click_purchase_drops(
+            spark, sf_dir, base, max_id=12000
+        )
         with stream_shuffle_partitions(spark, 8):
             _await_stream(click_conversion_outer_stream(
                 spark, cdir, pdir, target, ckpt,

@@ -564,3 +564,19 @@ def test_idempotent_foreach_batch_reruns_after_precommit_crash(spark, tmp_path):
     sink(df, 0)  # redelivery re-runs because no marker was committed
     assert calls == [0, 0]
     assert spark.read.parquet(target).count() == 1
+
+
+def test_idempotent_foreach_batch_query_key_isolates_journals(spark, tmp_path):
+    """Two journaled sinks sharing one marker_dir must not eat each
+    other's batch ids when given distinct query keys."""
+    from pipeline_etl_ecommerce_spark.streaming.runner import idempotent_foreach_batch
+
+    markers = str(tmp_path / "m")
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    s1 = idempotent_foreach_batch(lambda b, i: b.write.mode("append").parquet(t1), markers, query_key="q1")
+    s2 = idempotent_foreach_batch(lambda b, i: b.write.mode("append").parquet(t2), markers, query_key="q2")
+    s1(df, 0)
+    s2(df, 0)  # same batch id, different query: must still run
+    assert spark.read.parquet(t1).count() == 1
+    assert spark.read.parquet(t2).count() == 1

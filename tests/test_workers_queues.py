@@ -203,4 +203,29 @@ def test_reclaim_stale_dead_letters_poison_rows(spark):
         assert row["status"] == "pendente"
         q = q.withColumn("status", F.lit("processando"))  # re-claimed, dies again
     final = reclaim_stale(q, now=now, timeout_minutes=30).collect()[0]
-    assert final["status"] == "falha" and final["tentativas"] == 3
+    assert final["status"] == "erro" and final["tentativas"] == 3
+
+
+def test_reclaim_stale_null_counter_counts_as_zero(spark):
+    """Rows appended AFTER the tentativas column was introduced carry NULL
+    there; NULL must behave as 0 (retry, increment to 1) — a NULL-blind
+    comparison would leave the counter stuck at NULL and retry forever."""
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    old = now - dt.timedelta(hours=2)
+    queue = spark.createDataFrame(
+        [(1, "MLB1", dt.date(2025, 8, 10), "processando", old, None)],
+        "id bigint, id_anuncio string, data_metrica date, status string, "
+        "data_processamento timestamp, tentativas int",
+    )
+    q = queue
+    for expect in (1, 2, 3):
+        row = reclaim_stale(q, now=now, timeout_minutes=30).collect()[0]
+        assert row["status"] == "pendente" and row["tentativas"] == expect
+        q = (
+            reclaim_stale(q, now=now, timeout_minutes=30)
+            .withColumn("status", F.lit("processando"))
+        )
+    final = reclaim_stale(q, now=now, timeout_minutes=30).collect()[0]
+    assert final["status"] == "erro" and final["tentativas"] == 3
