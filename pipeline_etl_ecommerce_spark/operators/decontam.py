@@ -83,3 +83,50 @@ def decontaminate(
         F.col("contaminated_frac") > max_frac
     )
     return train.join(bad, train[id_col] == bad["doc_id"], "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-proximity decontamination — the semantic sibling of the
+    n-gram ``contamination_report``: a corpus item whose embedding is
+    within ``threshold`` cosine of ANY eval-set item is contaminated even
+    when no exact n-gram survives paraphrase. Returns one row per
+    contaminated corpus item: ``(vec_id, nearest_eval_id, max_eval_sim)``
+    with ties on similarity broken toward the lower eval id.
+
+    Scale shape: the eval set is the small side by construction
+    (benchmarks are thousands of items, the corpus is the 100 TB side) —
+    broadcast it and the scan is a single map-side pass over the corpus
+    with a per-row bounded argmax; no shuffle at all until the final
+    (tiny) contaminated set. Cosines are 6dp-rounded BEFORE the threshold
+    and argmax so the decision is reproducible cross-engine (same
+    contract as the knn family)."""
+    from .similarity import _dvec, cosine
+
+    e = eval_set.select(F.col(id_col).alias("eval_id"), _dvec(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col), _dvec(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(e))
+        .select(
+            id_col,
+            "eval_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_eval")), F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg_eval"))
+        ).alias("top")
+    )
+    return best.select(
+        id_col,
+        (-F.col("top.neg_eval")).cast("long").alias("nearest_eval_id"),
+        F.col("top.sim").alias("max_eval_sim"),
+    )

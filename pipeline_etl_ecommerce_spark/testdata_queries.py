@@ -764,6 +764,7 @@ _DRIVER_PRIORITY = [
     "token_budget_mixture",
     "orc_source_roundtrip",
     "streaming_outer_join_executed",
+    "semantic_decontamination",
     "lang_confusion_matrix",
     "pii_redacted_documents",
     "per_lang_eval_sample",
@@ -7052,6 +7053,54 @@ def streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# Embedding-proximity decontamination: the semantic sibling of the n-gram
+# contamination_report — a paraphrased eval item leaves no 13-gram overlap
+# but stays close in embedding space. Eval set = vec_id % 97 == 0 (the
+# small broadcast side by construction); τ chosen inside the corpus's
+# similarity range so the contaminated set is non-trivial at every SF
+# (3 / 9 / 89 items at sf0.001/0.01/0.1) and exercises the argmax
+# tie-break (two sf0.1 items match two eval vectors each).
+_SEMANTIC_DECONTAM_SQL = """
+WITH e AS (
+    SELECT vec_id AS eval_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 97 = 0
+),
+c AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id % 97 <> 0
+),
+s AS (
+    SELECT c.vec_id, e.eval_id,
+           ROUND(list_aggregate(list_transform(list_zip(cv, qv), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))), 6) AS sim
+    FROM c, e
+)
+SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval_id, sim AS max_eval_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+    FROM s WHERE sim >= 0.35
+) t WHERE rn = 1
+"""
+
+
+@register("semantic_decontamination", _SEMANTIC_DECONTAM_SQL)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (SemDeDup-style proximity vs a held-out
+    eval set): corpus embeddings within 0.35 cosine of ANY eval vector
+    are flagged with their nearest eval id. Broadcast eval side, one
+    map-side pass over the corpus, 6dp-rounded cosine before threshold
+    and argmax — cross-engine-reproducible like the knn family."""
+    from .operators.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.35,
+    )
 
 
 # Correlated LATERAL join surface: top-2 customers per nation expressed

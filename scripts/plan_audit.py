@@ -34,6 +34,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 ALLOWED_NESTED_LOOP = {
     "knn_cosine_top3",        # broadcast query side, bounded baseline
     "semantic_search_docs",   # composes knn_cosine_top3's bounded baseline
+    "semantic_decontamination",  # eval set broadcast against the corpus scan
     "ngram_jaccard_pairs",    # documented bounded verification baseline
     "collocation_lift_top20", # scalar corpus totals broadcast
     "bm25_query_scores",      # scalar corpus constants broadcast
