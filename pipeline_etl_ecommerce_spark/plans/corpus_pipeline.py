@@ -43,6 +43,7 @@ from ..operators.dedupe import (
     update_signature_mart,
     verify_candidate_pairs,
 )
+from ..operators.decontam import semantic_contamination
 from ..operators.importance import dsir_importance_weights
 from ..operators.dq import check_not_null, check_unique, dq_report
 from ..operators.packing import assemble_packs, pack_sequences
@@ -85,9 +86,20 @@ def ingest_batch(
     chunk_size: int = 32,
     pack_budget: int = 64,
     n_shards: int = 4,
+    embeddings: DataFrame | None = None,
+    eval_vectors: DataFrame | None = None,
+    semantic_tau: float = 0.35,
 ) -> dict[str, int]:
     """Ingest one document batch and converge all marts. Returns per-mart
-    row counts for logging/assertions."""
+    row counts for logging/assertions.
+
+    When ``embeddings`` (``vec_id == doc_id``, ``embedding array<float>``)
+    and ``eval_vectors`` (same schema — the held-out benchmark set) are
+    both given, a semantic-decontamination stage runs after curation:
+    curated docs within ``semantic_tau`` cosine of ANY eval vector are
+    dropped before chunking (paraphrased eval items leave no exact n-gram
+    overlap, so the signature-based dedup path cannot catch them), and the
+    flagged set is written to the ``semantic_contaminated`` audit mart."""
     stats: dict[str, int] = {}
     batch = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
 
@@ -137,6 +149,32 @@ def ingest_batch(
     )
     curated_path = _mart(marts, "curated")
     curated, stats["curated"] = _overwrite_and_read(spark, curated, curated_path)
+
+    # 5b. semantic decontamination (optional): drop curated docs whose
+    # embedding sits within tau cosine of a held-out eval vector — the
+    # contamination mode the n-gram/signature paths can't see. Runs on the
+    # CURATED slice only (eval side broadcast, map-side pass), writes the
+    # flagged set as an audit mart, and rewrites curated so every
+    # downstream mart (sequences, packs, shards, weights, BPE) reflects
+    # the drop.
+    if embeddings is not None and eval_vectors is not None:
+        curated_vecs = embeddings.join(
+            curated.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
+        flagged = semantic_contamination(
+            curated_vecs, eval_vectors, threshold=semantic_tau
+        )
+        flag_path = _mart(marts, "semantic_contaminated")
+        flagged, stats["semantic_contaminated"] = _overwrite_and_read(
+            spark, flagged, flag_path
+        )
+        if stats["semantic_contaminated"]:
+            curated = curated.join(
+                flagged.select(F.col("vec_id").alias("doc_id")), "doc_id", "anti"
+            ).localCheckpoint()
+            curated, stats["curated"] = _overwrite_and_read(
+                spark, curated, curated_path
+            )
 
     # 6. sequences: chunk curated docs; per-doc REPLACE so re-chunking a
     # redelivered doc leaves no stale tail

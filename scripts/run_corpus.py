@@ -44,9 +44,18 @@ def main() -> int:
 
     spark = get_spark("run-corpus")
     spark.sparkContext.setLogLevel("ERROR")
+    embeddings = eval_vectors = None
     if args.input:
         path = args.input
         if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+            # embeddings alongside documents enable the optional semantic-
+            # decontamination stage: vec_id % 97 == 0 plays the held-out
+            # eval set (same deterministic split the catalog query uses)
+            emb_path = os.path.join(path, "embeddings.parquet")
+            if os.path.exists(emb_path):
+                emb = spark.read.parquet(emb_path)
+                embeddings = emb.filter("vec_id % 97 != 0")
+                eval_vectors = emb.filter("vec_id % 97 = 0")
             path = os.path.join(path, "documents.parquet")
         docs = spark.read.parquet(path)
     else:
@@ -61,6 +70,8 @@ def main() -> int:
         chunk_size=args.chunk_size,
         pack_budget=args.pack_budget,
         n_shards=args.shards,
+        embeddings=embeddings,
+        eval_vectors=eval_vectors,
     )
     run_id = record_run(spark, args.marts, stats)
     print(json.dumps({"run_id": run_id, "seconds": round(time.perf_counter() - t0, 2), **stats}))

@@ -5,6 +5,8 @@ the old doc from the curated set and its chunks from the sequences mart."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pipeline_etl_ecommerce_spark.plans.corpus_pipeline import ingest_batch
@@ -153,3 +155,39 @@ def test_run_history_and_drift_detection(spark, tmp_path):
     # metrics (dq_violations) never flag
     assert drift["corpus"].flagged and drift["corpus"].latest_delta == 40
     assert not drift["dq_violations"].flagged
+
+
+def test_semantic_decontamination_stage_drops_eval_proximate_docs(spark, tmp_path, batch1):
+    """Curated doc 3 sits at cosine 1.0 to an eval vector (paraphrase of a
+    benchmark item: zero n-gram overlap possible, so only the embedding
+    stage can catch it); the surviving curated doc is near-orthogonal.
+    The stage must drop 3 from curated AND from every downstream mart,
+    write the audit mart, and stay idempotent on re-run."""
+    marts = str(tmp_path / "marts")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(1001, [0.0, 0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    kw = dict(chunk_size=8, pack_budget=16, n_shards=2,
+              embeddings=emb, eval_vectors=evals, semantic_tau=0.8)
+    s1 = ingest_batch(spark, batch1, marts, **kw)
+    assert s1["semantic_contaminated"] == 1
+    flagged = spark.read.parquet(f"{marts}/semantic_contaminated").collect()
+    assert [(r.vec_id, r.nearest_eval_id) for r in flagged] == [(3, 1001)]
+    curated_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()}
+    assert 3 not in curated_ids and len(curated_ids) == 1  # one of the 1/2 dups survives
+    seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
+    assert seq_ids == curated_ids
+    s2 = ingest_batch(spark, batch1, marts, **kw)
+    assert s2 == s1
+
+
+def test_semantic_stage_is_skipped_without_embeddings(spark, tmp_path, batch1):
+    marts = str(tmp_path / "marts")
+    s1 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
+    assert "semantic_contaminated" not in s1
+    assert not os.path.exists(f"{marts}/semantic_contaminated")
