@@ -765,6 +765,7 @@ _DRIVER_PRIORITY = [
     "orc_source_roundtrip",
     "streaming_outer_join_executed",
     "semantic_decontamination",
+    "copurchase_part_pairs",
     "lang_confusion_matrix",
     "pii_redacted_documents",
     "per_lang_eval_sample",
@@ -7100,6 +7101,75 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 97 != 0),
         emb.filter(F.col("vec_id") % 97 == 0),
         threshold=0.35,
+    )
+
+
+# Frequent co-purchase pairs — the a-priori 2-itemset pass (market-basket
+# analysis): parts bought together in the same order, with support and
+# lift vs independence. Scale shape: the per-order self-join fans out as
+# sum(k choose 2) over basket sizes — bounded by the ~7-line TPC-H order,
+# never corpus-quadratic — then ONE shuffle on the pair key; the per-part
+# frequency table rejoins for the lift denominator. All counts integer;
+# lift is the single rounded double.
+_COPURCHASE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+freq AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_count
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, CAST(p.pair_count AS BIGINT) AS pair_count,
+       ROUND(CAST(p.pair_count AS DOUBLE) * n.n_orders
+             / (fa.c * fb.c), 6) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.pair_count >= 2
+"""
+
+
+@register("copurchase_part_pairs", _COPURCHASE_SQL)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemsets with lift (support >= 2). The order-local
+    self-join is bounded fan-out (basket-size choose 2), the heavy shuffle
+    is the pair-key groupBy, and the part frequency table rejoins for the
+    lift denominator — the shape that survives a 100 TB fact as long as
+    baskets stay bounded (they do: orders have <= 7 lines)."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.col("pair_count").cast("double") * F.lit(n_orders)
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
     )
 
 
