@@ -6,10 +6,22 @@ and prints ONE JSON line:
 Queries are executed to completion through the noop sink (full compute, no
 driver-side collect bottleneck), after a small warm-up to exclude JVM/codegen
 first-run cost from per-query numbers.
+
+De-noising (r3 verdict item 4 — that round burned judge time adjudicating a
+141-198 s noise band caused by external host load):
+- the driver-facing JSON line and bench_detail.json carry the 1-minute host
+  loadavg at start and end, so a loaded host is visible in the record;
+- ``--reps N`` (or $SPARK_GRAFT_BENCH_REPS) runs every query N times and
+  reports the per-query MINIMUM (the standard load-noise estimator; the
+  spread is kept alongside) — totals are min-of-N sums, side tables still
+  build once.
+Compare per-query/per-family with scripts/bench_compare.py, never totals:
+the catalog grows between rounds.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -23,10 +35,21 @@ from pipeline_etl_ecommerce_spark import testdata_queries  # noqa: E402
 
 
 def run() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")),
+        help="runs per query; per-query time reported is the MIN across reps",
+    )
+    args = ap.parse_args()
+    reps = max(1, args.reps)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,11 +72,18 @@ def run() -> None:
     side_total = side_tables.pop("__wall")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        if reps > 1:
+            spreads[name] = round(max(samples) - min(samples), 3)
 
+    load_end = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
     # Per-query timings go to a FILE: round 1's single stdout line carrying
     # all 101 timings was truncated by the driver's capture (BENCH_r01
@@ -62,19 +92,20 @@ def run() -> None:
     # round-over-round regression comparison (compare per-query, not totals —
     # the catalog grows between rounds).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    detail = {
+        "sf": sf,
+        "cpus": int(cpus),
+        "reps": reps,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "total": total,
+        "side_table_build": {"total": side_total, "marts": side_tables},
+        "queries": timings,
+    }
+    if spreads:
+        detail["spread"] = spreads  # max-min per query across reps
     with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "cpus": int(cpus),
-                "total": total,
-                "side_table_build": {"total": side_total, "marts": side_tables},
-                "queries": timings,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(detail, fh, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -83,6 +114,9 @@ def run() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "reps": reps,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
                 "side_table_build_sec": side_total,
                 "queries_file": "bench_detail.json",
             }

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (the image/audio libraries are not
-in this environment — ``decode_image`` raises NotImplementedError, and
-``fake_decode`` is the deterministic stand-in used by tests) — but the
-Spark-side plumbing is real and load-bearing: schema contract, Arrow batch
-iteration, partition sizing. Swapping a real PIL/ffmpeg kernel into
-``_batch_features`` changes nothing structural.
+Since round 4 the uncompressed-format kernels are REAL: ``decode_image``
+dispatches on the payload magic to the dependency-free PPM/BMP parsers in
+``operators/imagecodec.py``, ``resize_image`` does genuine nearest-neighbor
+resampling of PPM payloads, and ``sample_video_frames`` splits concatenated-P6
+streams (the ``ffmpeg -f image2pipe -vcodec ppm`` framing). Only compressed
+formats (JPEG/PNG/H.264) still raise NotImplementedError — those genuinely
+need codec libraries absent from this environment. ``fake_decode`` et al.
+remain as the deterministic stand-ins some plumbing tests inject.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 keep decode/feature-extract as the FIRST map stage after the scan, project
@@ -50,9 +52,19 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires an imaging library not present here.
-    STUB: replace with PIL/torchvision in a full environment."""
-    raise NotImplementedError("image decode requires an imaging library (PIL); not available in this environment")
+    """REAL image decode for uncompressed formats: dispatches on the payload
+    magic to the pure-Python PPM (P6/P3) and 24-bit BMP parsers in
+    :mod:`.imagecodec`. Compressed formats still require a codec library."""
+    from .imagecodec import decode_bmp, decode_ppm
+
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image formats (JPEG/PNG/…) require a codec library; "
+        "only PPM and uncompressed BMP decode in this environment"
+    )
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -111,8 +123,22 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> dict:
-    """Real image resize — requires PIL/torchvision. STUB."""
-    raise NotImplementedError("image resize requires an imaging library (PIL); not available in this environment")
+    """REAL nearest-neighbor resize for PPM payloads (floor index map
+    ``src = dst * src_dim // dst_dim`` — SQL-reproducible); compressed
+    formats still require a codec library."""
+    from .imagecodec import resize_ppm_nearest
+
+    if payload[:2] not in (b"P6", b"P3"):
+        raise NotImplementedError(
+            "resize of compressed formats requires a codec library; only PPM "
+            "resizes in this environment"
+        )
+    out = resize_ppm_nearest(payload, width, height)
+    return {
+        "n_bytes": len(out),
+        "content_hash": hashlib.md5(out).hexdigest(),
+        "resize_status": "ok",
+    }
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> dict:
@@ -148,8 +174,33 @@ def resize_media(media: DataFrame, *, width: int, height: int, kernel=fake_resiz
 
 
 def sample_video_frames(payload: bytes, n_frames: int) -> list[dict]:
-    """Real frame sampling — requires ffmpeg/av. STUB."""
-    raise NotImplementedError("frame sampling requires a video library (ffmpeg/av); not available in this environment")
+    """REAL frame sampling for concatenated-P6 streams (the netpbm pipe
+    framing ``ffmpeg -f image2pipe -vcodec ppm`` emits): parse every frame,
+    keep ``n_frames`` evenly spaced ones (floor map ``j*total//n``, the same
+    index convention as the resizer). Compressed containers (MP4/MKV) still
+    require a demuxer library."""
+    from .imagecodec import iter_ppm_stream
+
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "frame sampling of compressed containers requires a video "
+            "library; only concatenated-P6 streams parse in this environment"
+        )
+    frames = [frame for _off, frame in iter_ppm_stream(payload)]
+    total = len(frames)
+    if n_frames >= total:
+        keep = range(total)  # fewer frames than requested: take each once
+    else:
+        keep = sorted({j * total // n_frames for j in range(n_frames)})
+    return [
+        {
+            "frame_index": i,
+            "n_bytes": len(frames[i]),
+            "frame_hash": hashlib.md5(frames[i]).hexdigest(),
+            "sample_status": "ok",
+        }
+        for i in keep
+    ]
 
 
 def fake_frame_sample(payload: bytes, n_frames: int) -> list[dict]:
@@ -191,6 +242,92 @@ def sample_frames(media: DataFrame, *, n_frames: int = 4, kernel=fake_frame_samp
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real-decode stats path: synthesize valid PPM/BMP payloads from a
+# deterministic, SQL-reproducible pixel formula, then decode them with the
+# REAL parsers and emit exact-integer stats the DuckDB oracle replays.
+# --------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("maxval", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("top_left_r", LongType()),
+        StructField("top_left_g", LongType()),
+        StructField("top_left_b", LongType()),
+        StructField("row0_sum", LongType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+_STATS_COLS = [f.name for f in IMAGE_STATS_SCHEMA.fields]
+
+
+def synth_raster(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic top-down RGB raster for ``media_id``: dims
+    ``w = 8 + id%5``, ``h = 4 + id%3``; byte at linear index ``i`` is
+    ``(id*31 + i*7) % 256``. Chosen to be exactly replayable in SQL
+    (generate_series + modular arithmetic) so the decode is oracle-checkable."""
+    w, h = 8 + media_id % 5, 4 + media_id % 3
+    n = w * h * 3
+    base = media_id * 31
+    raster = bytes((base + i * 7) % 256 for i in range(n))
+    return w, h, raster
+
+
+def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
+    """mapInPandas encode stage: one valid PPM or BMP payload per id. The
+    encoder is separate from the decoder on purpose — the decode stage
+    receives opaque bytes it must actually parse (headers, comments, BMP
+    bottom-up padded BGR rows), not a dict handed around the side."""
+    from .imagecodec import encode_bmp, encode_ppm
+
+    encode = {"ppm": lambda w, h, r: encode_ppm(w, h, r), "bmp": encode_bmp}[fmt]
+    mime = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp"}[fmt]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                w, h, raster = synth_raster(int(media_id))
+                rows.append(
+                    {"media_id": media_id, "mime_type": mime, "payload": encode(w, h, raster)}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media_ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode stage over binary payloads: parses each payload
+    with :func:`decode_image` (PPM/BMP dispatch) and emits exact pixel stats.
+    Malformed payloads degrade to a status row instead of failing the batch
+    (dead-letter semantics, same policy as the JSON quarantine ingest)."""
+    from .imagecodec import DecodeError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    stats = decode_image(bytes(payload) if payload is not None else b"")
+                    stats["decode_status"] = "ok"
+                except (DecodeError, NotImplementedError) as e:
+                    stats = dict.fromkeys(_STATS_COLS[1:-1])
+                    stats["decode_status"] = f"error: {type(e).__name__}"
+                stats["media_id"] = media_id
+                rows.append(stats)
+            yield pd.DataFrame(rows, columns=_STATS_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

@@ -88,7 +88,7 @@ def ingest_batch(
     n_shards: int = 4,
     embeddings: DataFrame | None = None,
     eval_vectors: DataFrame | None = None,
-    semantic_tau: float = 0.35,
+    semantic_tau: float = 0.9,
 ) -> dict[str, int]:
     """Ingest one document batch and converge all marts. Returns per-mart
     row counts for logging/assertions.
@@ -99,7 +99,14 @@ def ingest_batch(
     curated docs within ``semantic_tau`` cosine of ANY eval vector are
     dropped before chunking (paraphrased eval items leave no exact n-gram
     overlap, so the signature-based dedup path cannot catch them), and the
-    flagged set is written to the ``semantic_contaminated`` audit mart."""
+    flagged set is written to the ``semantic_contaminated`` audit mart.
+
+    ``semantic_tau`` defaults to 0.9, matching the underlying
+    ``semantic_contamination`` operator: on real embeddings a low threshold
+    (cosine >= 0.35 matches a large share of any corpus) would silently
+    over-delete curated documents (ADVICE r3). The synthetic-testdata
+    harnesses pass a lower tau explicitly because the generated embeddings
+    have a compressed similarity range."""
     stats: dict[str, int] = {}
     batch = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
 

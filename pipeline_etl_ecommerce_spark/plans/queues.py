@@ -111,12 +111,36 @@ def reclaim_stale(
     Safe under at-least-once: reclaimed work re-runs, and every downstream
     sink is a keyed upsert, so duplicates converge. A missing ``tentativas``
     column — or a NULL value in it (rows appended after the column was
-    introduced) — counts as 0."""
+    introduced) — counts as 0.
+
+    ``now`` must be an UNAMBIGUOUS instant: a timezone-AWARE
+    ``datetime.datetime``, or an int of epoch MICROSECONDS. A naive datetime
+    or a string is rejected — those are interpreted in the ambient session
+    timezone, while ``data_processamento`` was written by
+    ``current_timestamp()`` (a UTC instant), so under a UTC vs
+    America/Sao_Paulo driver session the 30-minute timeout would silently
+    shift by hours (ADVICE r3 — the same ambient-conf dependence class the
+    hostile selfcheck gate exists to kill). The cutoff is built with
+    ``timestamp_micros`` epoch arithmetic: no expression in the chain reads
+    ``spark.sql.session.timeZone``."""
+    import datetime as _dt
+
+    if isinstance(now, bool) or not isinstance(now, (int, _dt.datetime)):
+        raise TypeError(
+            f"reclaim_stale: now must be a tz-aware datetime or epoch-micros int, got {type(now).__name__}"
+        )
+    if isinstance(now, _dt.datetime):
+        if now.tzinfo is None:
+            raise ValueError(
+                "reclaim_stale: naive datetime is ambiguous (session-tz-"
+                "dependent); pass a tz-aware datetime or epoch micros"
+            )
+        now_us = int(now.timestamp() * 1_000_000)
+    else:
+        now_us = now
     if "tentativas" not in queue.columns:
         queue = queue.withColumn("tentativas", F.lit(0).cast("int"))
-    cutoff = F.lit(now).cast("timestamp") - F.expr(
-        f"INTERVAL {int(timeout_minutes)} MINUTES"
-    )
+    cutoff = F.timestamp_micros(F.lit(now_us - int(timeout_minutes) * 60_000_000))
     stale = (F.col("status") == "processando") & (
         F.col("data_processamento") < cutoff
     )

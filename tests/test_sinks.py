@@ -493,3 +493,64 @@ def test_vacuum_retention_gives_concurrent_readers_one_commit_grace(spark, tmp_p
     transactional_upsert_to_path(_df(spark, [("a", 7, 3)]), path, ["k"])
     vacuum_versions(path, keep=2)
     assert not os.path.isdir(pinned)
+
+
+def test_vacuum_expired_reader_fails_loudly_never_partial(spark, tmp_path):
+    """r3 verdict item 6: a reader pinned at a version that vacuum removes
+    must either complete (materialized before the vacuum) or fail LOUDLY —
+    never silently return a partial/empty snapshot. vacuum's atomic
+    tombstone-rename guarantees all-or-nothing visibility."""
+    import pytest as _pytest
+
+    from pipeline_etl_ecommerce_spark.sources.sinks import current_snapshot_path, read_versioned
+
+    path = str(tmp_path / "loud")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1), ("b", 2, 1)]), path, ["k"])
+    pinned_dir = current_snapshot_path(path)
+
+    # lazy reader over v1, NOT materialized; snapshot-pinned reader too
+    lazy = spark.read.parquet(pinned_dir)
+    pinned = read_versioned(spark, path, version="v00000001")
+    # a reader that materialized before the vacuum completes regardless
+    survived = read_versioned(spark, path, version="v00000001").localCheckpoint()
+
+    # three commits push v1 out of the keep=2 window
+    transactional_upsert_to_path(_df(spark, [("a", 9, 2)]), path, ["k"])
+    transactional_upsert_to_path(_df(spark, [("a", 10, 3)]), path, ["k"])
+    removed = vacuum_versions(path, keep=2)
+    assert "v00000001" in removed and not os.path.isdir(pinned_dir)
+
+    # loud failure, not a partial result, for both un-materialized readers
+    for df in (lazy, pinned):
+        with _pytest.raises(Exception) as exc:
+            df.collect()
+        assert "v00000001" in str(exc.value) or "exist" in str(exc.value).lower()
+    # the materialized reader still serves the old snapshot (v1 state:
+    # a->1, b->2 — the later commits' a->9/a->10 must not leak in)
+    assert {(r["k"], r["v"]) for r in survived.collect()} == {("a", 1), ("b", 2)}
+    # a NEW pin of the vacuumed version is refused up-front
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_versioned(spark, path, version="v00000001")
+
+
+def test_vacuum_tombstone_crash_is_swept_and_invisible(spark, tmp_path):
+    """A vacuum that crashes between tombstone-rename and rmtree leaves only
+    a .del_* dir: invisible to read_versioned (the committed path is gone in
+    one atomic step) and swept by the next vacuum."""
+    import pytest as _pytest
+
+    from pipeline_etl_ecommerce_spark.sources.sinks import _VERSIONS_DIR, read_versioned
+
+    path = str(tmp_path / "tomb")
+    transactional_upsert_to_path(_df(spark, [("a", 1, 1)]), path, ["k"])
+    transactional_upsert_to_path(_df(spark, [("a", 2, 2)]), path, ["k"])
+    transactional_upsert_to_path(_df(spark, [("a", 3, 3)]), path, ["k"])
+    vdir = os.path.join(path, _VERSIONS_DIR)
+    # simulate the crash: v1 renamed to tombstone, rmtree never ran
+    os.rename(os.path.join(vdir, "v00000001"), os.path.join(vdir, ".del_v00000001"))
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_versioned(spark, path, version="v00000001")
+    vacuum_versions(path, keep=2)
+    assert not any(d.startswith(".del_") for d in os.listdir(vdir))
+    # current snapshot unaffected throughout
+    assert {r["v"] for r in read_versioned(spark, path).collect()} == {3}

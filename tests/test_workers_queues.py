@@ -167,7 +167,7 @@ def test_trends_posexplode_rank(spark):
 def test_reclaim_stale_reverts_timed_out_claims(spark):
     from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
 
-    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    now = dt.datetime(2025, 8, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
     old = now - dt.timedelta(hours=2)
     fresh = now - dt.timedelta(minutes=5)
     queue = spark.createDataFrame(
@@ -190,7 +190,7 @@ def test_reclaim_stale_reverts_timed_out_claims(spark):
 def test_reclaim_stale_dead_letters_poison_rows(spark):
     from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
 
-    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    now = dt.datetime(2025, 8, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
     old = now - dt.timedelta(hours=2)
     queue = spark.createDataFrame(
         [(1, "MLB1", D, "processando", old)], schemas.TAREFAS_PENDENTES_TRAFEGO
@@ -212,7 +212,7 @@ def test_reclaim_stale_null_counter_counts_as_zero(spark):
     comparison would leave the counter stuck at NULL and retry forever."""
     from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
 
-    now = dt.datetime(2025, 8, 10, 12, 0, 0)
+    now = dt.datetime(2025, 8, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
     old = now - dt.timedelta(hours=2)
     queue = spark.createDataFrame(
         [(1, "MLB1", dt.date(2025, 8, 10), "processando", old, None)],
@@ -229,3 +229,35 @@ def test_reclaim_stale_null_counter_counts_as_zero(spark):
         )
     final = reclaim_stale(q, now=now, timeout_minutes=30).collect()[0]
     assert final["status"] == "erro" and final["tentativas"] == 3
+
+
+def test_reclaim_stale_rejects_ambiguous_now(spark):
+    """ADVICE r3: a naive datetime (or string) `now` is interpreted in the
+    ambient session timezone while data_processamento is a UTC instant, so
+    the timeout would shift by hours under a UTC driver session. The
+    contract requires an unambiguous instant."""
+    import pytest as _pytest
+
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    queue = spark.createDataFrame(
+        [(1, "MLB1", D, "processando", dt.datetime(2025, 8, 10, 10, 0, 0))],
+        schemas.TAREFAS_PENDENTES_TRAFEGO,
+    )
+    with _pytest.raises(ValueError, match="naive"):
+        reclaim_stale(queue, now=dt.datetime(2025, 8, 10, 12, 0, 0))
+    with _pytest.raises(TypeError, match="tz-aware"):
+        reclaim_stale(queue, now="2025-08-10 12:00:00")
+
+
+def test_reclaim_stale_accepts_epoch_micros(spark):
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    now = dt.datetime(2025, 8, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    old = now - dt.timedelta(hours=2)
+    queue = spark.createDataFrame(
+        [(1, "MLB1", D, "processando", old)], schemas.TAREFAS_PENDENTES_TRAFEGO
+    )
+    now_us = int(now.timestamp() * 1_000_000)
+    row = reclaim_stale(queue, now=now_us, timeout_minutes=30).collect()[0]
+    assert row["status"] == "pendente" and row["tentativas"] == 1
