@@ -731,6 +731,8 @@ _DRIVER_PRIORITY = [
     "approx_distinct_events",
     "approx_percentile_prices",
     "range_stack_calendar",
+    "dpp_quarter_order_counts",
+    "bloom_filter_brand_revenue",
     # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
     "flagship_consolidation",
     "pricing_summary",
@@ -745,10 +747,9 @@ _DRIVER_PRIORITY = [
     "minhash_candidate_pairs",
     "knn_cosine_top3",
     "lang_id_heuristic",
-    "ivf_ann_top3",
-    "near_dup_components",
     # ---- position 51+: rotated-out greens keep catalog order (appended by
-    # _driver_order); nothing below this line is in the r4 window.
+    # _driver_order); nothing below this line is in the r4 window. ivf and
+    # near-dup drift-reconfirm slots ceded to the two runtime-pruning demos.
 ]
 
 
@@ -1962,6 +1963,125 @@ def range_stack_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'n_orders', CAST(n_orders AS DOUBLE), 'revenue', revenue) AS (metric, value)"
         ),
     ).select("month", "q_label", "metric", "value")
+
+
+# ===========================================================================
+# Runtime pruning demos (NEW r4): the two mechanisms that decide whether a
+# 100 TB fact scan reads 100 TB or 8 TB — dynamic partition pruning (skip
+# whole partitions from a join-time-known dim filter) and the runtime
+# bloom filter (row-level might_contain pushed into the fact scan when the
+# dim predicate is NOT on the join key, so nothing static can be inferred).
+# Both are result-neutral optimizations, so the catalog result is correct
+# under any driver conf; the plan guards proving the filters actually
+# appear live in tests/test_runtime_pruning.py.
+# ===========================================================================
+
+_QMAP_ROWS = ",".join(f"({m},'Q{(m - 1) // 3 + 1}')" for m in range(1, 13))
+
+_DPP_SQL = """
+SELECT month(o_orderdate) AS month,
+       'Q1' AS q_label,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE month(o_orderdate) IN (1, 2, 3)
+GROUP BY month(o_orderdate)
+"""
+
+
+@register("dpp_quarter_order_counts", _DPP_SQL)
+def dpp_quarter_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED dynamic-partition-pruning shape: orders land in a
+    month-partitioned mart; a parquet-backed quarter dim filtered to Q1
+    joins on the partition column, so the fact scan's PartitionFilters
+    gain a dynamicpruning subquery and 9 of 12 partitions are never read.
+    Two non-obvious requirements are part of the demo (probed empirically,
+    NOTES r4): the dim must be a FILE source — a VALUES local relation
+    constant-folds its filter away and DPP sees no selective predicate —
+    and the join key must be the partition column itself."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = _tempfile.mkdtemp(prefix="dpp_")
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "dim")
+    try:
+        (
+            o.withColumn("month", F.month("o_orderdate").cast("int"))
+            .write.partitionBy("month")
+            .mode("overwrite")
+            .parquet(fact_path)
+        )
+        spark.sql(
+            f"SELECT * FROM VALUES {_QMAP_ROWS} AS t(month, q_label)"
+        ).write.mode("overwrite").parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter(F.col("q_label") == "Q1")
+        out = (
+            fact.join(dim, "month")
+            .groupBy(F.col("month").cast("long").alias("month"), "q_label")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # creation side must be SMALLER than creationSideThreshold and the
+    # application-side scan LARGER than its threshold; the defaults
+    # (10MB / 10GB) are sized for real clusters, so the toy-SF demo scales
+    # them the same way the AQE demo scales its skew thresholds
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+    # force a shuffle join: a broadcast join already ships the dim to every
+    # task and needs no bloom filter
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_BLOOM_SQL = """
+SELECT p.p_type,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+GROUP BY p.p_type
+"""
+
+
+@register("bloom_filter_brand_revenue", _BLOOM_SQL)
+def bloom_filter_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED runtime-bloom-filter shape: the dim predicate (p_brand) is
+    NOT on the join key, so neither static pushdown nor DPP can prune the
+    fact side — only the runtime bloom filter built from the filtered dim's
+    join keys (bloom_filter_agg -> might_contain in the lineitem scan) cuts
+    the fact rows entering the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact and shuffling the ~1/25 that can
+    match. Result is conf-independent; the pin (thresholds scaled to toy
+    SF) makes the filter observable, and the result materializes under it."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey", "p_type"
+    )
+    out = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    with _conf_pin(spark, _BLOOM_CONFS):
+        return out.localCheckpoint()
 
 
 # ===========================================================================
