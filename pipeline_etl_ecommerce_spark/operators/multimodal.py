@@ -330,6 +330,121 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
+def resize_image_stats(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """mapInPandas REAL-resize stage: nearest-neighbor-resample each PPM
+    payload (:func:`.imagecodec.resize_ppm_nearest`, floor index map), then
+    decode the RESIZED image and emit its exact pixel stats — which the SQL
+    oracle reproduces by replaying the index map over the synthesis formula.
+    Proves the resampler end-to-end, not just that some bytes came back."""
+    from .imagecodec import DecodeError, decode_ppm, resize_ppm_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    resized = resize_ppm_nearest(
+                        bytes(payload) if payload is not None else b"", width, height
+                    )
+                    stats = decode_ppm(resized)
+                    stats["decode_status"] = "ok"
+                except (DecodeError, NotImplementedError) as e:
+                    stats = dict.fromkeys(_STATS_COLS[1:-1])
+                    stats["decode_status"] = f"error: {type(e).__name__}"
+                stats["media_id"] = media_id
+                rows.append(stats)
+            yield pd.DataFrame(rows, columns=_STATS_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType()),
+        StructField("n_frames_total", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sample_status", StringType()),
+    ]
+)
+
+
+def synth_stream_raster(media_id: int, frame_index: int, w: int = 4, h: int = 2) -> bytes:
+    """Frame ``frame_index`` of the deterministic per-id P6 stream: byte i is
+    ``(id*31 + frame*131 + i*7) % 256`` — SQL-replayable like synth_raster."""
+    base = media_id * 31 + frame_index * 131
+    return bytes((base + i * 7) % 256 for i in range(w * h * 3))
+
+
+def synthesize_ppm_streams(media_ids: DataFrame) -> DataFrame:
+    """One concatenated-P6 stream per id (the ffmpeg image2pipe framing):
+    ``2 + id % 4`` frames of 4x2. Encode stage only — the sampling stage
+    must genuinely split and parse the stream."""
+    from .imagecodec import encode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                n = 2 + mid % 4
+                stream = b"".join(
+                    encode_ppm(4, 2, synth_stream_raster(mid, f)) for f in range(n)
+                )
+                rows.append(
+                    {"media_id": media_id, "mime_type": "video/x-ppm-stream", "payload": stream}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media_ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frame_stats(media: DataFrame, *, n_frames: int) -> DataFrame:
+    """mapInPandas REAL frame sampling with decoded stats: split the
+    concatenated-P6 stream, keep ``n_frames`` evenly spaced frames (floor map
+    ``j*total//n``), decode each kept frame and emit its channel sums — all
+    replayable by the oracle. One-to-many (UDTF shape); payload bytes never
+    leave the stage."""
+    from .imagecodec import DecodeError, decode_ppm, iter_ppm_stream
+
+    cols = [f.name for f in FRAME_STATS_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = [f for _o, f in iter_ppm_stream(bytes(payload))]
+                    total = len(frames)
+                    if n_frames >= total:
+                        keep = range(total)
+                    else:
+                        keep = sorted({j * total // n_frames for j in range(n_frames)})
+                    for i in keep:
+                        d = decode_ppm(frames[i])
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": i,
+                                "n_frames_total": total,
+                                "sum_r": d["sum_r"],
+                                "sum_g": d["sum_g"],
+                                "sum_b": d["sum_b"],
+                                "sample_status": "ok",
+                            }
+                        )
+                except (DecodeError, NotImplementedError) as e:
+                    rows.append(
+                        dict.fromkeys(cols)
+                        | {"media_id": media_id, "sample_status": f"error: {type(e).__name__}"}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for tests/benchmarks: treat document text bytes as an opaque
     payload so the multimodal path has real data to chew on."""

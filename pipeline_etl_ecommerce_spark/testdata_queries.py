@@ -733,6 +733,8 @@ _DRIVER_PRIORITY = [
     "range_stack_calendar",
     "dpp_quarter_order_counts",
     "bloom_filter_brand_revenue",
+    "ppm_resize_stats",
+    "ppm_stream_frame_stats",
     # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
     "flagship_consolidation",
     "pricing_summary",
@@ -745,11 +747,13 @@ _DRIVER_PRIORITY = [
     "first_lineitem_per_order",
     "dedup_exact_documents",
     "minhash_candidate_pairs",
-    "knn_cosine_top3",
-    "lang_id_heuristic",
     # ---- position 51+: rotated-out greens keep catalog order (appended by
-    # _driver_order); nothing below this line is in the r4 window. ivf and
-    # near-dup drift-reconfirm slots ceded to the two runtime-pruning demos.
+    # _driver_order); nothing below this line is in the r4 window. Four r01
+    # drift-reconfirm slots ceded to NEW r4 queries: ivf/near-dup to the two
+    # runtime-pruning demos, knn/lang-id to the real resize/frame-sample
+    # queries (their families keep in-window representatives:
+    # semantic_search_docs composes knn, lang_confusion_matrix covers
+    # lang-id).
 ]
 
 
@@ -1194,6 +1198,89 @@ def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bmp_decode_stats", _IMAGE_DECODE_SQL_TMPL)
 def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "bmp")
+
+
+# REAL nearest-neighbor resize, end-to-end: synth PPM (same formula) →
+# resize_ppm_nearest to 4x3 → decode the RESIZED bytes → stats. The oracle
+# replays the floor index map sx = dx*sw//4, sy = dy*sh//3 over the pixel
+# formula, so a resampler that rounds instead of floors (or maps from the
+# wrong corner) fails the hash even though dimensions look right.
+_RESIZE_STATS_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh FROM documents
+),
+px AS (
+  SELECT doc_id, dy.i AS dy, dx.i AS dx,
+         ((dy.i * sh // 3) * sw + (dx.i * sw // 4)) AS sp
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS i) dy,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS i) dx
+),
+b AS (
+  SELECT doc_id, dy, dx, c.i AS c,
+         (doc_id * 31 + (3 * sp + c.i) * 7) % 256 AS v
+  FROM px, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) c
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(255 AS BIGINT) AS maxval,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN dy = 0 AND dx = 0 AND c = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN dy = 0 AND dx = 0 AND c = 1 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN dy = 0 AND dx = 0 AND c = 2 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN dy = 0 THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM b
+GROUP BY doc_id
+"""
+
+
+@register("ppm_resize_stats", _RESIZE_STATS_SQL)
+def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_image_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return resize_image_stats(synthesize_images(ids, fmt="ppm"), width=4, height=3)
+
+
+# REAL video-frame sampling, end-to-end: per-id concatenated-P6 stream of
+# 2 + id%4 four-by-two frames (byte i of frame f = (id*31 + f*131 + i*7)
+# % 256), sampled to 2 evenly spaced frames (floor map j*total//2) whose
+# decoded channel sums the oracle replays. Catches wrong frame boundaries,
+# wrong sample indices, and off-by-one stream splits.
+_FRAME_STATS_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT doc_id, 2 + doc_id % 4 AS total FROM documents
+),
+kept AS (
+  SELECT doc_id, total, (j.i * total) // 2 AS frame_index
+  FROM f, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) j
+),
+b AS (
+  SELECT doc_id, total, frame_index, i.i AS i,
+         (doc_id * 31 + frame_index * 131 + i.i * 7) % 256 AS v
+  FROM kept, LATERAL (SELECT unnest(generate_series(0, 23)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(total AS BIGINT) AS n_frames_total,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       'ok' AS sample_status
+FROM b
+GROUP BY doc_id, total, frame_index
+"""
+
+
+@register("ppm_stream_frame_stats", _FRAME_STATS_SQL)
+def ppm_stream_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frame_stats, synthesize_ppm_streams
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return sample_frame_stats(synthesize_ppm_streams(ids), n_frames=2)
 
 
 # ===========================================================================

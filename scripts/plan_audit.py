@@ -69,6 +69,8 @@ ALLOWED_PYTHON = {
     "multimodal_frame_sample",
     "ppm_decode_stats",   # REAL decode: synth mapInPandas + parser mapInPandas
     "bmp_decode_stats",   # REAL decode (bottom-up padded BGR parse)
+    "ppm_resize_stats",   # REAL nearest-neighbor resample + decode of result
+    "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
     "ivf_ann_top3",
     "model_scored_documents",
     "curated_documents_multimodal",

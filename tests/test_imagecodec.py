@@ -162,3 +162,48 @@ def test_stream_trailing_garbage_raises():
     stream = encode_ppm(1, 1, b"abc") + b"GARBAGE"
     with pytest.raises(DecodeError):
         list(iter_ppm_stream(stream))
+
+
+def test_resize_image_stats_dead_letters_bad_payloads(spark):
+    """Spark-side resize path: good payloads produce exact stats, malformed
+    ones degrade to a status row (dead-letter policy) instead of failing
+    the Arrow batch."""
+    from pipeline_etl_ecommerce_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_image_stats,
+    )
+
+    w, h, raster = synth_raster(5)
+    rows = [
+        (5, "image/x-portable-pixmap", encode_ppm(w, h, raster)),
+        (6, "image/x-portable-pixmap", b"NOTANIMAGE"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_image_stats(media, width=4, height=3).collect()}
+    assert out[5]["decode_status"] == "ok" and out[5]["width"] == 4 and out[5]["height"] == 3
+    assert out[6]["decode_status"].startswith("error") and out[6]["sum_r"] is None
+
+
+def test_sample_frame_stats_matches_formula(spark):
+    from pipeline_etl_ecommerce_spark.operators.multimodal import (
+        sample_frame_stats,
+        synth_stream_raster,
+        synthesize_ppm_streams,
+    )
+
+    ids = spark.createDataFrame([(10,), (11,)], "media_id bigint")
+    out = sample_frame_stats(synthesize_ppm_streams(ids), n_frames=2).collect()
+    by_key = {(r["media_id"], r["frame_index"]): r for r in out}
+    for mid in (10, 11):
+        total = 2 + mid % 4
+        kept = sorted({j * total // 2 for j in range(2)})
+        assert [k[1] for k in sorted(by_key) if k[0] == mid] == kept
+        for fi in kept:
+            raster = synth_stream_raster(mid, fi)
+            r = by_key[(mid, fi)]
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+                sum(raster[0::3]),
+                sum(raster[1::3]),
+                sum(raster[2::3]),
+            )
+            assert r["n_frames_total"] == total
