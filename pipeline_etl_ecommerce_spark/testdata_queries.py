@@ -735,6 +735,8 @@ _DRIVER_PRIORITY = [
     "bloom_filter_brand_revenue",
     "ppm_resize_stats",
     "ppm_stream_frame_stats",
+    "q2_style_min_price_parts",
+    "q11_brand_revenue_fraction",
     # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
     "flagship_consolidation",
     "pricing_summary",
@@ -745,15 +747,15 @@ _DRIVER_PRIORITY = [
     "last_event_per_user",
     "top3_parts_per_brand",
     "first_lineitem_per_order",
-    "dedup_exact_documents",
-    "minhash_candidate_pairs",
     # ---- position 51+: rotated-out greens keep catalog order (appended by
-    # _driver_order); nothing below this line is in the r4 window. Four r01
+    # _driver_order); nothing below this line is in the r4 window. Six r01
     # drift-reconfirm slots ceded to NEW r4 queries: ivf/near-dup to the two
     # runtime-pruning demos, knn/lang-id to the real resize/frame-sample
-    # queries (their families keep in-window representatives:
-    # semantic_search_docs composes knn, lang_confusion_matrix covers
-    # lang-id).
+    # queries, exact-dedup/minhash-pairs to the Q2/Q11 SQL shapes (every
+    # ceded family keeps an in-window representative: semantic_search_docs
+    # composes knn, lang_confusion_matrix covers lang-id, near_dup_keep_best
+    # / simhash_incremental_pairs / curated_documents_best cover the dedup
+    # families).
 ]
 
 
@@ -1281,6 +1283,72 @@ def ppm_stream_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return sample_frame_stats(synthesize_ppm_streams(ids), n_frames=2)
+
+
+# TPC-H Q2 shape (NEW r4): correlated scalar subquery in WHERE — "rows at
+# the per-group minimum" written exactly as a user would, so CATALYST does
+# the decorrelation (per-key MIN aggregate joined back), unlike the Q17/Q20
+# family where the rewrite is hand-built with windows. Ties at the minimum
+# survive, as in Q2.
+_Q2_MIN_PRICE_SQL = """
+SELECT p.p_partkey AS part_id, p.p_brand AS brand,
+       l.l_suppkey AS supp_id,
+       CAST(l.l_extendedprice AS DOUBLE) AS min_price
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q2_style_min_price_parts", _Q2_MIN_PRICE_SQL)
+def q2_style_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q2_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q2_lineitem")
+    return spark.sql(
+        """
+        SELECT p.p_partkey AS part_id, p.p_brand AS brand,
+               l.l_suppkey AS supp_id,
+               CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        FROM __q2_part p JOIN __q2_lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10
+          AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM __q2_lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+# TPC-H Q11 shape (NEW r4): group HAVING against a GLOBAL scalar subquery —
+# brands whose revenue exceeds 2% of total revenue. Both sides aggregate in
+# DECIMAL so the threshold compare is engine-exact; Spark plans the scalar
+# as a broadcast single-row subquery, one fact scan per side.
+_Q11_FRACTION_SQL = """
+SELECT p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) * 0.02 FROM lineitem l2)
+"""
+
+
+@register("q11_brand_revenue_fraction", _Q11_FRACTION_SQL)
+def q11_brand_revenue_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q11_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_lineitem")
+    return spark.sql(
+        """
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue
+        FROM __q11_lineitem l JOIN __q11_part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) >
+               (SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) * 0.02
+                FROM __q11_lineitem l2)
+        """
+    )
 
 
 # ===========================================================================
