@@ -39,6 +39,23 @@ from pyspark.sql.types import StructType
 from ..sources.sinks import upsert_to_path
 
 
+# State-store provider for 100 TB streams: the default HDFS-backed provider
+# keeps every key's state in executor HEAP — fine while watermark-horizon ×
+# key-cardinality fits in memory, an OOM once it doesn't. RocksDB spills
+# state to local disk with changelog checkpointing, so state size is bounded
+# by disk, not heap. Result-identical to the default provider (guarded by
+# tests/test_streaming_rocksdb.py); set it in the SparkSession BEFORE the
+# stream starts — the provider is fixed per query at start and recorded in
+# the checkpoint.
+ROCKSDB_STATE_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # changelog checkpointing uploads deltas instead of full snapshots —
+    # the difference between O(state) and O(changed-keys) per commit
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def read_json_stream(
     spark: SparkSession, path: str, schema: StructType, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
