@@ -737,6 +737,7 @@ _DRIVER_PRIORITY = [
     "ppm_stream_frame_stats",
     "q2_style_min_price_parts",
     "q11_brand_revenue_fraction",
+    "udtf_chunk_windows",
     # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
     "flagship_consolidation",
     "pricing_summary",
@@ -746,7 +747,6 @@ _DRIVER_PRIORITY = [
     "daily_event_rollup",
     "last_event_per_user",
     "top3_parts_per_brand",
-    "first_lineitem_per_order",
     # ---- position 51+: rotated-out greens keep catalog order (appended by
     # _driver_order); nothing below this line is in the r4 window. Six r01
     # drift-reconfirm slots ceded to NEW r4 queries: ivf/near-dup to the two
@@ -1283,6 +1283,41 @@ def ppm_stream_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return sample_frame_stats(synthesize_ppm_streams(ids), n_frames=2)
+
+
+# Python UDTF (NEW r4, Spark 4 API surface): the SQL-callable one-to-many
+# table function — overlapping word-window chunking via LATERAL, the
+# LLM-corpus chunk shape when the consumer is SQL rather than a DataFrame
+# pipeline. The oracle replays the window arithmetic with DuckDB list
+# slicing over string_split (the split rule is a plain single-space split
+# precisely so RE2-less replay is exact).
+_UDTF_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(i.i AS INT) AS chunk_index,
+       array_to_string(words[i.i * 8 + 1 : least(i.i * 8 + 16, len(words))], ' ') AS chunk_text,
+       CAST(least(i.i * 8 + 16, len(words)) - i.i * 8 AS INT) AS n_words
+FROM w, LATERAL (
+  SELECT unnest(generate_series(0, (len(words) - 1) // 8)) AS i
+) i
+WHERE len(words) > 0
+"""
+
+
+@register("udtf_chunk_windows", _UDTF_CHUNKS_SQL)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk_text, c.n_words
+        FROM __udtf_docs d, LATERAL chunk_windows(d.text) c
+        """
+    )
 
 
 # TPC-H Q2 shape (NEW r4): correlated scalar subquery in WHERE — "rows at

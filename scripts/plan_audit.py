@@ -71,6 +71,7 @@ ALLOWED_PYTHON = {
     "bmp_decode_stats",   # REAL decode (bottom-up padded BGR parse)
     "ppm_resize_stats",   # REAL nearest-neighbor resample + decode of result
     "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
+    "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
     "curated_documents_multimodal",

@@ -483,3 +483,36 @@ def test_bpe_merge_is_leftmost_nonoverlapping(spark):
     rows = sorted(learn_bpe_merges(df, "text", rounds=2).collect(), key=lambda r: r["round"])
     assert (rows[0]["left"], rows[0]["right"]) == ("a", "a")
     assert (rows[1]["left"], rows[1]["right"]) == ("aa", "a")
+
+
+def test_udtf_chunk_windows_edges(spark):
+    """Python UDTF chunker: overlapping 16/8 windows, short docs one chunk,
+    empty/NULL text zero rows — and the word arithmetic matches a direct
+    Python replay."""
+    from pipeline_etl_ecommerce_spark.operators.udtfs import STRIDE, WINDOW, register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(20))),  # 20 words -> 3 chunks
+            (2, "one two"),                             # short -> 1 chunk
+            (3, ""),                                    # empty -> 0 rows
+            (4, None),                                  # NULL -> 0 rows
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("__udtf_edge_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.* FROM __udtf_edge_docs d, LATERAL chunk_windows(d.text) c"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert [r["chunk_index"] for r in sorted(by_doc[1], key=lambda r: r["chunk_index"])] == [0, 1, 2]
+    words = [f"w{i}" for i in range(20)]
+    for r in by_doc[1]:
+        start = r["chunk_index"] * STRIDE
+        assert r["chunk_text"] == " ".join(words[start : start + WINDOW])
+        assert r["n_words"] == len(words[start : start + WINDOW])
+    assert by_doc[2][0]["chunk_text"] == "one two" and by_doc[2][0]["n_words"] == 2
