@@ -738,6 +738,7 @@ _DRIVER_PRIORITY = [
     "q2_style_min_price_parts",
     "q11_brand_revenue_fraction",
     "udtf_chunk_windows",
+    "freq_items_event_types",
     # (c) top-up to 50: oldest rotated-out r01 greens, re-confirmed for drift.
     "flagship_consolidation",
     "pricing_summary",
@@ -746,7 +747,6 @@ _DRIVER_PRIORITY = [
     "part_filters",
     "daily_event_rollup",
     "last_event_per_user",
-    "top3_parts_per_brand",
     # ---- position 51+: rotated-out greens keep catalog order (appended by
     # _driver_order); nothing below this line is in the r4 window. Six r01
     # drift-reconfirm slots ceded to NEW r4 queries: ivf/near-dup to the two
@@ -1283,6 +1283,46 @@ def ppm_stream_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return sample_frame_stats(synthesize_ppm_streams(ids), n_frames=2)
+
+
+# Frequent-items sketch (NEW r4): Misra-Gries via DataFrame.stat.freqItems —
+# the one-pass bounded-memory heavy-hitters sketch for 100 TB categorical
+# profiling. Same tolerance-banded-oracle contract as the approx tier: the
+# algorithm GUARANTEES every item with frequency > support appears in the
+# sketch, so the in_sketch boolean over the EXACT heavy-hitter set is
+# deterministically TRUE and the driver's exact hash enforces it.
+_FREQ_ITEMS_SQL = """
+WITH c AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+),
+t AS (SELECT SUM(n_events) AS total FROM c)
+SELECT event_type, n_events,
+       CAST(n_events AS DOUBLE) / total AS share,
+       TRUE AS in_sketch
+FROM c, t
+WHERE CAST(n_events AS DOUBLE) / total > 0.2
+"""
+
+
+@register("freq_items_event_types", _FREQ_ITEMS_SQL)
+def freq_items_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type")
+    # one bounded-size sketch pass; the collected result is <= 1/support
+    # items by construction (driver-safe at any scale)
+    sketch = set(e.stat.freqItems(["event_type"], 0.2).collect()[0][0])
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_events").cast("double") / F.col("total"))
+        .filter(F.col("share") > 0.2)
+        .select(
+            "event_type",
+            "n_events",
+            "share",
+            F.col("event_type").isin(list(sketch)).alias("in_sketch"),
+        )
+    )
 
 
 # Python UDTF (NEW r4, Spark 4 API surface): the SQL-callable one-to-many

@@ -245,3 +245,22 @@ def test_dynamic_partition_pruning_on_date_partitioned_mart(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == 100  # only day=3 rows survive
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Spark 4's rank-based filter pushdown: row_number <= k per group must
+    plan a WindowGroupLimit (per-partition top-k heap BEFORE the full sort/
+    window), not a full Window over every row — at 100 TB this is the
+    difference between sorting k rows per group per mapper and sorting the
+    whole fact."""
+    from pyspark.sql import functions as F
+
+    from pipeline_etl_ecommerce_spark.operators.ranking import top_k_per_group
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    top = top_k_per_group(
+        p, ["p_brand"], order_by=[F.col("p_retailprice").desc(), F.col("p_partkey")], k=3
+    )
+    top.collect()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
