@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "small_quantity_revenue", # per-part threshold broadcast (Q17 shape)
     "price_percentiles",      # bounded percentile-row broadcast
     "top_supplier_quarter",   # scalar max-revenue broadcast (Q15 shape)
+    "freq_items_event_types", # one-row grand-total broadcast (share denom)
     "ivf_ann_top3",           # k pinned centroids broadcast against queries
     "tfidf_top_terms",        # scalar corpus constants broadcast
     "kmeans_clusters",        # k centroid rows broadcast against the corpus
