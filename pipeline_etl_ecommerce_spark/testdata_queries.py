@@ -7789,6 +7789,49 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Triangle enumeration on the co-purchase graph (NEW r4): ordered wedge
+# closure over the support>=2 edge list — each triangle (a<b<c) emitted
+# once, two equi-join shuffles, no dedup pass. The oracle is the identical
+# three-way self-join in SQL.
+_COPURCHASE_TRI_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT e1.pa AS node_a, e1.pb AS node_b, e2.pb AS node_c
+FROM pairs e1
+JOIN pairs e2 ON e1.pb = e2.pa
+JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@register("copurchase_triangles", _COPURCHASE_TRI_SQL)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the support>=2 co-purchase graph via
+    operators/graph.triangles (ordered wedge closure — see its docstring
+    for the hub-degree bound and the degree-ordering optimization a
+    power-law 100 TB graph would add)."""
+    from .operators.graph import triangles
+
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return triangles(edges)
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.

@@ -516,3 +516,20 @@ def test_udtf_chunk_windows_edges(spark):
         assert r["chunk_text"] == " ".join(words[start : start + WINDOW])
         assert r["n_words"] == len(words[start : start + WINDOW])
     assert by_doc[2][0]["chunk_text"] == "one two" and by_doc[2][0]["n_words"] == 2
+
+
+def test_triangles_ordered_wedge_closure(spark):
+    """triangles(): each triangle emitted exactly once with a<b<c; wedges
+    that don't close and disconnected edges emit nothing."""
+    from pipeline_etl_ecommerce_spark.operators.graph import triangles
+
+    # graph: triangle {1,2,3}, triangle {2,3,4} (sharing edge 2-3), open
+    # wedge 5-6, 5-7 (no 6-7 edge), isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6), (5, 7), (8, 9)],
+        "src bigint, dst bigint",
+    )
+    out = sorted(
+        (r["node_a"], r["node_b"], r["node_c"]) for r in triangles(edges).collect()
+    )
+    assert out == [(1, 2, 3), (2, 3, 4)]
