@@ -82,6 +82,25 @@ def _ppm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
     return tokens, i
 
 
+def _p3_raster(text: bytes, n_bytes: int) -> bytes:
+    """Parse a P3 ASCII raster. The netpbm spec allows '#' comments anywhere
+    in plain-format files, including between raster samples — strip them
+    before tokenizing (self-review r4: the first version crashed on
+    spec-valid files with raster comments)."""
+    import re
+
+    cleaned = re.sub(rb"#[^\n\r]*", b"", text)
+    try:
+        samples = [int(t) for t in cleaned.split()]
+    except ValueError as e:
+        raise DecodeError("ppm: non-numeric P3 sample") from e
+    if len(samples) < n_bytes:
+        raise DecodeError("ppm: truncated P3 raster")
+    if any(not 0 <= s <= 255 for s in samples[:n_bytes]):
+        raise DecodeError("ppm: P3 sample out of byte range")
+    return bytes(samples[:n_bytes])
+
+
 def _channel_sums(raster: bytes | memoryview) -> tuple[int, int, int]:
     """Per-channel byte sums of interleaved RGB without a per-pixel loop:
     stride-3 memoryview slices keep this C-speed on large rasters."""
@@ -116,14 +135,7 @@ def decode_ppm(payload: bytes) -> dict:
         if len(raster) != n_bytes:
             raise DecodeError("ppm: truncated raster")
     else:  # P3: ASCII sample values
-        text = payload[off:]
-        try:
-            samples = [int(t) for t in text.split()]
-        except ValueError as e:
-            raise DecodeError("ppm: non-numeric P3 sample") from e
-        if len(samples) < n_bytes:
-            raise DecodeError("ppm: truncated P3 raster")
-        raster = bytes(samples[:n_bytes])
+        raster = _p3_raster(payload[off:], n_bytes)
     sum_r, sum_g, sum_b = _channel_sums(raster)
     return {
         "width": width,
@@ -174,10 +186,14 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
     Uses the floor index map ``src_x = dst_x * src_w // dst_w`` (and same for
     y) — the conventional scale mapping, chosen because it is exactly
     reproducible in the SQL oracle."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize: target dimensions must be positive")
     magic = payload[:2]
     if magic not in (b"P6", b"P3"):
         raise DecodeError(f"ppm: bad magic {magic!r}")
     (src_w, src_h, maxval), off = _ppm_header_tokens(payload, 3)
+    if src_w <= 0 or src_h <= 0:
+        raise DecodeError("ppm: non-positive dimensions")
     if maxval > 255:
         raise DecodeError("ppm: 16-bit samples not supported")
     n_bytes = src_w * src_h * 3
@@ -188,10 +204,7 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
         if len(raster) != n_bytes:
             raise DecodeError("ppm: truncated raster")
     else:
-        samples = [int(t) for t in payload[off:].split()]
-        if len(samples) < n_bytes:
-            raise DecodeError("ppm: truncated P3 raster")
-        raster = bytes(samples[:n_bytes])
+        raster = _p3_raster(payload[off:], n_bytes)
     out = bytearray(width * height * 3)
     row_stride = src_w * 3
     for dy in range(height):

@@ -207,3 +207,21 @@ def test_sample_frame_stats_matches_formula(spark):
                 sum(raster[2::3]),
             )
             assert r["n_frames_total"] == total
+
+
+def test_p3_raster_comments_and_range():
+    """netpbm allows '#' comments anywhere in plain-format files, including
+    between raster samples (self-review r4 fix)."""
+    p3 = b"P3\n2 1\n255\n1 2 3 # mid-raster comment\n4 5 6"
+    d = decode_ppm(p3)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (5, 7, 9)
+    with pytest.raises(DecodeError, match="out of byte range"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 300")
+
+
+def test_resize_rejects_nonpositive_target():
+    src = encode_ppm(1, 1, b"\x01\x02\x03")
+    with pytest.raises(ValueError, match="positive"):
+        resize_ppm_nearest(src, 0, 3)
+    with pytest.raises(ValueError, match="positive"):
+        resize_ppm_nearest(src, 3, -1)
