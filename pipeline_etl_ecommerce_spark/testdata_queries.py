@@ -7789,6 +7789,47 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ntile quantile binning (NEW r4): the one window function the
+# customer_order_window_surface row didn't cover. Bucket boundaries follow
+# the SQL-standard "first (n_rows % n) buckets get the extra row" rule —
+# identical in Spark and DuckDB — and the intra-group order is made TOTAL
+# (price, then orderkey+linenumber) per the W7 invariant so equal prices
+# can't straddle a bucket boundary differently per engine.
+_NTILE_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         NTILE(4) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT l_returnflag, quartile,
+       COUNT(*) AS n_lines,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM t
+GROUP BY l_returnflag, quartile
+"""
+
+
+@register("ntile_price_quartiles", _NTILE_SQL)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+    )
+
+
 # Triangle enumeration on the co-purchase graph (NEW r4): ordered wedge
 # closure over the support>=2 edge list — each triangle (a<b<c) emitted
 # once, two equi-join shuffles, no dedup pass. The oracle is the identical
