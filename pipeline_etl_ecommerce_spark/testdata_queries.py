@@ -7873,6 +7873,54 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges)
 
 
+# TPC-H Q12 shape (NEW r4): the last of the 22 classic shapes — conditional
+# two-way priority counts where the CASE discriminates on the ORDERS side
+# after the fact→dim join, plus Q12's cross-table date-ordering residual
+# (testdata has no shipmode/commit/receipt columns, so l_linestatus stands
+# in for the mode key and shipped-after-ordered for the date ordering).
+# The priority split rides ONE pass over the joined rows — no second scan.
+_Q12_SQL = """
+SELECT l.l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_priority_lines_by_status", _Q12_SQL)
+def q12_priority_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-shipclass counts of high- vs low-priority
+    lines in one shipping year. The year range-predicates push to the
+    lineitem scan (row-group pruning — never year()), the orders side
+    projects only (key, date, priority), and the shipped-after-ordered
+    residual rides the join; both conditional sums share one aggregate
+    pass. Completes the 22/22 TPC-H shape sweep."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.
