@@ -7921,6 +7921,116 @@ def q12_priority_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style LM-perplexity quality gate (NEW r4): an add-0.5-smoothed
+# conditional character-trigram LM is TRAINED on the deterministic hash-split
+# train slice and scores the held-out documents; a second query buckets the
+# scores into per-language perplexity terciles (head/middle/tail — exactly
+# CCNet's partition). Everything is relational, so the DuckDB oracle replays
+# the model term-for-term; 6dp rounding absorbs summation-order ulps (the
+# BM25 contract). The model mart is charset-bounded → broadcast at any SF.
+# ---------------------------------------------------------------------------
+from .operators.lm import perplexity_scores, train_char_trigram_lm  # noqa: E402
+
+_PPL_SQL = r"""
+WITH split AS MATERIALIZED (
+    SELECT doc_id, lower(text) AS t,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS is_train
+    FROM documents
+),
+tr AS (
+    SELECT unnest(list_transform(
+               generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS gram
+    FROM split WHERE is_train AND length(t) >= 3
+),
+tri AS MATERIALIZED (
+    SELECT substr(gram, 1, 2) AS ctx, substr(gram, 3, 1) AS nxt,
+           CAST(count(*) AS DOUBLE) AS n_tri
+    FROM tr GROUP BY 1, 2
+),
+ctxt AS (SELECT ctx, SUM(n_tri) AS n_ctx FROM tri GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT nxt) AS DOUBLE) AS v_chars FROM tri),
+tg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS gram
+    FROM split WHERE NOT is_train AND length(t) >= 3
+),
+scored AS (
+    SELECT g.doc_id,
+           ln((COALESCE(t.n_tri, 0.0) + 0.5)
+              / (COALESCE(c.n_ctx, 0.0) + 0.5 * v.v_chars)) AS logp
+    FROM tg g
+    LEFT JOIN tri t ON t.ctx = substr(g.gram, 1, 2) AND t.nxt = substr(g.gram, 3, 1)
+    LEFT JOIN ctxt c ON c.ctx = substr(g.gram, 1, 2)
+    CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       ROUND(SUM(logp) / count(*), 6) AS avg_logp,
+       ROUND(exp(-(SUM(logp) / count(*))), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+def _trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trained LM as a side table, like the signature marts: at scale the
+    # model is a persisted charset³-bounded table keyed by model version
+    def build():
+        d = _dsplit(_t(spark, sf_dir, "documents"), "doc_id")
+        return train_char_trigram_lm(d.filter(F.col("split") == "train"), "text")
+
+    return _side_table(spark, sf_dir, "trigram_lm", build)
+
+
+@register("trigram_perplexity_scores", _PPL_SQL)
+def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity of the held-out split under the in-engine
+    char-trigram LM (operators/lm.py) — the CCNet quality signal. The
+    model and its context totals broadcast; the only shuffle is the
+    per-doc aggregate."""
+    docs = _dsplit(_t(spark, sf_dir, "documents"), "doc_id")
+    held_out = docs.filter(F.col("split") != "train").select("doc_id", "text")
+    return perplexity_scores(held_out, _trigram_lm(spark, sf_dir), "text", "doc_id")
+
+
+_CCNET_SQL = f"""
+WITH scores AS MATERIALIZED (
+{_PPL_SQL}
+),
+b AS (
+    SELECT d.lang, s.ppl,
+           ntile(3) OVER (PARTITION BY d.lang ORDER BY s.ppl, s.doc_id) AS bucket
+    FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
+FROM b GROUP BY lang, bucket
+"""
+
+
+@register("ccnet_perplexity_buckets", _CCNET_SQL)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partition: per-language perplexity
+    terciles over the scored held-out docs (ntile on the ROUNDED ppl with
+    doc_id tiebreak — total order, so bucket boundaries are
+    engine-identical). Downstream pipelines sample training data by
+    bucket; this emits each bucket's size and ppl range."""
+    scores = trigram_perplexity_scores(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    return (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("int"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+    )
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.
@@ -8230,6 +8340,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
+            ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
         ],
         [
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
