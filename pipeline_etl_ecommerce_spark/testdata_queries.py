@@ -8031,6 +8031,79 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EXECUTED bucketed co-located join (NEW r4): promotes sources/bucketing.py
+# from test-only to the catalog. Both tables land bucketed+sorted on the
+# order key, then the join AND the same-key aggregation run with ZERO
+# exchanges — the shuffle was paid once at write time. At 100 TB this is
+# the difference between re-shuffling the fact on every run and never
+# shuffling it again; the plan guard lives in tests/test_skew_bucketing.py.
+_BUCKETED_CONFS = {
+    # tiny test SFs auto-broadcast the orders side, and a broadcast join
+    # makes the planner ignore bucketing ("disabled by query planner"); at
+    # real scale neither side broadcasts, so pin the non-broadcast path —
+    # the result is join-strategy-independent either way.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_BUCKETED_JOIN_SQL = """
+SELECT l.l_orderkey AS order_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       MAX(o.o_orderpriority) AS priority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY l.l_orderkey
+"""
+
+
+@register("bucketed_colocated_join", _BUCKETED_JOIN_SQL)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED bucketed layout end-to-end: lineitem and orders written as
+    8-bucket tables sorted on the order key (sources/bucketing.py), then
+    joined and aggregated ON the bucket key — zero Exchange operators in
+    the executed plan (the status filter rides the bucketed scan without
+    disturbing co-location). Unique per-call database under a temp
+    location, dropped CASCADE afterwards."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .sources.bucketing import write_bucketed
+
+    db = f"bucketed_{_uuid.uuid4().hex[:8]}"
+    base = _tempfile.mkdtemp(prefix=db + "_")
+    try:
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{base}'")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        write_bucketed(
+            li, f"{db}.lineitem_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"]
+        )
+        write_bucketed(
+            o, f"{db}.orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"]
+        )
+        with _conf_pin(spark, _BUCKETED_CONFS):
+            lb = spark.table(f"{db}.lineitem_b")
+            ob = spark.table(f"{db}.orders_b").filter(F.col("o_orderstatus") == "F")
+            out = (
+                lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+                .groupBy(F.col("l_orderkey").alias("order_id"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_lines"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("revenue"),
+                    F.max("o_orderpriority").alias("priority"),
+                )
+            )
+            return out.localCheckpoint()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.

@@ -113,3 +113,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_bucketed_join_then_same_key_agg_has_no_exchange(spark):
+    # the catalog's bucketed_colocated_join claim: not just the join but the
+    # FOLLOWING aggregation on the bucket key rides the write-time layout —
+    # zero Exchange operators end-to-end (a filter on the dim side must not
+    # disturb co-location either)
+    a = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("amt")
+    )
+    b = spark.range(0, 2000).select(
+        F.col("id").alias("j"), (F.col("id") % 3).alias("status")
+    )
+    spark.sql("DROP TABLE IF EXISTS btj_a")
+    spark.sql("DROP TABLE IF EXISTS btj_b")
+    write_bucketed(a, "btj_a", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "btj_b", ["j"], num_buckets=4, sort_cols=["j"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = spark.table("btj_a")
+        tb = spark.table("btj_b").filter(F.col("status") == 1)
+        out = (
+            ta.join(tb, ta.k == tb.j)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        )
+        rows = out.collect()
+        # status==1 keeps ids with id%3==1 -> 667 keys, one line each
+        assert len(rows) == 667
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS btj_a")
+        spark.sql("DROP TABLE IF EXISTS btj_b")
