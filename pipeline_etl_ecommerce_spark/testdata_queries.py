@@ -7491,6 +7491,15 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+# NOT registered: a transformWithStateInPandas twin of the query above
+# (streaming/stateful.py RunningTotalsProcessor) exists and is test-covered,
+# but Spark 4's TWS Python worker speaks protobuf to its state server and
+# google.protobuf is not installed in this container (probed r4:
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError google.protobuf
+# — same environment class as the absent spark-avro jar / PIL). The test
+# (tests/test_streaming_rocksdb.py) importorskips on protobuf so it runs the
+# REAL two-trigger harness wherever the dependency exists; the GroupState
+# twin above keeps the T5 driver row green here.
 def _stage_click_purchase_drops(
     spark: SparkSession, sf_dir: str, base: str, *, max_id: int
 ) -> tuple[str, str, int]:

@@ -11,6 +11,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql.types import StructType
 
 from pipeline_etl_ecommerce_spark.streaming.runner import (
@@ -77,3 +79,55 @@ def test_rocksdb_provider_matches_default_provider(spark):
     rocks = _run_dedup(spark, ROCKSDB_STATE_CONFS)
     assert rocks == default
     assert len(rocks) == 100  # exactly-once despite the 20-id overlap
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    # Spark 4 transformWithStateInPandas twin of the GroupState running
+    # totals: named ValueState on a StatefulProcessor, RocksDB provider
+    # (TWS rejects the HDFS-backed default). The TWS Python worker speaks
+    # protobuf to its state server, which this container does not ship —
+    # importorskip keeps the REAL harness runnable wherever it exists.
+    pytest.importorskip("google.protobuf")
+    from pipeline_etl_ecommerce_spark.streaming.runner import run_upsert_stream
+    from pipeline_etl_ecommerce_spark.streaming.stateful import running_user_totals_tws
+
+    base = str(tmp_path)
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    rows = [(i % 7, (i * 13) % 100) for i in range(200)]
+    for fname, chunk in (("b1.json", rows[::2]), ("b2.json", rows[1::2])):
+        with open(os.path.join(drops, fname), "w") as fh:
+            for uid, cents in chunk:
+                fh.write(json.dumps({"user_id": uid, "cents": cents}) + "\n")
+    old = {}
+    for k, v in ROCKSDB_STATE_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        schema = StructType.fromDDL("user_id bigint, cents bigint")
+        stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+        q = run_upsert_stream(
+            running_user_totals_tws(stream), target, ["user_id"], ckpt,
+            output_mode="update", order_by=["n_events"],
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        got = {
+            r["user_id"]: (r["n_events"], r["total_cents"])
+            for r in spark.read.parquet(target).collect()
+        }
+        want = {}
+        for uid, cents in rows:
+            n, c = want.get(uid, (0, 0))
+            want[uid] = (n + 1, c + cents)
+        assert got == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
