@@ -78,6 +78,50 @@ def pagerank_undirected(
     return rank.select(F.col("node").alias(id_out), F.col("r").alias("pagerank_e9"))
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seed: DataFrame,
+    *,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Level-synchronous BFS over an undirected edge list: hop distances
+    from the nodes in ``seed`` (a frame with one ``node`` column), capped
+    at ``max_depth``. Returns ``(node, dist)`` for every reached node,
+    seeds included at 0.
+
+    The Pregel shape shared with :func:`pagerank_undirected`: each level
+    is one equi-join of the frontier onto the edges plus an anti-join
+    against the settled set — no driver-side node state, O(diameter)
+    rounds, lineage linearized per level with a lazy localCheckpoint (the
+    settled set re-derives every earlier level otherwise). First-touch
+    order IS min-distance order in level-synchronous BFS, so the result
+    is exact and engine-replayable (the oracle's recursive CTE takes
+    MIN(dist) over all bounded walks — same fixpoint)."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    dist = seed.select("node", F.lit(0).alias("dist"))
+    frontier = dist.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distributed triangle enumeration via ordered wedge closure: with
     every edge stored once as ``src < dst``, join edges (a,b)+(b,c) into

@@ -8113,6 +8113,101 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+# percent_rank + cume_dist (NEW r4): the two relative-position window
+# functions the window surface didn't cover yet. Both are pure functions of
+# rank/row-position within ties, so an ORDER BY with ties is still
+# engine-deterministic; the selective p_size filter applies AFTER the
+# window (the distribution is over the WHOLE brand, the output is small).
+_PCT_RANK_SQL = """
+SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS price,
+       pct_rank, cume
+FROM (
+    SELECT p_partkey, p_brand, p_retailprice, p_size,
+           ROUND(percent_rank() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice), 6) AS pct_rank,
+           ROUND(cume_dist() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice), 6) AS cume
+    FROM part
+) WHERE p_size = 50
+"""
+
+
+@register("brand_price_percent_rank", _PCT_RANK_SQL)
+def brand_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative price position of size-50 parts within their brand:
+    percent_rank (rank-based, 0 at the min) and cume_dist (<=-fraction)
+    over the full brand partition, filtered afterwards — one window
+    shuffle on p_brand, WindowExec streams each partition once."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_retailprice").cast("double").alias("price"),
+            "p_size",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("p_size") == 50)
+        .drop("p_size")
+    )
+
+
+# BFS hop distances (NEW r4): level-synchronous frontier expansion from the
+# smallest node of the support>=2 co-purchase graph, capped at 4 hops —
+# the third Pregel-shape operator next to PageRank and label-propagation
+# components. The oracle's bounded recursive CTE takes MIN(dist) over all
+# walks (UNION dedups per (node, dist), so it can't blow up on hubs);
+# first-touch BFS reaches the same fixpoint.
+_BFS_SQL = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+e2 AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM e2 UNION ALL SELECT pb, pa FROM e2
+),
+seed AS (SELECT MIN(u) AS s FROM edges),
+walk(node, dist) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node WHERE w.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
+
+
+@register("bfs_copurchase_distances", _BFS_SQL)
+def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop BFS distances from the smallest co-purchase node via
+    operators/graph.bfs_distances — one frontier-join + settled anti-join
+    per level, no driver node state (the per-level isEmpty probe is a
+    scalar read, the Pregel convention throughout operators/graph)."""
+    from .operators.graph import bfs_distances
+
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    seed = edges.select(F.col("src").alias("u")).unionByName(
+        edges.select(F.col("dst").alias("u"))
+    ).agg(F.min("u").alias("node"))
+    return bfs_distances(edges, seed, max_depth=4)
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.

@@ -533,3 +533,36 @@ def test_triangles_ordered_wedge_closure(spark):
         (r["node_a"], r["node_b"], r["node_c"]) for r in triangles(edges).collect()
     )
     assert out == [(1, 2, 3), (2, 3, 4)]
+
+
+def test_bfs_distances_min_dist_and_depth_cap(spark):
+    from pipeline_etl_ecommerce_spark.operators.graph import bfs_distances
+
+    # diamond 1-2, 1-3, 2-4, 3-4 plus tail 4-5-6 and a disconnected 8-9;
+    # two equal-length paths to 4 must yield dist 2 exactly once
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (8, 9)],
+        "src long, dst long",
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seed, max_depth=3).collect()
+    }
+    # depth cap 3: node 6 (dist 4) not reached; 8/9 disconnected
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    # undirected: seeding from the tail walks back through the diamond
+    seed6 = spark.createDataFrame([(6,)], "node long")
+    got6 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seed6, max_depth=4).collect()
+    }
+    assert got6[1] == 4 and got6[4] == 2
+
+    # max_depth=0: only the seed, and early-exit on an empty frontier
+    got0 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seed, max_depth=0).collect()
+    }
+    assert got0 == {1: 0}
