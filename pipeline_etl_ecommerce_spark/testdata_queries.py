@@ -3514,6 +3514,58 @@ def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN index audit (NEW r4): recall@3 of the IVF index against the exact
+# brute-force top-3 — "measure, don't guess" applied to the index itself.
+# Composes the two verified rankings (exact kNN + IVF) per query id; the
+# oracle nests both proven SQL bodies. At 100 TB this is the query a
+# vector-index owner schedules after every rebuild: exact top-k on a
+# SAMPLE of queries (here the <10 slice) joined against the index answer.
+_RECALL_SQL = f"""
+WITH exact_k AS MATERIALIZED (
+    SELECT query_id, cand_id FROM (
+{_KNN_SQL}
+    ) e_sub
+),
+ann_k AS MATERIALIZED (
+    SELECT query_id, cand_id FROM (
+{_IVF_SQL}
+    ) a_sub
+)
+SELECT e.query_id,
+       CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 6) AS recall_at3
+FROM exact_k e
+LEFT JOIN ann_k a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+@register("ivf_recall_at3", _RECALL_SQL)
+def ivf_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of the IVF index vs exact cosine top-3: a left
+    join of the exact hit list against the index's (both already
+    value-hash-verified queries, both reading the shared centroid mart),
+    so each exact hit matches at most one index row; count(matched)/3.
+    The per-query rows are what an index monitor alerts on — a global
+    average hides a single dead probe list."""
+    exact = knn_cosine_top3(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        ivf_ann_top3(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("_n"))
+        .select(
+            "query_id",
+            F.col("_n").cast("long").alias("n_hits"),
+            F.round(F.col("_n").cast("double") / F.lit(3.0), 6).alias("recall_at3"),
+        )
+    )
+
+
 # ===========================================================================
 # Batch 11: classic OLAP joins (TPC-H Q3/Q5 shapes) + full ranking-window
 # surface (lag/lead/ntile) — the ad-hoc BI queries a mart must serve.
