@@ -61,6 +61,9 @@ ALLOWED_NESTED_LOOP = {
     "pq_adc_top3",              # m*k codebook rows broadcast (kmeans-family pattern)
     "near_dup_pagerank",        # one-row node-count broadcast per iteration
     "bpe_merge_table",          # one-row argmax merge rule broadcast per round
+    "trigram_perplexity_scores",  # one-row vocab-size (V) broadcast
+    "ccnet_perplexity_buckets",   # same scalar V broadcast via the scores
+    "ivf_recall_at3",             # composes knn + ivf bounded baselines
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
