@@ -45,6 +45,7 @@ from ..operators.dedupe import (
 )
 from ..operators.decontam import semantic_contamination
 from ..operators.importance import dsir_importance_weights
+from ..operators.lm import perplexity_scores, train_char_trigram_lm
 from ..operators.dq import check_not_null, check_unique, dq_report
 from ..operators.packing import assemble_packs, pack_sequences
 from ..operators.sharding import shuffle_shards
@@ -89,6 +90,8 @@ def ingest_batch(
     embeddings: DataFrame | None = None,
     eval_vectors: DataFrame | None = None,
     semantic_tau: float = 0.9,
+    ppl_tau: float | None = None,
+    lm_reference: DataFrame | None = None,
 ) -> dict[str, int]:
     """Ingest one document batch and converge all marts. Returns per-mart
     row counts for logging/assertions.
@@ -106,7 +109,18 @@ def ingest_batch(
     (cosine >= 0.35 matches a large share of any corpus) would silently
     over-delete curated documents (ADVICE r3). The synthetic-testdata
     harnesses pass a lower tau explicitly because the generated embeddings
-    have a compressed similarity range."""
+    have a compressed similarity range.
+
+    When ``ppl_tau`` and ``lm_reference`` (a frame with a ``text`` column
+    of trusted reference prose) are both given, a CCNet-style perplexity
+    gate runs after curation: a char-trigram LM trains on the reference
+    and curated docs scoring ABOVE ``ppl_tau`` (disfluent relative to the
+    reference) are dropped, with the rejected set written to the
+    ``ppl_rejected`` audit mart. Docs too short to emit a trigram carry
+    no evidence and pass. Both-or-neither, like the embeddings pair —
+    a tau without a reference corpus is not a meaningful gate."""
+    if (ppl_tau is None) != (lm_reference is None):
+        raise ValueError("ppl_tau and lm_reference must be given together")
     stats: dict[str, int] = {}
     batch = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
 
@@ -178,6 +192,27 @@ def ingest_batch(
         if stats["semantic_contaminated"]:
             curated = curated.join(
                 flagged.select(F.col("vec_id").alias("doc_id")), "doc_id", "anti"
+            ).localCheckpoint()
+            curated, stats["curated"] = _overwrite_and_read(
+                spark, curated, curated_path
+            )
+
+    # 5c. perplexity gate (optional): CCNet-style fluency filter — score
+    # curated docs under the reference-trained char-trigram LM and drop
+    # the high-perplexity tail. Model is charset-bounded (broadcast);
+    # scoring is map-side + one per-doc aggregate over the curated slice
+    # only. Audit mart first, then the curated rewrite propagates the
+    # eviction to every downstream mart, same as 5b.
+    if ppl_tau is not None:
+        lm = train_char_trigram_lm(lm_reference, "text")
+        cur_docs = corpus.join(curated.select("doc_id"), "doc_id", "semi")
+        scored = perplexity_scores(cur_docs, lm, "text", "doc_id")
+        rejected = scored.filter(F.col("ppl") > float(ppl_tau)).select("doc_id", "ppl")
+        rej_path = _mart(marts, "ppl_rejected")
+        rejected, stats["ppl_rejected"] = _overwrite_and_read(spark, rejected, rej_path)
+        if stats["ppl_rejected"]:
+            curated = curated.join(
+                rejected.select("doc_id"), "doc_id", "anti"
             ).localCheckpoint()
             curated, stats["curated"] = _overwrite_and_read(
                 spark, curated, curated_path

@@ -8260,6 +8260,77 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seed, max_depth=4)
 
 
+# listagg (NEW r4): ordered string aggregation — Spark 4's ANSI
+# listagg(...) WITHIN GROUP (ORDER BY ...) against DuckDB's string_agg
+# with ORDER BY. The WITHIN GROUP ordering (name, then key for total
+# order) is what makes a concatenated string engine-deterministic at all;
+# the p_size filter keeps per-group strings bounded (at 100 TB an
+# unbounded listagg is a single-row blow-up — cap or top-k first).
+_LISTAGG_SQL = """
+SELECT p_brand,
+       string_agg(p_name, ',' ORDER BY p_name, p_partkey) AS names,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part WHERE p_size = 50
+GROUP BY p_brand
+"""
+
+
+@register("listagg_brand_part_names", _LISTAGG_SQL)
+def listagg_brand_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered listagg per brand through the SQL surface (WITHIN GROUP is
+    SQL-only; the DataFrame twin would be array_sort(collect_list) +
+    array_join, which array-builds the same bounded group)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__la_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               listagg(p_name, ',') WITHIN GROUP (ORDER BY p_name, p_partkey) AS names,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM __la_part WHERE p_size = 50
+        GROUP BY p_brand
+        """
+    )
+
+
+# unpivot/melt (NEW r4): the wide→long reshape through the NATIVE
+# DataFrame.unpivot (Expand, one pass — not a self-union that rescans the
+# aggregate three times). Metrics are rounded in DECIMAL before melting;
+# the oracle replays with UNION ALL (the standard relational expansion).
+_UNPIVOT_SQL = """
+WITH s AS MATERIALIZED (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM s
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM s
+"""
+
+
+@register("unpivot_flag_metrics", _UNPIVOT_SQL)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-flag sums melted to (flag, metric, value) rows via the
+    native unpivot — the inverse of the pivot query and the shape every
+    metrics store ingests. One aggregate pass, one Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.

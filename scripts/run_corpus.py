@@ -42,6 +42,11 @@ def main() -> int:
     # range); ingest_batch itself defaults to the operator's 0.9 — on real
     # embeddings a low tau over-deletes curated documents (ADVICE r3).
     ap.add_argument("--semantic-tau", type=float, default=0.35)
+    # CCNet-style fluency gate: when set, a char-trigram LM trains on the
+    # deterministic hash-split train slice of the batch (the same split the
+    # catalog queries pin) and curated docs scoring above tau are dropped
+    # into the ppl_rejected audit mart
+    ap.add_argument("--ppl-tau", type=float, default=None)
     args = ap.parse_args()
     if not args.input and not args.drops:
         ap.error("one of --input / --drops is required")
@@ -65,6 +70,14 @@ def main() -> int:
     else:
         docs = spark.read.schema("doc_id BIGINT, text STRING").json(args.drops)
 
+    lm_reference = None
+    if args.ppl_tau is not None:
+        from pipeline_etl_ecommerce_spark.operators.sampling import deterministic_split
+
+        lm_reference = (
+            deterministic_split(docs, "doc_id").filter("split = 'train'").select("text")
+        )
+
     os.makedirs(args.marts, exist_ok=True)
     t0 = time.perf_counter()
     stats = ingest_batch(
@@ -77,6 +90,8 @@ def main() -> int:
         embeddings=embeddings,
         eval_vectors=eval_vectors,
         semantic_tau=args.semantic_tau,
+        ppl_tau=args.ppl_tau,
+        lm_reference=lm_reference,
     )
     run_id = record_run(spark, args.marts, stats)
     print(json.dumps({"run_id": run_id, "seconds": round(time.perf_counter() - t0, 2), **stats}))

@@ -191,3 +191,63 @@ def test_semantic_stage_is_skipped_without_embeddings(spark, tmp_path, batch1):
     s1 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
     assert "semantic_contaminated" not in s1
     assert not os.path.exists(f"{marts}/semantic_contaminated")
+
+
+def test_perplexity_gate_drops_disfluent_docs(spark, tmp_path):
+    """CCNet-style stage 5c: doc 11 is gibberish relative to the reference
+    LM (every trigram context unseen -> ppl == vocab size), doc 10 is
+    reference-like prose. With tau between the two scores the gate must
+    drop 11 from curated and every downstream mart, write the audit mart,
+    and stay idempotent on re-run."""
+    from pipeline_etl_ecommerce_spark.operators.lm import (
+        perplexity_scores,
+        train_char_trigram_lm,
+    )
+
+    marts = str(tmp_path / "marts")
+    reference = spark.createDataFrame(
+        [("the cat sat on the mat and the dog ran off",)], "text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, _good_text("thecat", n=35)), (11, _good_text("zqxj", n=35))],
+        "doc_id long, text string",
+    )
+    # derive tau from the actual scores so the test pins ORDER, not floats
+    scores = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity_scores(
+            batch, train_char_trigram_lm(reference, "text"), "text", "doc_id"
+        ).collect()
+    }
+    assert scores[11] > scores[10]
+    tau = (scores[10] + scores[11]) / 2
+    kw = dict(chunk_size=8, pack_budget=16, n_shards=2,
+              ppl_tau=tau, lm_reference=reference)
+    s1 = ingest_batch(spark, batch, marts, **kw)
+    assert s1["ppl_rejected"] == 1
+    rejected = spark.read.parquet(f"{marts}/ppl_rejected").collect()
+    assert [r.doc_id for r in rejected] == [11]
+    assert rejected[0].ppl == scores[11]
+    curated_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/curated").collect()}
+    assert curated_ids == {10}
+    seq_ids = {r.doc_id for r in spark.read.parquet(f"{marts}/sequences").collect()}
+    assert seq_ids == {10}
+    s2 = ingest_batch(spark, batch, marts, **kw)
+    assert s2 == s1
+
+
+def test_perplexity_gate_requires_both_params(spark, tmp_path, batch1):
+    with pytest.raises(ValueError, match="together"):
+        ingest_batch(spark, batch1, str(tmp_path / "m"), ppl_tau=5.0)
+    with pytest.raises(ValueError, match="together"):
+        ingest_batch(
+            spark, batch1, str(tmp_path / "m2"),
+            lm_reference=spark.createDataFrame([("x y z",)], "text string"),
+        )
+
+
+def test_perplexity_stage_skipped_without_tau(spark, tmp_path, batch1):
+    marts = str(tmp_path / "marts")
+    s1 = ingest_batch(spark, batch1, marts, chunk_size=8, pack_budget=16, n_shards=2)
+    assert "ppl_rejected" not in s1
+    assert not os.path.exists(f"{marts}/ppl_rejected")
