@@ -8331,6 +8331,58 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Native recursive CTE (NEW r4): Spark 4.1 executes WITH RECURSIVE
+# (UnionLoop) — probed: UNION ALL only (UNION-dedup raises
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, so cyclic-graph walks still belong
+# to the Pregel operators in operators/graph.py; the oracle-side BFS CTE
+# keeps its UNION dedup because DuckDB supports it). The demo domain is
+# therefore ACYCLIC by construction: the binary hierarchy parent = key DIV 2
+# over part, rolled up so every near-root ancestor aggregates its whole
+# descendant chain — n·log n recursion rows, no explosion.
+_RCTE_SQL = """
+WITH RECURSIVE anc(node, anc, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    UNION ALL
+    SELECT a.node, a.anc // 2, a.depth + 1 FROM anc a WHERE a.anc > 1
+)
+SELECT a.anc AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(MAX(a.depth) AS INTEGER) AS max_depth,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM anc a JOIN part p ON p.p_partkey = a.node
+WHERE a.anc < 32
+GROUP BY a.anc
+"""
+
+
+@register("recursive_hierarchy_rollup", _RCTE_SQL)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup through Spark 4.1's NATIVE WITH RECURSIVE: each
+    part climbs its ancestor chain (halving — ~log2(max key) iterations,
+    executed as UnionLoop), then every ancestor below 32 aggregates the
+    price mass and depth of its entire descendant subtree. The recursion
+    emits n·log n rows total, each level one co-partitioned self-join —
+    the shape a bill-of-materials / org-chart rollup has at scale."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__rc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM __rc_part
+            UNION ALL
+            SELECT a.node, a.anc DIV 2, a.depth + 1 FROM anc a WHERE a.anc > 1
+        )
+        SELECT a.anc AS ancestor,
+               CAST(COUNT(*) AS BIGINT) AS n_desc,
+               CAST(MAX(a.depth) AS INT) AS max_depth,
+               CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM anc a JOIN __rc_part p ON p.p_partkey = a.node
+        WHERE a.anc < 32
+        GROUP BY a.anc
+        """
+    )
+
+
 # Correlated LATERAL join surface: top-2 customers per nation expressed
 # the way a SQL user writes it (LATERAL ... ORDER BY ... LIMIT 2) rather
 # than the window-rank rewrite; Catalyst decorrelates it itself.
