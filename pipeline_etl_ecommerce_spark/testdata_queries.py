@@ -7552,6 +7552,80 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_streaming_rocksdb.py) importorskips on protobuf so it runs the
 # REAL two-trigger harness wherever the dependency exists; the GroupState
 # twin above keeps the T5 driver row green here.
+# Stream-STATIC join EXECUTED (NEW r4): the enrichment shape Structured
+# Streaming runs stateless — the static dim is joined INSIDE the streaming
+# DAG (broadcast, re-resolvable per micro-batch), unlike the foreachBatch
+# pipelines where the join happens batch-side. No watermark, no state
+# store: stream-static inner joins are stateless by construction, which is
+# why this is the default way to decorate a 100 TB event stream with dims.
+_STREAM_STATIC_SQL = """
+SELECT e.user_id, c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_id <= 20000
+GROUP BY e.user_id, c.c_mktsegment
+"""
+
+
+@register("streaming_static_enrichment", _STREAM_STATIC_SQL)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED stream-static enrichment: the event slice replays as two
+    real file triggers, each micro-batch broadcast-joins the STATIC
+    customer dim inside the streaming plan (stateless — no watermark or
+    state store), appends to parquet, and the read-back aggregate must
+    hash-match the batch join. The staging collect is the documented
+    <=20k-row harness bound shared by the other executed streams."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .streaming.runner import read_json_stream, stream_shuffle_partitions
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 20000).select(
+        "event_id", "user_id"
+    )
+    rows = ev.collect()
+
+    base = _tempfile.mkdtemp(prefix="stream_static_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1.json"), "w") as f1, open(
+            os.path.join(drops, "b2.json"), "w"
+        ) as f2:
+            for r in rows:
+                line = _json.dumps({"event_id": r.event_id, "user_id": r.user_id}) + "\n"
+                (f1 if r.event_id % 2 == 0 else f2).write(line)
+        schema = StructType.fromDDL("event_id bigint, user_id bigint")
+        stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id")
+        with stream_shuffle_partitions(spark, 8):
+            q = (
+                enriched.writeStream.format("parquet")
+                .option("path", target)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+        return (
+            spark.read.parquet(target)
+            .groupBy("user_id", "segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def _stage_click_purchase_drops(
     spark: SparkSession, sf_dir: str, base: str, *, max_id: int
 ) -> tuple[str, str, int]:
