@@ -7390,6 +7390,57 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+# XML source (NEW r4): Spark 4 ships the spark-xml reader built in —
+# the remaining file format this container can round-trip (CSV/JSON/ORC
+# done; Avro's jar is absent, NOTES r3). Read back with an EXPLICIT
+# schema: XML infers everything as string otherwise, and a silent
+# string-typed acctbal would still sum — the DECIMAL oracle hash is what
+# catches it.
+_XML_ROUNDTRIP_SQL = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("xml_source_roundtrip", _XML_ROUNDTRIP_SQL)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source EXECUTED: supplier round-trips through the native XML
+    format (rowTag elements) and is read back with a forced schema, then
+    aggregated; the oracle recomputes from the parquet original, so the
+    hash proves type and value fidelity across the text format. XML is a
+    landing-zone format (supplier feeds arrive as documents) — at scale
+    it is parsed ONCE at ingest into parquet, exactly this shape."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    s = _t(spark, sf_dir, "supplier")
+    base = _tempfile.mkdtemp(prefix="xml_rt_")
+    path = os.path.join(base, "supplier_xml")
+    try:
+        s.write.format("xml").option("rowTag", "supplier").save(path)
+        back = (
+            spark.read.format("xml")
+            .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+            .option("rowTag", "supplier")
+            .load(path)
+        )
+        return (
+            back.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 # ===========================================================================
 # Batch 26 (r2 cont.): Z-order (Morton) clustering key — the multi-dim
 # data-skipping layout (Delta OPTIMIZE ZORDER reduction). The key itself
