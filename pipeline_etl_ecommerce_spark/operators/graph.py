@@ -87,9 +87,12 @@ def bfs_distances(
     dst: str = "dst",
 ) -> DataFrame:
     """Level-synchronous BFS over an undirected edge list: hop distances
-    from the nodes in ``seed`` (a frame with one ``node`` column), capped
-    at ``max_depth``. Returns ``(node, dist)`` for every reached node,
-    seeds included at 0.
+    from the nodes in ``seed`` (a frame with one ``node`` column whose
+    rows are DISTINCT — duplicate seed rows would duplicate their dist-0
+    output rows), capped at ``max_depth``. Returns ``(node, dist)`` for
+    every reached node, seeds included at 0. Multi-seed frames compute
+    distance-from-nearest-seed (used by the disjoint-union property test
+    to solve many graphs in one job).
 
     The Pregel shape shared with :func:`pagerank_undirected`: each level
     is one equi-join of the frontier onto the edges plus an anti-join

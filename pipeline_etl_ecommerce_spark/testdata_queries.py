@@ -8037,26 +8037,36 @@ JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the support>=2 co-purchase edge list as a shared side table: at scale
+    # the graph IS a persisted artifact (rebuilt per corpus version, read by
+    # every graph consumer) — triangles and BFS both read it, the basket
+    # self-join runs once per (session, sf_dir)
+    def build() -> DataFrame:
+        items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+        b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("src", "dst")
+        )
+
+    return _side_table(spark, sf_dir, "copurchase_edges", build)
+
+
 @register("copurchase_triangles", _COPURCHASE_TRI_SQL)
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles of the support>=2 co-purchase graph via
     operators/graph.triangles (ordered wedge closure — see its docstring
     for the hub-degree bound and the degree-ordering optimization a
-    power-law 100 TB graph would add)."""
+    power-law 100 TB graph would add). Reads the shared edge mart."""
     from .operators.graph import triangles
 
-    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
-    return triangles(edges)
+    return triangles(_copurchase_edges(spark, sf_dir))
 
 
 # TPC-H Q12 shape (NEW r4): the last of the 22 classic shapes — conditional
@@ -8365,20 +8375,11 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-hop BFS distances from the smallest co-purchase node via
     operators/graph.bfs_distances — one frontier-join + settled anti-join
     per level, no driver node state (the per-level isEmpty probe is a
-    scalar read, the Pregel convention throughout operators/graph)."""
+    scalar read, the Pregel convention throughout operators/graph).
+    Reads the shared edge mart, like triangles."""
     from .operators.graph import bfs_distances
 
-    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     seed = edges.select(F.col("src").alias("u")).unionByName(
         edges.select(F.col("dst").alias("u"))
     ).agg(F.min("u").alias("node"))
@@ -8818,6 +8819,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
+            ("copurchase_edges", lambda: _copurchase_edges(spark, sf_dir)),
         ],
         [
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
