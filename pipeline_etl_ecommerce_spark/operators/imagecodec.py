@@ -196,6 +196,10 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
         raise DecodeError("ppm: non-positive dimensions")
     if maxval > 255:
         raise DecodeError("ppm: 16-bit samples not supported")
+    if maxval <= 0:
+        # same 0 < maxval validation decode_ppm performs — otherwise a
+        # maxval-0 input re-encodes to a P6 that decode_ppm itself rejects
+        raise DecodeError("ppm: maxval must be positive")
     n_bytes = src_w * src_h * 3
     if magic == b"P6":
         if off >= len(payload) or payload[off] not in b" \t\r\n":

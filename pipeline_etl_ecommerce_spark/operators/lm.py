@@ -86,7 +86,19 @@ def perplexity_scores(
     Plan: context totals and the vocab size derive FROM the model table
     (charset-bounded), so both joins and the cross join broadcast; the
     only shuffle is the per-doc aggregate.
+
+    An EMPTY model (training slice had no 3+-char docs) is rejected
+    eagerly: v_chars = 0 would make every denominator 0 and every score
+    NULL, and a NULL ppl silently DISABLES a downstream `ppl <= tau` gate
+    instead of failing it (ADVICE r4). The existence probe is cheap by
+    construction — the model mart is charset³-bounded.
     """
+    if not model.head(1):
+        raise ValueError(
+            "perplexity_scores: empty LM model (no trigram was observed in "
+            "the training slice) — every score would be NULL and a NULL ppl "
+            "silently passes a ppl-threshold gate; train on 3+-char text"
+        )
     ctx_tot = model.groupBy("ctx").agg(F.sum("n_tri").alias("n_ctx"))
     vocab = model.select("nxt").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("v_chars")

@@ -135,7 +135,11 @@ def reclaim_stale(
                 "reclaim_stale: naive datetime is ambiguous (session-tz-"
                 "dependent); pass a tz-aware datetime or epoch micros"
             )
-        now_us = int(now.timestamp() * 1_000_000)
+        # exact epoch micros: .timestamp() goes through a float64, which can
+        # be 1 µs off near the precision edge (ADVICE r4) — integer
+        # timedelta division never rounds
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        now_us = (now - epoch) // _dt.timedelta(microseconds=1)
     else:
         now_us = now
     if "tentativas" not in queue.columns:

@@ -1334,6 +1334,10 @@ def freq_items_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UDTF_CHUNKS_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  -- the UDTF's `if not text: return` guard, replayed: '' and NULL yield no
+  -- chunks.  len(words) > 0 would NOT replay it — string_split('', ' ')
+  -- is [''] (one empty word), which the UDTF never emits (ADVICE r4).
+  WHERE text IS NOT NULL AND text <> ''
 )
 SELECT doc_id,
        CAST(i.i AS INT) AS chunk_index,
@@ -1342,7 +1346,6 @@ SELECT doc_id,
 FROM w, LATERAL (
   SELECT unnest(generate_series(0, (len(words) - 1) // 8)) AS i
 ) i
-WHERE len(words) > 0
 """
 
 
@@ -8006,7 +8009,7 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     return (
-        li.withColumn("quartile", F.ntile(4).over(w))
+        li.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("l_returnflag", "quartile")
         .agg(
             F.count("*").alias("n_lines"),
@@ -8589,9 +8592,9 @@ WITH t AS (
 ),
 c AS (
     SELECT doc_id, lang, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS cum_tokens_before
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS cum_tokens_before
     FROM t
 )
 SELECT doc_id, lang, n_tokens, cum_tokens_before

@@ -30,6 +30,67 @@ from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+# --- oracle type-discipline gate -------------------------------------------
+# CORRECTNESS_r04's only red row was a TYPE bug: DuckDB widened a windowed
+# SUM(BIGINT)-BIGINT to HUGEINT (int128) and the driver's typed value-hash
+# diverged from Spark's int64 even though every value matched.  The pandas
+# comparison below collapses widths and cannot catch that class, so every
+# selfcheck run now also asserts exact type parity between the Spark result
+# schema and the DuckDB oracle's DESCRIBE output, per column.  Any DuckDB
+# type with no Spark equivalent (HUGEINT, DECIMAL, TIMESTAMP WITH TIME
+# ZONE, unsigned ints) fails outright.
+
+_DUCK_CANON = {
+    "BIGINT": "long",
+    "INTEGER": "int",
+    "SMALLINT": "short",
+    "TINYINT": "byte",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "BOOLEAN": "boolean",
+}
+
+_SPARK_CANON = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "short",
+    "tinyint": "byte",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "date": "date",
+    # DuckDB TIMESTAMP is tz-naive; both Spark timestamp flavors collapse
+    # to naive micros in the pandas/Arrow transfer the driver hashes
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "boolean": "boolean",
+}
+
+
+def type_parity_problems(spark_df, duck_describe_rows) -> list[str]:
+    """Exact width parity, Spark schema vs DuckDB DESCRIBE (col, type) rows."""
+    problems = []
+    duck_types = {r[0]: r[1] for r in duck_describe_rows}
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for col, dt in sorted(duck_types.items()):
+        canon_d = _DUCK_CANON.get(dt)
+        if canon_d is None:
+            problems.append(f"column {col}: oracle type {dt} has no Spark twin — CAST it")
+            continue
+        st = spark_types.get(col)
+        if st is None:
+            continue  # name mismatch is reported by the value compare
+        canon_s = _SPARK_CANON.get(st)
+        if canon_s is None:
+            problems.append(f"column {col}: spark type {st} not hash-comparable")
+        elif canon_s != canon_d:
+            problems.append(f"column {col}: type mismatch spark={st} oracle={dt}")
+    return problems
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -110,7 +171,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            sdf = sdf_spark.toPandas()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: spark error: {str(ex)[:300]}")
@@ -119,12 +181,14 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
+            describe_rows = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: duckdb error: {str(ex)[:300]}")
             continue
-        problems = compare(name, sdf, ddf)
+        problems = type_parity_problems(sdf_spark, describe_rows)
+        problems += compare(name, sdf, ddf)
         if problems:
             failures.append(name)
             print(f"[FAIL] {name}: rows={len(sdf)}")

@@ -62,6 +62,42 @@ def test_oracle_sql_mentions_only_known_tables():
         assert not unknown, f"{name}: unknown FROM targets {unknown}"
 
 
+def test_oracle_output_types_are_spark_mappable():
+    """CORRECTNESS_r04's only red row was DuckDB widening a windowed
+    SUM(BIGINT)-BIGINT to HUGEINT — values identical, typed hash diverged.
+    Gate the whole class: DESCRIBE every oracle against sf0.001 and reject
+    any column typed outside the set that maps 1:1 onto a Spark type
+    (HUGEINT, DECIMAL leaks, TIMESTAMP WITH TIME ZONE, unsigned ints all
+    fail here instead of as a driver hash mismatch a round later)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("sf0.001 testdata not present")
+
+    from pipeline_etl_ecommerce_spark.schemas import TESTDATA_TABLES
+
+    allowed = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+        "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+    }
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    bad = {}
+    for name, sql in tq.oracle_sql().items():
+        rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        offending = [(r[0], r[1]) for r in rows if r[1] not in allowed]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracles with un-mappable output types: {bad}"
+
+
 def test_coverage_doc_references_real_queries():
     # doc-rot guard: every query name COVERAGE.md cites in its driver-query
     # column must exist in the registered catalog

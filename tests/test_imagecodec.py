@@ -225,3 +225,12 @@ def test_resize_rejects_nonpositive_target():
         resize_ppm_nearest(src, 0, 3)
     with pytest.raises(ValueError, match="positive"):
         resize_ppm_nearest(src, 3, -1)
+
+
+def test_resize_rejects_nonpositive_maxval():
+    """ADVICE r4: resize previously accepted maxval == 0 and re-encoded a
+    P6 that decode_ppm itself rejects; it must apply decode_ppm's own
+    0 < maxval validation up front."""
+    bad = b"P6\n2 2\n0\n" + bytes(12)
+    with pytest.raises(DecodeError):
+        resize_ppm_nearest(bad, 1, 1)

@@ -566,3 +566,31 @@ def test_bfs_distances_min_dist_and_depth_cap(spark):
         for r in bfs_distances(edges, seed, max_depth=0).collect()
     }
     assert got0 == {1: 0}
+
+
+def test_udtf_oracle_replays_empty_text_guard(spark):
+    """ADVICE r4: the UDTF yields nothing for '' but DuckDB's
+    string_split('', ' ') is [''] — so a len(words)>0 oracle predicate
+    would emit one phantom row. The fixed oracle must agree with the UDTF
+    on '', NULL, and ordinary docs, row for row."""
+    import duckdb
+
+    from pipeline_etl_ecommerce_spark.operators.udtfs import register_udtfs
+    from pipeline_etl_ecommerce_spark.testdata_queries import _UDTF_CHUNKS_SQL
+
+    register_udtfs(spark)
+    docs = [(1, " ".join(f"w{i}" for i in range(20))), (2, "one two"), (3, ""), (4, None)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").createOrReplaceTempView(
+        "__udtf_oracle_docs"
+    )
+    got = {
+        (r["doc_id"], r["chunk_index"], r["chunk_text"], r["n_words"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM __udtf_oracle_docs d, LATERAL chunk_windows(d.text) c"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = set(map(tuple, con.execute(_UDTF_CHUNKS_SQL).fetchall()))
+    assert got == want and {d for d, *_ in want} == {1, 2}

@@ -95,3 +95,14 @@ def test_training_ignores_short_docs(spark):
     train = spark.createDataFrame([("ab",), ("",), ("abc",)], "text string")
     model = train_char_trigram_lm(train, "text")
     assert {(r["ctx"], r["nxt"]) for r in model.collect()} == {("ab", "c")}
+
+
+def test_empty_model_is_rejected(spark):
+    """ADVICE r4: an empty model (no 3+-char training doc) would give
+    v_chars = 0, a zero denominator, and all-NULL ppl — which silently
+    DISABLES a downstream ppl <= tau gate. Reject it eagerly instead."""
+    train = spark.createDataFrame([("ab",), ("",)], "text string")
+    model = train_char_trigram_lm(train, "text")
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty LM model"):
+        perplexity_scores(docs, model, "text", "doc_id")

@@ -261,3 +261,34 @@ def test_reclaim_stale_accepts_epoch_micros(spark):
     now_us = int(now.timestamp() * 1_000_000)
     row = reclaim_stale(queue, now=now_us, timeout_minutes=30).collect()[0]
     assert row["status"] == "pendente" and row["tentativas"] == 1
+
+
+def test_reclaim_stale_micros_are_float_exact(spark):
+    """ADVICE r4: int(now.timestamp() * 1e6) truncates through float64 and
+    can be 1 µs low (2038-02-11T03:25:45.000003Z really does truncate to
+    ...002). The cutoff must use exact integer epoch arithmetic: a claim
+    exactly 1 µs past the timeout is reclaimed, one exactly AT the
+    boundary is not — under the float path the first row is missed."""
+    from pipeline_etl_ecommerce_spark.plans.queues import reclaim_stale
+
+    now = dt.datetime(2038, 2, 11, 3, 25, 45, 3, tzinfo=dt.timezone.utc)
+    exact_us = (now - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) // dt.timedelta(
+        microseconds=1
+    )
+    assert int(now.timestamp() * 1_000_000) == exact_us - 1  # the trap is real
+    boundary = now - dt.timedelta(minutes=30)
+    just_past = boundary - dt.timedelta(microseconds=1)
+    queue = spark.createDataFrame(
+        [
+            (1, "MLB1", D, "processando", just_past),
+            (2, "MLB2", D, "processando", boundary),
+        ],
+        schemas.TAREFAS_PENDENTES_TRAFEGO,
+    )
+    out = {r["id"]: r["status"] for r in
+           reclaim_stale(queue, now=now, timeout_minutes=30).collect()}
+    assert out == {1: "pendente", 2: "processando"}
+    # and the datetime path agrees with the explicit epoch-micros path
+    out_int = {r["id"]: r["status"] for r in
+               reclaim_stale(queue, now=exact_us, timeout_minutes=30).collect()}
+    assert out_int == out
