@@ -8969,7 +8969,13 @@ def grouped_head_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-2 and last-2 docs per language by (n_chars, doc_id) — the
     total-order tiebreak (W7 invariant) keeps equal-length docs from
     straddling the cut differently per engine. In a tiny group a doc can
-    be both head and tail; both rows are emitted, tagged."""
+    be both head and tail; both rows are emitted, tagged.
+
+    Single-pass plan: the oracle's UNION ALL would re-scan and re-window
+    the table per branch in Spark (no CTE sharing across union arms), so
+    the row is instead tagged by exploding a filtered struct array — ONE
+    scan, ONE exchange, both row_numbers computed over the same lang
+    partitioning (two sorts share the shuffle)."""
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     wa = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     wd = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.desc("doc_id"))
@@ -8978,15 +8984,16 @@ def grouped_head_tail_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wa).cast("long").alias("ra"),
         F.row_number().over(wd).cast("long").alias("rd"),
     )
-    head = t.filter(F.col("ra") <= 2).select(
-        "lang", "doc_id", "n_chars", F.lit("head").alias("sample_end"),
-        F.col("ra").alias("rn"),
+    tags = F.filter(
+        F.array(
+            F.struct(F.lit("head").alias("sample_end"), F.col("ra").alias("rn")),
+            F.struct(F.lit("tail").alias("sample_end"), F.col("rd").alias("rn")),
+        ),
+        lambda s: s["rn"] <= 2,
     )
-    tail = t.filter(F.col("rd") <= 2).select(
-        "lang", "doc_id", "n_chars", F.lit("tail").alias("sample_end"),
-        F.col("rd").alias("rn"),
-    )
-    return head.unionAll(tail)
+    return t.select(
+        "lang", "doc_id", "n_chars", F.explode(tags).alias("s")
+    ).select("lang", "doc_id", "n_chars", "s.sample_end", "s.rn")
 
 
 # Cross-engine table fingerprint: the migration-validation op for "did the

@@ -13,6 +13,13 @@ Metrics per query (written to plan_audit.json):
 - codegen_spans: WholeStageCodegen regions (higher relative to operators
   means more of the plan is fused JVM code)
 
+Plan-shape regression gate (r4 verdict item 7): before overwriting
+plan_audit.json, the previous committed file (same sf_dir) is loaded as a
+baseline and the run FAILS on unexplained growth in any per-query counter
+that costs money at 100 TB — exchanges, python stages, nested-loop joins —
+or on a broadcast→sortmerge strategy flip. Intentional changes go in
+EXPLAINED_GROWTH with a reason; new queries are reported, not failed.
+
 Usage: python scripts/plan_audit.py [sf_dir]
 """
 
@@ -82,6 +89,47 @@ ALLOWED_PYTHON = {
 }
 
 
+# Per-query intentional plan-shape changes vs the committed baseline, with
+# the reason growth is acceptable. Clear entries once the new baseline is
+# committed (they only suppress the delta against the OLD file).
+EXPLAINED_GROWTH: dict[str, str] = {}
+
+
+def diff_against_baseline(
+    baseline: dict, results: dict[str, dict], failures: list[str]
+) -> None:
+    """Fail on unexplained per-query growth of the counters that cost money
+    at 100 TB; the performance analogue of the oracle hash gate."""
+    base_q = baseline.get("queries", {})
+    grown: list[str] = []
+    for name, m in results.items():
+        b = base_q.get(name)
+        if b is None or "error" in m or "error" in b:
+            continue
+        deltas = []
+        for k in ("exchanges", "python", "nested_loop"):
+            if m.get(k, 0) > b.get(k, 0):
+                deltas.append(f"{k} {b.get(k, 0)}->{m.get(k, 0)}")
+        if m.get("sortmerge_joins", 0) > b.get("sortmerge_joins", 0) and m.get(
+            "broadcast_joins", 0
+        ) < b.get("broadcast_joins", 0):
+            deltas.append(
+                f"broadcast->sortmerge flip ({b.get('broadcast_joins', 0)}bhj/"
+                f"{b.get('sortmerge_joins', 0)}smj -> {m.get('broadcast_joins', 0)}bhj/"
+                f"{m.get('sortmerge_joins', 0)}smj)"
+            )
+        if deltas:
+            msg = f"{name}: plan growth vs baseline: {', '.join(deltas)}"
+            if name in EXPLAINED_GROWTH:
+                print(f"  [explained] {msg} — {EXPLAINED_GROWTH[name]}")
+            else:
+                grown.append(msg)
+    failures.extend(grown)
+    new = [n for n in results if n not in base_q]
+    if new:
+        print(f"  new queries (no baseline): {len(new)}: {', '.join(sorted(new))}")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
@@ -112,6 +160,13 @@ def main() -> int:
             failures.append(f"{name}: unexpected nested-loop/cartesian join")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plan_audit.json")
+    if os.path.exists(out):
+        with open(out) as fh:
+            baseline = json.load(fh)
+        if baseline.get("sf_dir") == sf_dir:
+            diff_against_baseline(baseline, results, failures)
+        else:
+            print(f"  baseline sf_dir {baseline.get('sf_dir')} != {sf_dir}; diff skipped")
     with open(out, "w") as fh:
         json.dump({"sf_dir": sf_dir, "queries": results}, fh, indent=1, sort_keys=True)
 

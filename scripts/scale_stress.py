@@ -1,0 +1,172 @@
+"""Scale-stress demonstration (r4 verdict item 6): prove the plans that are
+"scale-safe by inspection" also BEHAVE under a 10× local data step.
+
+Synthesizes an sf1-class slice (10× sf0.1) into a temp dir — facts scale,
+dims stay fixed, exactly how a real corpus grows:
+
+- lineitem ×10: l_orderkey shifted per copy (10× lines per part — fact
+  growth against a fixed part dim);
+- orders   ×10: o_orderkey shifted (fixed customer dim);
+- documents ×10: doc_id shifted, copies 1..9 get a one-token suffix so
+  every original gains 9 NEAR-duplicates — the dedup chain has to find
+  them (a harsher workload than disjoint copies: candidate pairs grow
+  ~45× per identity group, the LSH/verify path must stay band-bounded).
+
+Then runs the two heaviest families at sf0.1 and at the synthetic sf1
+under IDENTICAL confs and reports wall seconds + shuffle-write bytes per
+query (from the Spark UI REST API — the same numbers the History Server
+would show on a cluster). The claim under test: wall and shuffle grow
+~linearly (≤ ~10-15× for 10× data; the near-dup verify legs may exceed
+that bound by design, since their PAIR workload grows superlinearly with
+duplication factor — that expansion is the documented candidate-pair
+semantics, not a plan defect).
+
+Usage: python scripts/scale_stress.py [--copies 10] [--keep]
+Appends nothing; prints a markdown table to paste into NOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF_SRC = "/root/testdata/sf0.1"
+KEY_OFFSET = 100_000_000
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[16]")
+        .appName("scale-stress")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "America/Sao_Paulo")
+        .getOrCreate()
+    )
+
+
+def synthesize(spark: SparkSession, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def shifted_union(name: str, key_cols: list[str], mutate=None):
+        src = spark.read.parquet(os.path.join(SF_SRC, f"{name}.parquet"))
+        parts = []
+        for i in range(copies):
+            c = src
+            for k in key_cols:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if mutate is not None:
+                c = mutate(c, i)
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    shifted_union("lineitem", ["l_orderkey"])
+    shifted_union("orders", ["o_orderkey"])
+
+    def near_dup(df, i):
+        if i == 0:
+            return df
+        return df.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}"))).withColumn(
+            "n_chars", F.length("text")
+        )
+
+    shifted_union("documents", ["doc_id"], mutate=near_dup)
+    # dims copied untouched
+    for dim in ("part", "supplier", "customer", "region", "nation"):
+        shutil.copyfile(
+            os.path.join(SF_SRC, f"{dim}.parquet"), os.path.join(out_dir, f"{dim}.parquet")
+        )
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    """Total shuffle-write bytes across completed stages, via the UI REST
+    API (same source as the History Server on a real cluster)."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def materialize(df) -> int:
+    """Run the full plan without driver-side collection; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod  # noqa: F401  (registers catalog)
+    from pipeline_etl_ecommerce_spark import testdata_queries as tq
+
+    sf1_dir = tempfile.mkdtemp(prefix="scale_sf1_")
+    t0 = time.perf_counter()
+    synthesize(spark, sf1_dir, args.copies)
+    print(f"synthesized {args.copies}x sf0.1 -> {sf1_dir} in {time.perf_counter()-t0:.1f}s")
+
+    queries = [
+        "flagship_consolidation",
+        "pricing_summary",
+        "minhash_candidate_pairs",
+        "near_dup_verified_pairs",
+        "exact_span_pairs_docs",
+    ]
+    rows = []
+    for name in queries:
+        fn = tq.QUERIES[name]
+        rec = {"query": name}
+        for label, sf_dir in (("sf0.1", SF_SRC), ("sf1", sf1_dir)):
+            sw0 = shuffle_write_bytes(spark)
+            t = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            wall = time.perf_counter() - t
+            sw1 = shuffle_write_bytes(spark)
+            rec[f"{label}_wall_s"] = round(wall, 2)
+            rec[f"{label}_shuffle_mb"] = (
+                round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 and sw1 >= 0 else None
+            )
+            print(f"  {name} @ {label}: {wall:.2f}s shuffleΔ={rec[f'{label}_shuffle_mb']}MB")
+        rec["wall_ratio"] = (
+            round(rec["sf1_wall_s"] / rec["sf0.1_wall_s"], 2) if rec["sf0.1_wall_s"] else None
+        )
+        rows.append(rec)
+
+    print("\n| query | sf0.1 wall s | sf1 wall s | ratio | sf0.1 shuffle MB | sf1 shuffle MB |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['sf0.1_wall_s']} | {r['sf1_wall_s']} | {r['wall_ratio']}x "
+            f"| {r['sf0.1_shuffle_mb']} | {r['sf1_shuffle_mb']} |"
+        )
+    if not args.keep:
+        shutil.rmtree(sf1_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
