@@ -38,13 +38,19 @@ def asof_join(
     payload_cols: Sequence[str],
     right_tiebreak: str,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of left join: for every left row, attach the
-    right row with the greatest ``right_ts <= left_ts`` for the same keys
-    (among right rows tied on ts, the one with the greatest
-    ``right_tiebreak`` wins — a total order keeps the result
-    deterministic). Left rows with no prior right row keep NULL payloads.
-    Payload columns appear as ``{prefix}{col}``."""
+    """Inclusive as-of left join. ``direction='backward'`` (default): for
+    every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` for the same keys (among right rows tied on ts,
+    the one with the greatest ``right_tiebreak`` wins — a total order keeps
+    the result deterministic). ``direction='forward'``: the right row with
+    the SMALLEST ``right_ts >= left_ts`` (ties: smallest tiebreak wins).
+    Left rows with no match keep NULL payloads. Payload columns appear as
+    ``{prefix}{col}``. Either direction is the same one-shuffle union+window
+    plan; only the frame and tie ordering flip."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join: direction must be 'backward' or 'forward'")
     keys = list(key_cols)
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
     r = right.select(
@@ -62,16 +68,30 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # Right rows sort before left rows at equal ts (backward-INCLUSIVE) and
-    # ascending __tie puts the winning tied right row nearest the probe.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__is_right").desc(), F.col("__tie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts (backward-INCLUSIVE)
+        # and ascending __tie puts the winning tied right row nearest the
+        # probe; last() over the preceding frame reads it.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__is_right").desc(), F.col("__tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        )
+    else:
+        # Left rows sort before right rows at equal ts (forward-INCLUSIVE:
+        # the frame starting at the probe still covers a right row at the
+        # same ts); ascending __tie puts the winning tied right row first.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__is_right"), F.col("__tie"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = unioned.withColumn(
+            "__match", F.first("__payload", ignorenulls=True).over(w)
+        )
     out = matched.filter(F.col("__is_right") == 0)
     for c in payload_cols:
         out = out.withColumn(prefix + c, F.col("__match." + c))

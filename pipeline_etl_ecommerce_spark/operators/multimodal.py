@@ -445,6 +445,93 @@ def sample_frame_stats(media: DataFrame, *, n_frames: int) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Real audio-decode stats path (the audio leg of the image/video/audio triad):
+# synthesize valid RIFF/WAVE PCM-16 payloads from a deterministic,
+# SQL-reproducible sample formula, then decode them with the REAL chunk-walk
+# parser in operators/audiocodec.py and emit exact-integer stats the DuckDB
+# oracle replays.
+# --------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_all", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sum_ch1", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("first_sample", LongType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+_AUDIO_COLS = [f.name for f in AUDIO_STATS_SCHEMA.fields]
+
+
+def synth_pcm(media_id: int) -> tuple[int, int, list[int]]:
+    """Deterministic interleaved PCM stream for ``media_id``: channels
+    ``1 + id%2``, frames ``12 + id%7``, sample rate ``8000 + (id%3)*4000``;
+    interleaved sample at linear index ``i`` is ``(id*37 + i*11) % 4096 -
+    2048``. Exactly replayable in SQL (generate_series + modular
+    arithmetic), so the decode is oracle-checkable."""
+    channels = 1 + media_id % 2
+    n_frames = 12 + media_id % 7
+    rate = 8000 + (media_id % 3) * 4000
+    samples = [(media_id * 37 + i * 11) % 4096 - 2048 for i in range(channels * n_frames)]
+    return rate, channels, samples
+
+
+def synthesize_wavs(media_ids: DataFrame) -> DataFrame:
+    """mapInPandas encode stage: one valid RIFF/WAVE payload per id (odd-sized
+    JUNK chunk ahead of ``fmt `` — the decode stage must genuinely walk the
+    chunk list, not read fixed offsets)."""
+    from .audiocodec import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                rate, channels, samples = synth_pcm(int(media_id))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "mime_type": "audio/wav",
+                        "payload": encode_wav(rate, channels, samples),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media_ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode stage over binary payloads: parses each WAV
+    with :func:`.audiocodec.decode_wav` (chunk walk, pad bytes, channel
+    de-interleave) and emits exact sample stats. Malformed payloads degrade
+    to a status row (dead-letter semantics, same policy as the image path)."""
+    from .audiocodec import DecodeError, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    stats = decode_wav(bytes(payload) if payload is not None else b"")
+                    stats["decode_status"] = "ok"
+                except (DecodeError, NotImplementedError) as e:
+                    stats = dict.fromkeys(_AUDIO_COLS[1:-1])
+                    stats["decode_status"] = f"error: {type(e).__name__}"
+                stats["media_id"] = media_id
+                rows.append(stats)
+            yield pd.DataFrame(rows, columns=_AUDIO_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for tests/benchmarks: treat document text bytes as an opaque
     payload so the multimodal path has real data to chew on."""

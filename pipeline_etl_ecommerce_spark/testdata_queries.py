@@ -756,6 +756,15 @@ _DRIVER_PRIORITY = [
     "salted_returnflag_totals",
     "embedding_norms",
     "multimodal_decode_stub",
+    # ---- NEW in the round-5 continuation session (hostile-verified at
+    # sf0.001+sf0.01; r6 window candidates).
+    "wav_decode_stats",
+    "peak_concurrent_orders",
+    "event_type_transitions",
+    "snapshot_table_diff",
+    "next_touch_after_purchase",
+    "time_weighted_avg_value",
+    "active_day_streaks",
 ]
 
 
@@ -9166,6 +9175,357 @@ def rocksdb_user_totals_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# ===========================================================================
+# Round-5 continuation: audio decode (the third real-media leg), sweep-line
+# interval analytics, snapshot reconciliation, Markov transitions, and the
+# forward direction of the as-of join.
+# ===========================================================================
+
+# REAL audio decode: synthesize valid RIFF/WAVE PCM-16 payloads (odd-sized
+# JUNK chunk ahead of fmt — the parser must walk chunks and honor pad bytes)
+# from the SQL-replayable sample formula in operators/multimodal.synth_pcm —
+# channels 1+id%2, frames 12+id%7, rate 8000+(id%3)*4000, interleaved sample
+# i = (id*37 + i*11) % 4096 - 2048 — then parse with the dependency-free
+# decoder in operators/audiocodec.py and hash exact sample stats against
+# this oracle. Interleave-sensitive: sum_ch0/sum_ch1 split by i % nch, so a
+# decoder that ignores the channel count fails stereo rows.
+_WAV_DECODE_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 1 + doc_id % 2 AS nch, 12 + doc_id % 7 AS nfr,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+),
+s AS (
+  SELECT doc_id, nch, nfr, sr, i.i AS i,
+         (doc_id * 37 + i.i * 11) % 4096 - 2048 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, nch * nfr - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(nch AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(nfr AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_all,
+       CAST(SUM(CASE WHEN i % nch = 0 THEN v END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN i % nch = 1 THEN v END) AS BIGINT) AS sum_ch1,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_sample,
+       'ok' AS decode_status
+FROM s
+GROUP BY doc_id, nch, nfr, sr
+"""
+
+
+@register("wav_decode_stats", _WAV_DECODE_SQL)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_audio_stats, synthesize_wavs
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return extract_audio_stats(synthesize_wavs(ids))
+
+
+# Sweep-line peak concurrency (operators/intervals.py): per priority class,
+# the maximum number of orders simultaneously inside their 7-day half-open
+# fulfillment window [orderdate, orderdate+7d), and when the peak begins.
+# Two boundary rows per interval, per-ts delta collapse (deterministic
+# running sum; ends netting starts at the same instant = half-open), one
+# hash partitioning shared by every pass — never the O(n²)-per-key
+# self-join overlap test. Epochs are timezone-free microseconds on both
+# engines (timestampdiff from the NTZ epoch == DuckDB epoch_us on naive ts).
+_US_PER_WEEK = 7 * 86_400_000_000
+
+_PEAK_CONCURRENCY_SQL = f"""
+WITH iv AS (
+  SELECT o_orderpriority, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + {_US_PER_WEEK} AS e
+  FROM orders
+),
+d AS (
+  SELECT o_orderpriority, s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT o_orderpriority, e, -1 FROM iv
+),
+pt AS (SELECT o_orderpriority, ts, SUM(delta) AS delta FROM d GROUP BY 1, 2),
+r AS (
+  SELECT o_orderpriority, ts,
+         SUM(delta) OVER (PARTITION BY o_orderpriority ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_count
+  FROM pt
+),
+p AS (
+  SELECT o_orderpriority, ts, open_count,
+         MAX(open_count) OVER (PARTITION BY o_orderpriority) AS peak
+  FROM r
+)
+SELECT o_orderpriority, CAST(peak AS BIGINT) AS peak_open,
+       CAST(MIN(ts) AS BIGINT) AS peak_start
+FROM p WHERE open_count = peak
+GROUP BY 1, 2
+"""
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+@register("peak_concurrent_orders", _PEAK_CONCURRENCY_SQL)
+def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.intervals import peak_concurrency
+
+    od_us = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, o_orderdate)")
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        od_us.alias("s"),
+        (od_us + F.lit(_US_PER_WEEK)).alias("e"),
+    )
+    out = peak_concurrency(iv, ["o_orderpriority"], "s", "e")
+    return out.select(
+        "o_orderpriority",
+        F.col("peak_open").cast("long").alias("peak_open"),
+        F.col("peak_start").cast("long").alias("peak_start"),
+    )
+
+
+# Markov next-event transition matrix: lag() per user in event-time order
+# (event_id tiebreak = total order), then (prev, next) counts and the
+# row-normalized transition probability — the sequence-model feature a
+# behavioral pipeline derives before training. One shuffle for the lag
+# window, one for the pair aggregation; probability is an exact-int ratio
+# rounded at 6dp on both engines.
+_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+f AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type,
+         event_type AS next_type
+  FROM e
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM f WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_type_transitions", _TRANSITIONS_SQL)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tus"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    f = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = f.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    return counts.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(Window.partitionBy("prev_type")),
+            6,
+        ),
+    )
+
+
+# Snapshot reconciliation (operators/diff.py): row-level diff of a simulated
+# next-day part snapshot against today's — keys divisible by 53 deleted,
+# retail price +100.0 where divisible by 7, keys divisible by 101 re-added
+# shifted by 1e6 (new rows). ONE full-outer shuffle join, null-safe
+# comparison; emits only the changed keys (small even when the inputs are
+# not). The cheap "did anything change?" twin is table_checksum_by_day.
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT p_partkey, p_retailprice FROM part),
+new AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 100.0
+              ELSE p_retailprice END AS p_retailprice
+  FROM part WHERE p_partkey % 53 <> 0
+  UNION ALL
+  SELECT p_partkey + 1000000, p_retailprice FROM part WHERE p_partkey % 101 = 0
+)
+SELECT COALESCE(o.p_partkey, n.p_partkey) AS p_partkey,
+       CASE WHEN o.p_partkey IS NULL THEN 'added'
+            WHEN n.p_partkey IS NULL THEN 'removed'
+            WHEN o.p_retailprice IS DISTINCT FROM n.p_retailprice THEN 'changed'
+       END AS change_type,
+       o.p_retailprice AS old_p_retailprice,
+       n.p_retailprice AS new_p_retailprice
+FROM old o FULL JOIN new n ON o.p_partkey = n.p_partkey
+WHERE o.p_partkey IS NULL OR n.p_partkey IS NULL
+   OR o.p_retailprice IS DISTINCT FROM n.p_retailprice
+"""
+
+
+@register("snapshot_table_diff", _SNAPSHOT_DIFF_SQL)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diff import snapshot_diff
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    new = (
+        p.filter(F.col("p_partkey") % 53 != 0)
+        .withColumn(
+            "p_retailprice",
+            F.when(F.col("p_partkey") % 7 == 0, F.col("p_retailprice") + F.lit(100.0))
+            .otherwise(F.col("p_retailprice")),
+        )
+        .unionByName(
+            p.filter(F.col("p_partkey") % 101 == 0).select(
+                (F.col("p_partkey") + F.lit(1000000)).alias("p_partkey"),
+                "p_retailprice",
+            )
+        )
+    )
+    return snapshot_diff(p, new, ["p_partkey"], ["p_retailprice"])
+
+
+# Forward as-of join (direction='forward' of operators/asof.asof_join —
+# same one-shuffle union+window plan, flipped frame): for every purchase,
+# the FIRST click/view at or after it = time-to-next-touch, the conversion
+# twin of last_touch_attribution. Oracle: DuckDB native ASOF with the
+# reversed inequality; the oracle pre-dedupes right rows tied on (user, ts)
+# to the smallest event_id because native ASOF has no tiebreak, which is
+# exactly the tie our ascending-__tie ordering selects.
+_NEXT_TOUCH_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tns FROM events),
+p AS (SELECT event_id, user_id, tns FROM e WHERE event_type = 'purchase'),
+t AS (
+    SELECT user_id, tns, event_id, event_type
+    FROM e WHERE event_type IN ('click', 'view')
+    QUALIFY row_number() OVER (PARTITION BY user_id, tns ORDER BY event_id) = 1
+)
+SELECT p.event_id, p.user_id, p.tns AS purchase_ts,
+       t.event_id AS touch_event_id, t.event_type AS touch_type,
+       t.tns AS touch_ts, t.tns - p.tns AS us_to_touch
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tns <= t.tns
+"""
+
+
+@register("next_touch_after_purchase", _NEXT_TOUCH_SQL)
+def next_touch_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    ts_us = F.expr("ts DIV 1000")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("purchase_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        ts_us.alias("touch_ts_src"),
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("touch_ts"),
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        ["user_id"],
+        "purchase_ts",
+        "touch_ts_src",
+        payload_cols=["touch_event_id", "touch_type", "touch_ts"],
+        right_tiebreak="touch_event_id",
+        prefix="",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts", "touch_event_id", "touch_type",
+        "touch_ts", (F.col("touch_ts") - F.col("purchase_ts")).alias("us_to_touch"),
+    )
+
+
+# Time-weighted average (TWAP): each event's value holds until the user's
+# next event; the average weights each value by its holding duration — the
+# feature-store aggregation for irregularly sampled series (a plain AVG
+# over-weights bursts). One lead() window and one aggregation on the same
+# user_id partitioning. The value×duration products sum in DECIMAL on both
+# engines (double summation is order-dependent across 32 partitions; the
+# repo-wide money-sum rule applied to weights), then ONE double division.
+_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+),
+d AS (
+  SELECT user_id, value, tus,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS next_tus
+  FROM e
+),
+w AS (
+  SELECT user_id,
+         SUM(CAST(value AS DECIMAL(20,6)) * CAST(next_tus - tus AS DECIMAL(18,0))) AS vw,
+         SUM(next_tus - tus) AS span
+  FROM d WHERE next_tus IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(span AS BIGINT) AS span_us,
+       ROUND(CAST(vw AS DOUBLE) / CAST(span AS DOUBLE), 6) AS twap_value
+FROM w WHERE span > 0
+"""
+
+
+@register("time_weighted_avg_value", _TWAP_SQL)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tus"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    d = e.withColumn("next_tus", F.lead("tus").over(w)).filter(
+        F.col("next_tus").isNotNull()
+    )
+    dur = F.col("next_tus") - F.col("tus")
+    agg = d.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(20,6)") * dur.cast("decimal(18,0)")).alias("vw"),
+        F.sum(dur).alias("span"),
+    )
+    return agg.filter(F.col("span") > 0).select(
+        "user_id",
+        F.col("span").cast("long").alias("span_us"),
+        F.round(F.col("vw").cast("double") / F.col("span").cast("double"), 6).alias("twap_value"),
+    )
+
+
+# Gaps-and-islands: consecutive-active-day streaks per user via the
+# row_number-difference trick (day - rn is constant within a run of
+# consecutive days), then per-user longest streak, streak count, and the
+# earliest start of a longest streak (explicit MIN over the peak rows —
+# max_by would be tie-nondeterministic). All passes share the user_id
+# partitioning; day grain is the repo's tz-free epoch-derived date.
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+r AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days
+),
+s AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start_day FROM r GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, len, start_day, MAX(len) OVER (PARTITION BY user_id) AS peak FROM s
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       COUNT(*) AS n_streaks,
+       MIN(CASE WHEN len = peak THEN start_day END) AS longest_start
+FROM p GROUP BY user_id
+"""
+
+
+@register("active_day_streaks", _STREAKS_SQL)
+def active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = _events(spark, sf_dir).select("user_id", F.col("event_date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    r = days.withColumn("grp", F.date_sub(F.col("d"), rn.cast("int")))
+    s = r.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_day")
+    )
+    p = s.withColumn("peak", F.max("len").over(Window.partitionBy("user_id")))
+    return p.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.min(F.when(F.col("len") == F.col("peak"), F.col("start_day"))).alias("longest_start"),
+    )
 
 
 # ---------------------------------------------------------------------------

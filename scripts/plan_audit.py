@@ -82,6 +82,7 @@ ALLOWED_PYTHON = {
     "bmp_decode_stats",   # REAL decode (bottom-up padded BGR parse)
     "ppm_resize_stats",   # REAL nearest-neighbor resample + decode of result
     "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
+    "wav_decode_stats",   # REAL RIFF/WAVE chunk-walk decode (audio leg)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
