@@ -39,6 +39,7 @@ def asof_join(
     right_tiebreak: str,
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Inclusive as-of left join. ``direction='backward'`` (default): for
     every left row, attach the right row with the greatest
@@ -48,11 +49,22 @@ def asof_join(
     the SMALLEST ``right_ts >= left_ts`` (ties: smallest tiebreak wins).
     Left rows with no match keep NULL payloads. Payload columns appear as
     ``{prefix}{col}``. Either direction is the same one-shuffle union+window
-    plan; only the frame and tie ordering flip."""
+    plan; only the frame and tie ordering flip.
+
+    ``tolerance`` (same units as the ts columns) is the feature-store
+    max-staleness contract: a match further than ``tolerance`` from the
+    probe is discarded (NULL payloads), so a point-in-time lookup never
+    serves arbitrarily stale state. Applied AFTER the window pass — a
+    map-side filter, no plan change."""
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join: direction must be 'backward' or 'forward'")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("asof_join: tolerance must be >= 0")
     keys = list(key_cols)
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
+    # the match's own ts rides inside the struct so staleness is computable
+    payload = F.struct(
+        F.col(right_ts).alias("__mts"), *[F.col(c) for c in payload_cols]
+    ).alias("__payload")
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
@@ -93,6 +105,15 @@ def asof_join(
             "__match", F.first("__payload", ignorenulls=True).over(w)
         )
     out = matched.filter(F.col("__is_right") == 0)
+    if tolerance is not None:
+        staleness = (
+            F.col("__ts") - F.col("__match.__mts")
+            if direction == "backward"
+            else F.col("__match.__mts") - F.col("__ts")
+        )
+        out = out.withColumn(
+            "__match", F.when(staleness <= F.lit(tolerance), F.col("__match"))
+        )
     for c in payload_cols:
         out = out.withColumn(prefix + c, F.col("__match." + c))
     return out.drop("__ts", "__is_right", "__tie", "__payload", "__match")

@@ -765,6 +765,7 @@ _DRIVER_PRIORITY = [
     "next_touch_after_purchase",
     "time_weighted_avg_value",
     "active_day_streaks",
+    "last_touch_within_hour",
 ]
 
 
@@ -9430,6 +9431,66 @@ def next_touch_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_ts", "touch_event_id", "touch_type",
         "touch_ts", (F.col("touch_ts") - F.col("purchase_ts")).alias("us_to_touch"),
+    )
+
+
+# Tolerance-bounded as-of join: the feature-store max-staleness contract —
+# the most recent touch BEFORE each purchase counts only if it is at most
+# one hour old; staler matches are discarded (NULL payloads), because a
+# point-in-time feature lookup must never serve arbitrarily old state.
+# Same one-shuffle union+window plan; the staleness cut is a map-side
+# filter after the window (asof_join(tolerance=...)). Oracle: native ASOF
+# with a CASE over the gap (NULL-safe: an unmatched probe's gap is NULL).
+_TOLERANT_TOUCH_SQL = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tns FROM events),
+p AS (SELECT event_id, user_id, tns FROM e WHERE event_type = 'purchase'),
+t AS (
+    SELECT user_id, tns, event_id, event_type
+    FROM e WHERE event_type IN ('click', 'view')
+    QUALIFY row_number() OVER (PARTITION BY user_id, tns ORDER BY event_id DESC) = 1
+),
+sel AS (
+  SELECT p.event_id, p.user_id, p.tns AS purchase_ts,
+         t.event_id AS tid, t.event_type AS ttype, t.tns AS tts
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tns >= t.tns
+)
+SELECT event_id, user_id, purchase_ts,
+       CASE WHEN purchase_ts - tts <= {_HOUR_US} THEN tid END AS touch_event_id,
+       CASE WHEN purchase_ts - tts <= {_HOUR_US} THEN ttype END AS touch_type,
+       CASE WHEN purchase_ts - tts <= {_HOUR_US} THEN tts END AS touch_ts,
+       CASE WHEN purchase_ts - tts <= {_HOUR_US} THEN purchase_ts - tts END AS us_since_touch
+FROM sel
+"""
+
+
+@register("last_touch_within_hour", _TOLERANT_TOUCH_SQL)
+def last_touch_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    ts_us = F.expr("ts DIV 1000")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("purchase_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        ts_us.alias("touch_ts_src"),
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        ts_us.alias("touch_ts"),
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        ["user_id"],
+        "purchase_ts",
+        "touch_ts_src",
+        payload_cols=["touch_event_id", "touch_type", "touch_ts"],
+        right_tiebreak="touch_event_id",
+        prefix="",
+        tolerance=_HOUR_US,
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts", "touch_event_id", "touch_type",
+        "touch_ts", (F.col("purchase_ts") - F.col("touch_ts")).alias("us_since_touch"),
     )
 
 

@@ -240,6 +240,69 @@ def test_active_day_streaks_matches_brute_force(spark):
     assert got == expect
 
 
+def test_asof_tolerance_discards_stale_matches(spark):
+    """Backward as-of with tolerance == feature-store max staleness: a match
+    older than the bound is nulled; a match exactly AT the bound survives."""
+    l = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 1, 300)], "lid bigint, k bigint, lts bigint"
+    )
+    r = spark.createDataFrame([(9, 1, 90)], "rid bigint, k bigint, rts bigint")
+    got = {
+        row.lid: row.asof_rid
+        for row in asof_join(
+            l, r, ["k"], "lts", "rts",
+            payload_cols=["rid"], right_tiebreak="rid", tolerance=110,
+        ).collect()
+    }
+    # staleness: 10 (ok), 110 (== bound, inclusive), 210 (stale -> NULL)
+    assert got == {1: 9, 2: 9, 3: None}
+
+
+def test_asof_tolerance_matches_naive_scan_both_directions(spark):
+    rng = random.Random(565)
+    left = [(i, rng.randrange(4), rng.randrange(0, 60)) for i in range(60)]
+    right = [(i, rng.randrange(4), rng.randrange(0, 60)) for i in range(50)]
+    l = spark.createDataFrame(left, "lid bigint, k bigint, lts bigint")
+    r = spark.createDataFrame(right, "rid bigint, k bigint, rts bigint")
+    tol = 7
+    for direction in ("backward", "forward"):
+        got = {
+            row.lid: row.asof_rid
+            for row in asof_join(
+                l, r, ["k"], "lts", "rts",
+                payload_cols=["rid"], right_tiebreak="rid",
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        expect = {}
+        for lid, k, lts in left:
+            if direction == "backward":
+                cands = [
+                    (-rts, -rid)
+                    for rid, rk, rts in right
+                    if rk == k and 0 <= lts - rts <= tol
+                ]
+                expect[lid] = -min(cands)[1] if cands else None
+            else:
+                cands = [
+                    (rts, rid)
+                    for rid, rk, rts in right
+                    if rk == k and 0 <= rts - lts <= tol
+                ]
+                expect[lid] = min(cands)[1] if cands else None
+        assert got == expect, direction
+
+
+def test_asof_rejects_negative_tolerance(spark):
+    import pytest
+
+    l = spark.createDataFrame([(1, 1)], "k bigint, lts bigint")
+    r = spark.createDataFrame([(1, 1, 1)], "k bigint, rts bigint, v bigint")
+    with pytest.raises(ValueError):
+        asof_join(l, r, ["k"], "lts", "rts", payload_cols=["v"],
+                  right_tiebreak="v", tolerance=-1)
+
+
 def test_forward_asof_is_single_shuffle_no_join(spark):
     l = spark.createDataFrame([(1, 1)], "k bigint, lts bigint")
     r = spark.createDataFrame([(1, 1, 1)], "k bigint, rts bigint, v bigint")
