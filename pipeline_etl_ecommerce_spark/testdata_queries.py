@@ -766,6 +766,7 @@ _DRIVER_PRIORITY = [
     "time_weighted_avg_value",
     "active_day_streaks",
     "last_touch_within_hour",
+    "try_divide_return_rate",
 ]
 
 
@@ -9491,6 +9492,46 @@ def last_touch_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_ts", "touch_event_id", "touch_type",
         "touch_ts", (F.col("purchase_ts") - F.col("touch_ts")).alias("us_since_touch"),
+    )
+
+
+# ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where x/0 is a
+# runtime ERROR mid-job — try_divide is the production idiom for ratios
+# whose denominator can legitimately be zero (here: discount per returned
+# unit for parts that may have NO returns). NULL-on-zero, not a crash and
+# not a sentinel. DECIMAL sums per the money rule; oracle encodes the same
+# semantics with an explicit zero guard.
+_TRY_DIVIDE_SQL = """
+WITH agg AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS discount_amt,
+         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS returned_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(returned_qty AS BIGINT) AS returned_qty,
+       CASE WHEN returned_qty = 0 THEN NULL
+            ELSE ROUND(CAST(discount_amt AS DOUBLE) / returned_qty, 6) END AS discount_per_returned_unit
+FROM agg
+"""
+
+
+@register("try_divide_return_rate", _TRY_DIVIDE_SQL)
+def try_divide_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")).alias(
+            "discount_amt"
+        ),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")).otherwise(0)
+        ).alias("returned_qty"),
+    )
+    return agg.select(
+        "l_partkey",
+        F.col("returned_qty").cast("long").alias("returned_qty"),
+        F.round(
+            F.try_divide(F.col("discount_amt").cast("double"), F.col("returned_qty")), 6
+        ).alias("discount_per_returned_unit"),
     )
 
 

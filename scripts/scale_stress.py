@@ -87,6 +87,11 @@ def synthesize(spark: SparkSession, out_dir: str, copies: int) -> None:
         )
 
     shifted_union("documents", ["doc_id"], mutate=near_dup)
+    # events ×copies: event_id AND user_id shifted — per-user series depth
+    # stays constant while user cardinality grows 10×, which is how event
+    # volume actually scales; the window/as-of/sweep-line family must show
+    # flat-per-key cost under 10× keys.
+    shifted_union("events", ["event_id", "user_id"])
     # dims copied untouched
     for dim in ("part", "supplier", "customer", "region", "nation"):
         shutil.copyfile(
@@ -117,6 +122,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "queries",
+        nargs="*",
+        help="catalog query names to stress (default: the two heaviest families)",
+    )
     args = ap.parse_args()
 
     spark = build_session()
@@ -129,7 +139,7 @@ def main() -> int:
     synthesize(spark, sf1_dir, args.copies)
     print(f"synthesized {args.copies}x sf0.1 -> {sf1_dir} in {time.perf_counter()-t0:.1f}s")
 
-    queries = [
+    queries = args.queries or [
         "flagship_consolidation",
         "pricing_summary",
         "minhash_candidate_pairs",
