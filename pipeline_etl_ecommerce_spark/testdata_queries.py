@@ -767,6 +767,8 @@ _DRIVER_PRIORITY = [
     "active_day_streaks",
     "last_touch_within_hour",
     "try_divide_return_rate",
+    "hll_sketch_union_distinct",
+    "bitmap_exact_distinct_users",
 ]
 
 
@@ -9532,6 +9534,67 @@ def try_divide_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.col("discount_amt").cast("double"), F.col("returned_qty")), 6
         ).alias("discount_per_returned_unit"),
+    )
+
+
+# Re-aggregable distinct counting, the 100 TB mart pattern that plain
+# approx_count_distinct cannot give you: per-day Apache DataSketches HLL
+# sketches (hll_sketch_agg, a persistable BINARY column) merged across the
+# partition key with hll_union_agg — distinct-users-per-type from daily
+# mart rows without rescanning the facts. Contract: tolerance-banded
+# boolean beside the exact count (the sketch estimate itself is
+# implementation-defined, so it stays out of the hash; same contract as
+# approx_distinct_events).
+_HLL_UNION_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS in_band
+FROM events GROUP BY event_type
+"""
+
+
+@register("hll_sketch_union_distinct", _HLL_UNION_SQL)
+def hll_sketch_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("event_type", "event_date", "user_id")
+    daily = e.groupBy("event_type", "event_date").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= F.lit(0.05)
+        ).alias("in_band"),
+    )
+
+
+# EXACT re-aggregable distinct via bitmaps (Spark 3.5 bitmap functions):
+# two-level shape — bitmap_construct_agg per (group, 32k-bit bucket), then
+# bitmap_count + SUM per group. Unlike the HLL tier this is exact, so the
+# oracle is a strict COUNT(DISTINCT); unlike COUNT(DISTINCT) the per-bucket
+# bitmaps are persistable/OR-mergeable mart rows (dense ids make the
+# bucket space compact — user_id here). The partial aggregation combines
+# map-side; no row explosion.
+_BITMAP_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("bitmap_exact_distinct_users", _BITMAP_DISTINCT_SQL)
+def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    per_bucket = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").alias(
+            "cnt"
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_users")
     )
 
 
