@@ -93,16 +93,23 @@ def asof_join(
             "__match", F.last("__payload", ignorenulls=True).over(w)
         )
     else:
-        # Left rows sort before right rows at equal ts (forward-INCLUSIVE:
-        # the frame starting at the probe still covers a right row at the
-        # same ts); ascending __tie puts the winning tied right row first.
+        # Forward = backward over the MIRRORED ordering: descending ts puts
+        # every right row with rts >= lts before the probe (right rows first
+        # at equal ts = forward-INCLUSIVE; descending __tie makes the
+        # smallest tied tiebreak the last seen, i.e. the winner), and
+        # last() over the preceding frame reads the nearest one. Expressed
+        # this way BOTH directions use the incremental Running frame —
+        # a (currentRow, unboundedFollowing) frame with first() computes
+        # the same result but Spark evaluates that frame shape
+        # non-incrementally (re-scans per row; 10x-scale stress showed
+        # 5.7x wall where the mirrored form tracks the backward leg).
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__is_right"), F.col("__tie"))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__is_right").desc(), F.col("__tie").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = unioned.withColumn(
-            "__match", F.first("__payload", ignorenulls=True).over(w)
+            "__match", F.last("__payload", ignorenulls=True).over(w)
         )
     out = matched.filter(F.col("__is_right") == 0)
     if tolerance is not None:

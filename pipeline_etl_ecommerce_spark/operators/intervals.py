@@ -5,7 +5,7 @@ start?" is the classic interval-overlap question. The reference has no
 interval operator (its joins are equi-joins, SURVEY.md §2.3); this is part
 of the event-analytics extension surface alongside ``operators/asof.py``.
 
-Scale design — the textbook O(n log n) sweep, expressed as three window/agg
+Scale design — the textbook O(n log n) sweep, expressed as window/agg
 passes that all share ONE hash partitioning on the group key:
 
 1. melt each interval into (+1 at start, -1 at end) boundary deltas;
@@ -20,6 +20,16 @@ passes that all share ONE hash partitioning on the group key:
 Never expands rows (2 boundary rows per interval), never compares interval
 pairs — a naive self-join overlap test is O(n²) per key and unusable at
 100 TB.
+
+**Parallel prefix scan** (``n_time_buckets``): a plain running sum is one
+window task PER GROUP — fine for thousands of groups, a single-task
+bottleneck when one group holds billions of boundaries. The decomposition
+is the classic two-level scan: split each group's timeline into coarse
+cells, run the running sum LOCALLY per (group, cell) — parallelism =
+groups × cells — then compute each cell's starting offset with a second
+window over the per-cell TOTALS (groups × cells rows, trivially small) and
+add it back. Prefix sums are associative, so the result is identical to
+the single-window plan; only the task graph changes.
 """
 
 from __future__ import annotations
@@ -35,11 +45,17 @@ def peak_concurrency(
     group_cols: Sequence[str],
     start_col: str | Column,
     end_col: str | Column,
+    *,
+    n_time_buckets: int | None = None,
 ) -> DataFrame:
     """Per group: the maximum number of simultaneously open half-open
     ``[start, end)`` intervals, and the earliest timestamp at which that
-    peak is reached. Start/end columns must be orderable and identically
-    typed (epoch integers recommended — exact, timezone-free)."""
+    peak is reached. Start/end columns must be integral epochs (exact,
+    timezone-free, and bucketable).
+
+    ``n_time_buckets``: optional parallel-scan decomposition — use when a
+    single group's boundary count outgrows one window task (see module
+    docstring). Results are identical either way."""
     keys = list(group_cols)
     start = F.col(start_col) if isinstance(start_col, str) else start_col
     end = F.col(end_col) if isinstance(end_col, str) else end_col
@@ -47,12 +63,57 @@ def peak_concurrency(
         df.select(*keys, end.alias("__ts"), F.lit(-1).alias("__d"))
     )
     per_ts = deltas.groupBy(*keys, "__ts").agg(F.sum("__d").alias("__d"))
-    w_run = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    curve = per_ts.withColumn("open_count", F.sum("__d").over(w_run))
+
+    if n_time_buckets is None:
+        w_run = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        curve = per_ts.withColumn("open_count", F.sum("__d").over(w_run))
+    else:
+        if n_time_buckets < 1:
+            raise ValueError("peak_concurrency: n_time_buckets must be >= 1")
+        # cell width from the global ts range: one tiny agg, broadcast back.
+        bounds = per_ts.agg(
+            F.min("__ts").alias("__lo"),
+            (
+                F.greatest(
+                    (F.max("__ts") - F.min("__ts") + 1)
+                    / F.lit(int(n_time_buckets)),
+                    F.lit(1),
+                )
+            )
+            .cast("long")
+            .alias("__w"),
+        )
+        cells = per_ts.crossJoin(F.broadcast(bounds)).withColumn(
+            "__cell", ((F.col("__ts") - F.col("__lo")) / F.col("__w")).cast("long")
+        )
+        # level 1: local running sum per (group, cell) — groups×cells tasks
+        w_local = (
+            Window.partitionBy(*keys, "__cell")
+            .orderBy("__ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = cells.withColumn("__run_local", F.sum("__d").over(w_local))
+        # level 2: each cell's starting offset = prefix sum of PRIOR cells'
+        # totals — a window over groups×cells rows, trivially small
+        cell_tot = local.groupBy(*keys, "__cell").agg(F.sum("__d").alias("__tot"))
+        w_cells = (
+            Window.partitionBy(*keys)
+            .orderBy("__cell")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = cell_tot.withColumn(
+            "__off", F.coalesce(F.sum("__tot").over(w_cells), F.lit(0))
+        ).select(*keys, "__cell", "__off")
+        curve = (
+            local.join(offsets, [*keys, "__cell"])
+            .withColumn("open_count", F.col("__run_local") + F.col("__off"))
+            .drop("__cell", "__lo", "__w", "__run_local", "__off")
+        )
+
     peak = curve.withColumn("peak_open", F.max("open_count").over(Window.partitionBy(*keys)))
     return (
         peak.filter(F.col("open_count") == F.col("peak_open"))

@@ -9282,7 +9282,10 @@ def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         od_us.alias("s"),
         (od_us + F.lit(_US_PER_WEEK)).alias("e"),
     )
-    out = peak_concurrency(iv, ["o_orderpriority"], "s", "e")
+    # 16 time cells: 5 priority groups alone would cap the running-sum
+    # parallelism at 5 tasks; the two-level scan runs 5×16 local scans plus
+    # one trivial 80-row offset window (identical result — scans associate).
+    out = peak_concurrency(iv, ["o_orderpriority"], "s", "e", n_time_buckets=16)
     return out.select(
         "o_orderpriority",
         F.col("peak_open").cast("long").alias("peak_open"),

@@ -45,6 +45,40 @@ def test_peak_concurrency_matches_brute_force(spark):
     assert got == expect
 
 
+def test_peak_concurrency_bucketed_scan_equals_single_window(spark):
+    """The two-level parallel prefix scan must be value-identical to the
+    single-window plan for every bucket count, including degenerate ones
+    (1 bucket = one cell per group; more buckets than timestamps = one row
+    per cell)."""
+    rng = random.Random(575)
+    rows = []
+    for g in range(5):
+        for _ in range(rng.randrange(1, 50)):
+            s = rng.randrange(0, 100)
+            rows.append((f"g{g}", s, s + rng.randrange(1, 25)))
+    df = spark.createDataFrame(rows, "grp string, s bigint, e bigint")
+    base = {
+        (r.grp, r.peak_open, r.peak_start)
+        for r in peak_concurrency(df, ["grp"], "s", "e").collect()
+    }
+    for n in (1, 2, 7, 1000):
+        got = {
+            (r.grp, r.peak_open, r.peak_start)
+            for r in peak_concurrency(
+                df, ["grp"], "s", "e", n_time_buckets=n
+            ).collect()
+        }
+        assert got == base, n
+
+
+def test_peak_concurrency_rejects_bad_bucket_count(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 0, 5)], "grp string, s bigint, e bigint")
+    with pytest.raises(ValueError):
+        peak_concurrency(df, ["grp"], "s", "e", n_time_buckets=0)
+
+
 def test_peak_concurrency_touching_is_not_overlap(spark):
     # [0,5) and [5,10) never overlap: the end-at-5 delta nets the start-at-5
     df = spark.createDataFrame(
