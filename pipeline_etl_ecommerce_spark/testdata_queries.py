@@ -9515,7 +9515,7 @@ WITH agg AS (
 )
 SELECT l_partkey, CAST(returned_qty AS BIGINT) AS returned_qty,
        CASE WHEN returned_qty = 0 THEN NULL
-            ELSE ROUND(CAST(discount_amt AS DOUBLE) / returned_qty, 6) END AS discount_per_returned_unit
+            ELSE CAST(discount_amt AS DOUBLE) / returned_qty END AS discount_per_returned_unit
 FROM agg
 """
 
@@ -9534,8 +9534,13 @@ def try_divide_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_partkey",
         F.col("returned_qty").cast("long").alias("returned_qty"),
-        F.round(
-            F.try_divide(F.col("discount_amt").cast("double"), F.col("returned_qty")), 6
+        # NO rounding: the numerator is DECIMAL-exact, so the raw IEEE
+        # quotient is identical on both engines — a ROUND(x, 6) here is
+        # what BREAKS parity (exact-half values at the 6th decimal round
+        # HALF_UP in Spark and half-even in DuckDB's double rounding;
+        # found by the sf0.1 sweep, max-abs-diff exactly 1e-6).
+        F.try_divide(
+            F.col("discount_amt").cast("double"), F.col("returned_qty")
         ).alias("discount_per_returned_unit"),
     )
 
