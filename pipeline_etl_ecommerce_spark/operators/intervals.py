@@ -21,15 +21,18 @@ Never expands rows (2 boundary rows per interval), never compares interval
 pairs — a naive self-join overlap test is O(n²) per key and unusable at
 100 TB.
 
-**Parallel prefix scan** (``n_time_buckets``): a plain running sum is one
+**Parallel prefix scan** (``cell_width``): a plain running sum is one
 window task PER GROUP — fine for thousands of groups, a single-task
 bottleneck when one group holds billions of boundaries. The decomposition
 is the classic two-level scan: split each group's timeline into coarse
-cells, run the running sum LOCALLY per (group, cell) — parallelism =
+FIXED-WIDTH cells (caller-chosen width, same units as the timestamps — a
+constant, so no global min/max aggregate and no cross join enters the
+plan), run the running sum LOCALLY per (group, cell) — parallelism =
 groups × cells — then compute each cell's starting offset with a second
-window over the per-cell TOTALS (groups × cells rows, trivially small) and
-add it back. Prefix sums are associative, so the result is identical to
-the single-window plan; only the task graph changes.
+window over the per-cell closing totals (groups × cells rows, broadcast
+back) and add it back. Prefix sums are associative, so the result is
+identical to the single-window plan; only the task graph changes. Pick a
+width giving O(cluster parallelism) cells per group, not O(rows).
 """
 
 from __future__ import annotations
@@ -46,14 +49,14 @@ def peak_concurrency(
     start_col: str | Column,
     end_col: str | Column,
     *,
-    n_time_buckets: int | None = None,
+    cell_width: int | None = None,
 ) -> DataFrame:
     """Per group: the maximum number of simultaneously open half-open
     ``[start, end)`` intervals, and the earliest timestamp at which that
     peak is reached. Start/end columns must be integral epochs (exact,
     timezone-free, and bucketable).
 
-    ``n_time_buckets``: optional parallel-scan decomposition — use when a
+    ``cell_width``: optional parallel-scan decomposition — use when a
     single group's boundary count outgrows one window task (see module
     docstring). Results are identical either way."""
     keys = list(group_cols)
@@ -64,7 +67,7 @@ def peak_concurrency(
     )
     per_ts = deltas.groupBy(*keys, "__ts").agg(F.sum("__d").alias("__d"))
 
-    if n_time_buckets is None:
+    if cell_width is None:
         w_run = (
             Window.partitionBy(*keys)
             .orderBy("__ts")
@@ -72,25 +75,15 @@ def peak_concurrency(
         )
         curve = per_ts.withColumn("open_count", F.sum("__d").over(w_run))
     else:
-        if n_time_buckets < 1:
-            raise ValueError("peak_concurrency: n_time_buckets must be >= 1")
-        # cell width from the global ts range: one tiny agg, broadcast back.
-        bounds = per_ts.agg(
-            F.min("__ts").alias("__lo"),
-            (
-                F.greatest(
-                    (F.max("__ts") - F.min("__ts") + 1)
-                    / F.lit(int(n_time_buckets)),
-                    F.lit(1),
-                )
-            )
-            .cast("long")
-            .alias("__w"),
+        if cell_width < 1:
+            raise ValueError("peak_concurrency: cell_width must be >= 1")
+        # level 1: local running sum per (group, fixed-width cell) —
+        # groups×cells tasks. A CONSTANT width keeps the plan free of any
+        # global min/max aggregate + cross join (a data-derived width
+        # duplicated the whole upstream into a second scan branch).
+        cells = per_ts.withColumn(
+            "__cell", F.floor(F.col("__ts") / F.lit(int(cell_width)))
         )
-        cells = per_ts.crossJoin(F.broadcast(bounds)).withColumn(
-            "__cell", ((F.col("__ts") - F.col("__lo")) / F.col("__w")).cast("long")
-        )
-        # level 1: local running sum per (group, cell) — groups×cells tasks
         w_local = (
             Window.partitionBy(*keys, "__cell")
             .orderBy("__ts")
@@ -98,8 +91,12 @@ def peak_concurrency(
         )
         local = cells.withColumn("__run_local", F.sum("__d").over(w_local))
         # level 2: each cell's starting offset = prefix sum of PRIOR cells'
-        # totals — a window over groups×cells rows, trivially small
-        cell_tot = local.groupBy(*keys, "__cell").agg(F.sum("__d").alias("__tot"))
+        # CLOSING totals (the local running sum at the cell's last ts) — a
+        # window over groups×cells rows, tiny by construction, broadcast
+        # back so the big side keeps its partitioning.
+        cell_tot = local.groupBy(*keys, "__cell").agg(
+            F.max_by("__run_local", "__ts").alias("__tot")
+        )
         w_cells = (
             Window.partitionBy(*keys)
             .orderBy("__cell")
@@ -109,9 +106,9 @@ def peak_concurrency(
             "__off", F.coalesce(F.sum("__tot").over(w_cells), F.lit(0))
         ).select(*keys, "__cell", "__off")
         curve = (
-            local.join(offsets, [*keys, "__cell"])
+            local.join(F.broadcast(offsets), [*keys, "__cell"])
             .withColumn("open_count", F.col("__run_local") + F.col("__off"))
-            .drop("__cell", "__lo", "__w", "__run_local", "__off")
+            .drop("__cell", "__run_local", "__off")
         )
 
     peak = curve.withColumn("peak_open", F.max("open_count").over(Window.partitionBy(*keys)))

@@ -9282,10 +9282,12 @@ def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         od_us.alias("s"),
         (od_us + F.lit(_US_PER_WEEK)).alias("e"),
     )
-    # 16 time cells: 5 priority groups alone would cap the running-sum
-    # parallelism at 5 tasks; the two-level scan runs 5×16 local scans plus
-    # one trivial 80-row offset window (identical result — scans associate).
-    out = peak_concurrency(iv, ["o_orderpriority"], "s", "e", n_time_buckets=16)
+    # quarterly cells: 5 priority groups alone would cap the running-sum
+    # parallelism at 5 tasks; the two-level scan runs ~5×28 local scans plus
+    # one trivial offset window (identical result — prefix sums associate).
+    out = peak_concurrency(
+        iv, ["o_orderpriority"], "s", "e", cell_width=90 * 86_400_000_000
+    )
     return out.select(
         "o_orderpriority",
         F.col("peak_open").cast("long").alias("peak_open"),

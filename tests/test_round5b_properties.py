@@ -47,9 +47,9 @@ def test_peak_concurrency_matches_brute_force(spark):
 
 def test_peak_concurrency_bucketed_scan_equals_single_window(spark):
     """The two-level parallel prefix scan must be value-identical to the
-    single-window plan for every bucket count, including degenerate ones
-    (1 bucket = one cell per group; more buckets than timestamps = one row
-    per cell)."""
+    single-window plan for every cell width, including degenerate ones
+    (width 1 = one row per cell; width larger than the span = one cell
+    per group = the single-window case)."""
     rng = random.Random(575)
     rows = []
     for g in range(5):
@@ -61,22 +61,22 @@ def test_peak_concurrency_bucketed_scan_equals_single_window(spark):
         (r.grp, r.peak_open, r.peak_start)
         for r in peak_concurrency(df, ["grp"], "s", "e").collect()
     }
-    for n in (1, 2, 7, 1000):
+    for width in (1, 7, 30, 10_000):
         got = {
             (r.grp, r.peak_open, r.peak_start)
             for r in peak_concurrency(
-                df, ["grp"], "s", "e", n_time_buckets=n
+                df, ["grp"], "s", "e", cell_width=width
             ).collect()
         }
-        assert got == base, n
+        assert got == base, width
 
 
-def test_peak_concurrency_rejects_bad_bucket_count(spark):
+def test_peak_concurrency_rejects_bad_cell_width(spark):
     import pytest
 
     df = spark.createDataFrame([("a", 0, 5)], "grp string, s bigint, e bigint")
     with pytest.raises(ValueError):
-        peak_concurrency(df, ["grp"], "s", "e", n_time_buckets=0)
+        peak_concurrency(df, ["grp"], "s", "e", cell_width=0)
 
 
 def test_peak_concurrency_touching_is_not_overlap(spark):
