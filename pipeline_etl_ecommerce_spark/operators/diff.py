@@ -41,10 +41,10 @@ def snapshot_diff(
     o = old.select(*keys, F.lit(True).alias("__in_old"), *[F.col(c).alias(f"old_{c}") for c in cols])
     n = new.select(*keys, F.lit(True).alias("__in_new"), *[F.col(c).alias(f"new_{c}") for c in cols])
     j = o.join(n, keys, "full_outer")
-    any_diff = None
+    # keys-only diff (no compared columns) degrades to added/removed only
+    any_diff = F.lit(False)
     for c in cols:
-        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        any_diff = d if any_diff is None else (any_diff | d)
+        any_diff = any_diff | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

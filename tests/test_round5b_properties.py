@@ -131,6 +131,14 @@ def test_snapshot_diff_matches_reference(spark):
     assert got == expect
 
 
+def test_snapshot_diff_keys_only(spark):
+    # no compared columns: added/removed still classify; no 'changed' rows
+    o = spark.createDataFrame([(1,), (2,)], "k bigint")
+    n = spark.createDataFrame([(2,), (3,)], "k bigint")
+    got = {r.k: r.change_type for r in snapshot_diff(o, n, ["k"], []).collect()}
+    assert got == {1: "removed", 3: "added"}
+
+
 def test_snapshot_diff_null_flip_is_changed(spark):
     o = spark.createDataFrame([(1, None), (2, 5)], "k bigint, v int")
     n = spark.createDataFrame([(1, 7), (2, None)], "k bigint, v int")
