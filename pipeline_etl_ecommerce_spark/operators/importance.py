@@ -39,6 +39,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the doc stream has at least the cluster's default parallelism.
+
+    Parquet split sizing is BYTE-based (maxPartitionBytes = 128 MB), but
+    this operator's cost per byte is enormous (per-token md5 + base-16
+    conv, twice). A compressed text corpus small enough to fit one split
+    still carries minutes of CPU — the 10× scale stress measured 20×
+    wall BECAUSE both scales ran the whole tokenize on ONE core. The
+    repartition is a no-op on real big inputs (splits already exceed
+    defaultParallelism) and costs one small doc-row shuffle otherwise;
+    downstream aggregates are order-insensitive by construction, so
+    round-robin redistribution cannot move any result."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(df: DataFrame, text_col: str, id_col: str, extra: list[str]) -> DataFrame:
     return df.select(
         id_col,
@@ -91,6 +109,7 @@ def dsir_importance_weights(
     ``weighted_sample_topk`` to complete the DSIR select-by-resampling
     loop (weight ∝ p_target / p_raw, exactly the paper's estimator with a
     mean-of-ratios aggregation instead of sum-of-logs; see module doc)."""
+    df = _widen(df)
     dist = hashed_bucket_distribution(
         df, text_col, id_col, target_pred, n_buckets=n_buckets
     )

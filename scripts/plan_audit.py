@@ -93,7 +93,16 @@ ALLOWED_PYTHON = {
 # Per-query intentional plan-shape changes vs the committed baseline, with
 # the reason growth is acceptable. Clear entries once the new baseline is
 # committed (they only suppress the delta against the OLD file).
+_DSIR_WIDEN = (
+    "importance._widen: CPU-dense per-token md5 inherited ONE byte-sized "
+    "input split; repartition to defaultParallelism before the tokenize "
+    "(10x-scale stress measured 20x wall single-core; 0.64x after). "
+    "No-op on inputs whose split count already covers the cluster."
+)
+
 EXPLAINED_GROWTH: dict[str, str] = {
+    "dsir_importance_weights": _DSIR_WIDEN,
+    "dsir_selected_corpus": _DSIR_WIDEN,
     "peak_concurrent_orders": (
         "switched to the two-level parallel prefix scan (cell_width): the "
         "single-window plan capped the running sum at one task per group "
