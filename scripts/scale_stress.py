@@ -92,6 +92,10 @@ def synthesize(spark: SparkSession, out_dir: str, copies: int) -> None:
     # volume actually scales; the window/as-of/sweep-line family must show
     # flat-per-key cost under 10× keys.
     shifted_union("events", ["event_id", "user_id"])
+    # embeddings ×copies: vec_id shifted, vectors copied — every original
+    # vector gains 9 exact twins, so ANN candidate lists densify 10× (the
+    # harsh case for bucketed search: buckets grow, top-k ties multiply).
+    shifted_union("embeddings", ["vec_id"])
     # dims copied untouched
     for dim in ("part", "supplier", "customer", "region", "nation"):
         shutil.copyfile(
