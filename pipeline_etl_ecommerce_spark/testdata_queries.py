@@ -769,6 +769,7 @@ _DRIVER_PRIORITY = [
     "try_divide_return_rate",
     "hll_sketch_union_distinct",
     "bitmap_exact_distinct_users",
+    "cdc_apply_snapshot",
 ]
 
 
@@ -9605,6 +9606,69 @@ def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_users")
+    )
+
+
+# Batch CDC apply (operators/cdc.py): fold an I/U/D op log into a
+# snapshot — latest-wins with delete tombstones, the capstone of the
+# S9-S13 keyed-sink family (a Debezium-style feed consumed in batch).
+# Ops derive deterministically from lineitem: op by linenumber mod 5
+# ('D'/'I'/'U'), value = the row's extendedprice verbatim (NO derived
+# arithmetic — a rounded quotient here would reintroduce the binary-tie
+# class the sf0.1 sweep caught), order = (shipdate, orderkey, linenumber)
+# which is a total order; linenumber-7 ops target shifted NEW keys so the
+# insert-unknown-key path is exercised, not just update/delete.
+_CDC_APPLY_SQL = """
+WITH ops AS (
+  SELECT l_partkey + CASE WHEN l_linenumber = 7 THEN 1000000 ELSE 0 END AS p_partkey,
+         CASE l_linenumber % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+         l_extendedprice AS price,
+         epoch_us(l_shipdate) AS ts, l_orderkey, l_linenumber
+  FROM lineitem
+),
+latest AS (
+  SELECT p_partkey, op, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+              ORDER BY ts DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+    FROM ops) t WHERE rn = 1
+),
+b AS (SELECT p_partkey, p_retailprice AS price FROM part)
+SELECT COALESCE(b.p_partkey, l.p_partkey) AS p_partkey,
+       CASE WHEN l.p_partkey IS NOT NULL THEN l.price ELSE b.price END AS price
+FROM b FULL JOIN latest l ON b.p_partkey = l.p_partkey
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+@register("cdc_apply_snapshot", _CDC_APPLY_SQL)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import cdc_apply
+
+    li = _t(spark, sf_dir, "lineitem")
+    ops = li.select(
+        (
+            F.col("l_partkey")
+            + F.when(F.col("l_linenumber") == 7, F.lit(1000000)).otherwise(F.lit(0))
+        ).alias("p_partkey"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("D"))
+        .when(F.col("l_linenumber") % 5 == 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("l_extendedprice").alias("price"),
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, l_shipdate)").alias("ts"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price")
+    )
+    return cdc_apply(
+        base,
+        ops,
+        ["p_partkey"],
+        op_col="op",
+        order_by=["ts", "l_orderkey", "l_linenumber"],
+        value_cols=["price"],
     )
 
 

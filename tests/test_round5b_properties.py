@@ -345,6 +345,45 @@ def test_asof_rejects_negative_tolerance(spark):
                   right_tiebreak="v", tolerance=-1)
 
 
+def _brute_cdc(base: dict, ops):
+    """Reference: replay the FULL log in order (latest naturally wins)."""
+    snap = dict(base)
+    for _ts, _tie, key, op, val in sorted(ops):
+        if op == "D":
+            snap.pop(key, None)
+        else:  # I and U both upsert (log-is-truth semantics)
+            snap[key] = val
+    return snap
+
+
+def test_cdc_apply_matches_full_replay(spark):
+    """Latest-op-wins must equal replaying every op in order — including
+    delete-then-reinsert, insert-of-unknown-key, and delete-of-unknown-key
+    sequences the reduction shortcut could get wrong."""
+    from pipeline_etl_ecommerce_spark.operators.cdc import cdc_apply
+
+    rng = random.Random(585)
+    base = {k: rng.randrange(100) for k in range(30) if rng.random() < 0.7}
+    ops = []
+    for i in range(200):
+        ops.append(
+            (rng.randrange(50), i, rng.randrange(40),
+             rng.choice(["I", "U", "D", "D"]), rng.randrange(100))
+        )
+    b = spark.createDataFrame([(k, v) for k, v in base.items()], "k bigint, v bigint")
+    o = spark.createDataFrame(
+        [(ts, tie, k, op, v) for ts, tie, k, op, v in ops],
+        "ts bigint, tie bigint, k bigint, op string, v bigint",
+    )
+    got = {
+        r.k: r.v
+        for r in cdc_apply(
+            b, o, ["k"], op_col="op", order_by=["ts", "tie"], value_cols=["v"]
+        ).collect()
+    }
+    assert got == _brute_cdc(base, ops)
+
+
 def test_forward_asof_is_single_shuffle_no_join(spark):
     l = spark.createDataFrame([(1, 1)], "k bigint, lts bigint")
     r = spark.createDataFrame([(1, 1, 1)], "k bigint, rts bigint, v bigint")
