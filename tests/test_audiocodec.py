@@ -117,3 +117,53 @@ def test_encode_validates_inputs():
         encode_wav(8000, 0, [])
     with pytest.raises(ValueError):
         encode_wav(8000, 2, [1, 2, 3])  # not a multiple of channels
+
+
+# --- hypothesis fuzz: parser totality ---------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=4),
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    junk=st.binary(min_size=0, max_size=9),
+)
+def test_roundtrip_fuzz(rate, channels, frames, junk):
+    samples = (frames * channels)[: (len(frames) * channels)]
+    out = decode_wav(encode_wav(rate, channels, samples, junk=junk))
+    assert out["sample_rate"] == rate
+    assert out["channels"] == channels
+    assert out["n_frames"] == len(samples) // channels
+    assert out["sum_all"] == sum(samples)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=200),
+)
+def test_arbitrary_bytes_never_crash(data):
+    """A parser fed hostile bytes must raise the documented error types,
+    never IndexError/struct.error/UnboundLocalError."""
+    try:
+        decode_wav(data)
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=60),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_single_byte_mutation_never_crashes(pos, val):
+    payload = bytearray(encode_wav(8000, 2, [1, -2, 3, -4, 5, -6]))
+    payload[pos % len(payload)] = val
+    try:
+        decode_wav(bytes(payload))
+    except (DecodeError, NotImplementedError):
+        pass

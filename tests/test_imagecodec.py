@@ -234,3 +234,44 @@ def test_resize_rejects_nonpositive_maxval():
     bad = b"P6\n2 2\n0\n" + bytes(12)
     with pytest.raises(DecodeError):
         resize_ppm_nearest(bad, 1, 1)
+
+
+# --- hypothesis fuzz: parser totality (same contract as the WAV fuzz) -------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pipeline_etl_ecommerce_spark.operators.imagecodec import iter_ppm_stream
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decoders_never_crash_on_arbitrary_bytes(data):
+    for fn in (decode_ppm, decode_bmp):
+        try:
+            fn(data)
+        except (DecodeError, NotImplementedError):
+            pass
+    try:
+        list(iter_ppm_stream(data))
+    except (DecodeError, NotImplementedError):
+        pass
+    try:
+        resize_ppm_nearest(data, 2, 2)
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=200), val=st.integers(min_value=0, max_value=255))
+def test_single_byte_mutation_never_crashes(pos, val):
+    from pipeline_etl_ecommerce_spark.operators.multimodal import synth_raster
+
+    w, h, raster = synth_raster(7)
+    for enc in (encode_ppm(w, h, raster), encode_bmp(w, h, raster)):
+        payload = bytearray(enc)
+        payload[pos % len(payload)] = val
+        for fn in (decode_ppm, decode_bmp):
+            try:
+                fn(bytes(payload))
+            except (DecodeError, NotImplementedError):
+                pass
