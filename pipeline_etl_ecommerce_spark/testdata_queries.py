@@ -770,6 +770,7 @@ _DRIVER_PRIORITY = [
     "hll_sketch_union_distinct",
     "bitmap_exact_distinct_users",
     "cdc_apply_snapshot",
+    "sink_compaction_roundtrip",
 ]
 
 
@@ -9607,6 +9608,53 @@ def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_users")
     )
+
+
+# Small-file compaction EXECUTED (table maintenance): a deliberately
+# fragmented mart (64-way write — the debris a micro-batched streaming
+# upsert leaves) compacted to 2 files via read → coalesce → write-temp →
+# atomic swap (sources.sinks.compact_path). Content must be identical
+# (the oracle is the same aggregate over the source) and the
+# post-compaction parquet file count rides as a column, so the driver's
+# value hash pins the LAYOUT claim, not just the data.
+_SINK_COMPACT_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(2 AS BIGINT) AS n_files
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sink_compaction_roundtrip", _SINK_COMPACT_SQL)
+def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import compact_path
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    base = _tempfile.mkdtemp(prefix="sink_compact_")
+    target = os.path.join(base, "mart")
+    try:
+        li.repartition(64).write.parquet(target)
+        compact_path(spark, target, target_partitions=2)
+        n_files = len(_glob.glob(os.path.join(target, "*.parquet")))
+        return (
+            spark.read.parquet(target)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("n_files", F.lit(n_files).cast("long"))
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 # Batch CDC apply (operators/cdc.py): fold an I/U/D op log into a
