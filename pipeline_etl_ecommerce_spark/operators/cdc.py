@@ -29,6 +29,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def cdc_compact_log(
+    ops: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    op_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Reduce an op log to its latest op per key, KEEPING delete tombstones
+    as rows. Unlike :func:`cdc_apply` this is ASSOCIATIVE —
+    ``compact(compact(a) ∪ b) == compact(a ∪ b)`` — because the ordering
+    columns ride along in the output, so an incremental consumer (a
+    streaming foreachBatch folding micro-batches into a mart) converges to
+    the batch answer no matter how the log is split, including a later
+    batch delivering an OLDER op for a key. Present the mart by filtering
+    ``op != 'D'``; compact tombstones away only once they are older than
+    every source that could still replay (Kafka retention, here: never)."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    payload = F.struct(
+        *[F.col(c) for c in order],
+        F.col(op_col).alias(op_col),
+        *[F.col(c) for c in value_cols],
+    )
+    latest = ops.groupBy(*keys).agg(
+        F.max_by(payload, F.struct(*[F.col(c) for c in order])).alias("__last")
+    )
+    return latest.select(
+        *keys,
+        *[F.col(f"__last.{c}").alias(c) for c in (*order, op_col, *value_cols)],
+    )
+
+
 def cdc_apply(
     base: DataFrame,
     ops: DataFrame,

@@ -771,6 +771,7 @@ _DRIVER_PRIORITY = [
     "bitmap_exact_distinct_users",
     "cdc_apply_snapshot",
     "sink_compaction_roundtrip",
+    "streaming_cdc_apply_executed",
 ]
 
 
@@ -9813,6 +9814,133 @@ def active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.min(F.when(F.col("len") == F.col("peak"), F.col("start_day"))).alias("longest_start"),
     )
+
+
+# Streaming CDC apply with delete tombstones, EXECUTED: the T-family gap
+# the batch cdc_apply_snapshot leaves open — every existing streaming sink
+# only ever upserts. A real two-trigger file stream of I/U/D ops folds
+# into a COMPACTED-LOG mart via foreachBatch (cdc_compact_log, which is
+# associative because the ordering columns ride in the mart), so the
+# result converges to the batch fold no matter how the log is split —
+# the drop files are split by LINE NUMBER, not time, so trigger 2
+# deliberately delivers ops OLDER than trigger 1's for the same keys.
+# Presented view filters tombstones; oracle = the batch latest-wins fold.
+_STREAM_CDC_SQL = """
+WITH ops AS (
+  SELECT l_partkey + CASE WHEN l_linenumber = 7 THEN 1000000 ELSE 0 END AS p_partkey,
+         CASE l_linenumber % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'I' ELSE 'U' END AS op,
+         l_extendedprice AS price,
+         epoch_us(l_shipdate) AS ts, l_orderkey AS okey, l_linenumber AS lnum
+  FROM lineitem WHERE l_orderkey % 7 = 0
+),
+latest AS (
+  SELECT p_partkey, op, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+              ORDER BY ts DESC, okey DESC, lnum DESC) AS rn
+    FROM ops) t WHERE rn = 1
+),
+b AS (SELECT p_partkey, p_retailprice AS price FROM part)
+SELECT COALESCE(b.p_partkey, l.p_partkey) AS p_partkey,
+       CASE WHEN l.p_partkey IS NOT NULL THEN l.price ELSE b.price END AS price
+FROM b FULL JOIN latest l ON b.p_partkey = l.p_partkey
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
+@register("streaming_cdc_apply_executed", _STREAM_CDC_SQL)
+def streaming_cdc_apply_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .operators.cdc import cdc_compact_log
+    from .sources.sinks import _write_and_swap
+    from .streaming.runner import read_json_stream, stream_shuffle_partitions
+
+    base = _tempfile.mkdtemp(prefix="stream_cdc_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "mart")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    keys, order = ["p_partkey"], ["ts", "okey", "lnum"]
+
+    def compact(df: DataFrame) -> DataFrame:
+        return cdc_compact_log(
+            df, keys, op_col="op", order_cols=order, value_cols=["price"]
+        )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    ops = li.select(
+        (
+            F.col("l_partkey")
+            + F.when(F.col("l_linenumber") == 7, F.lit(1000000)).otherwise(F.lit(0))
+        ).alias("p_partkey"),
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, l_shipdate)").alias("ts"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("lnum"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("D"))
+        .when(F.col("l_linenumber") % 5 == 1, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    try:
+        # seed: the base snapshot enters the log at a sentinel order below
+        # every real op (ts=-1), already compacted (keys are unique)
+        seed = _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            F.lit(-1).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("okey"),
+            F.lit(-1).cast("long").alias("lnum"),
+            F.lit("U").alias("op"),
+            F.col("p_retailprice").alias("price"),
+        )
+        seed.write.parquet(target)
+        # two drop files split by LINE NUMBER (not time): the second
+        # trigger carries ops that are older than the first's for the
+        # same keys — only an associative fold converges.
+        with open(os.path.join(drops, "b1_high.json"), "w") as f1, open(
+            os.path.join(drops, "b2_low.json"), "w"
+        ) as f2:
+            for r in ops.collect():
+                d = _json.dumps(
+                    {"p_partkey": r.p_partkey, "ts": r.ts, "okey": r.okey,
+                     "lnum": r.lnum, "op": r.op, "price": r.price}
+                )
+                (f1 if r.lnum >= 4 else f2).write(d + "\n")
+        schema = StructType.fromDDL(
+            "p_partkey bigint, ts bigint, okey bigint, lnum bigint, "
+            "op string, price double"
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            cur = spark.read.parquet(target)
+            _write_and_swap(
+                compact(cur.unionByName(batch_df)), target, prefix="cdc_"
+            )
+
+        stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+        with stream_shuffle_partitions(spark, 8):
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+        return (
+            spark.read.parquet(target)
+            .filter(F.col("op") != "D")
+            .select("p_partkey", "price")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

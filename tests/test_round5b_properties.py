@@ -384,6 +384,42 @@ def test_cdc_apply_matches_full_replay(spark):
     assert got == _brute_cdc(base, ops)
 
 
+def test_cdc_compact_log_is_associative_under_any_split(spark):
+    """compact(compact(a) ∪ b) == compact(a ∪ b) for random logs and random
+    splits — the property that lets a streaming foreachBatch fold
+    micro-batches into a compacted-log mart and still converge to the
+    batch answer even when a later batch carries OLDER ops."""
+    from pipeline_etl_ecommerce_spark.operators.cdc import cdc_compact_log
+
+    rng = random.Random(595)
+    ops = [
+        (rng.randrange(20), rng.randrange(30), i,
+         rng.choice(["I", "U", "D"]), rng.randrange(100))
+        for i in range(150)
+    ]
+    ddl = "k bigint, ts bigint, tie bigint, op string, v bigint"
+
+    def compact(df):
+        return cdc_compact_log(
+            df, ["k"], op_col="op", order_cols=["ts", "tie"], value_cols=["v"]
+        )
+
+    full = {
+        (r.k, r.ts, r.tie, r.op, r.v)
+        for r in compact(spark.createDataFrame(ops, ddl)).collect()
+    }
+    for _ in range(3):
+        rng.shuffle(ops)
+        cut = rng.randrange(1, len(ops))
+        a = spark.createDataFrame(ops[:cut], ddl)
+        b = spark.createDataFrame(ops[cut:], ddl)
+        inc = {
+            (r.k, r.ts, r.tie, r.op, r.v)
+            for r in compact(compact(a).unionByName(b)).collect()
+        }
+        assert inc == full
+
+
 def test_forward_asof_is_single_shuffle_no_join(spark):
     l = spark.createDataFrame([(1, 1)], "k bigint, lts bigint")
     r = spark.createDataFrame([(1, 1, 1)], "k bigint, rts bigint, v bigint")
