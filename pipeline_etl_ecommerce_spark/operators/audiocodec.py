@@ -89,6 +89,10 @@ def decode_wav(payload: bytes) -> dict:
     while i + 8 <= end:
         cid = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if i + 8 + size > end:
+            # Bound the body by the declared RIFF end, not the buffer: a chunk
+            # crossing the container boundary must not consume trailing bytes.
+            raise DecodeError(f"wav: {cid!r} chunk crosses the RIFF boundary")
         body = payload[i + 8 : i + 8 + size]
         if len(body) < size:
             raise DecodeError(f"wav: truncated {cid!r} chunk")

@@ -9302,8 +9302,11 @@ def peak_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (event_id tiebreak = total order), then (prev, next) counts and the
 # row-normalized transition probability — the sequence-model feature a
 # behavioral pipeline derives before training. One shuffle for the lag
-# window, one for the pair aggregation; probability is an exact-int ratio
-# rounded at 6dp on both engines.
+# window, one for the pair aggregation; probability is the RAW IEEE quotient
+# of two exact integers — identical bit-for-bit on both engines. (Deliberate:
+# ROUND(x, 6) on a double is HALF_UP in Spark but half-even in DuckDB, so an
+# exact-half at the 6th decimal would break the oracle — the try_divide
+# lesson; see NOTES.md binary-tie entry.)
 _TRANSITIONS_SQL = """
 WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
 f AS (
@@ -9312,8 +9315,8 @@ f AS (
   FROM e
 )
 SELECT prev_type, next_type, COUNT(*) AS n_transitions,
-       ROUND(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p_transition
+       CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_transition
 FROM f WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
@@ -9333,11 +9336,8 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_transitions"))
     return counts.withColumn(
         "p_transition",
-        F.round(
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(Window.partitionBy("prev_type")),
-            6,
-        ),
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(Window.partitionBy("prev_type")),
     )
 
 
@@ -9397,8 +9397,10 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FIRST click/view at or after it = time-to-next-touch, the conversion
 # twin of last_touch_attribution. Oracle: DuckDB native ASOF with the
 # reversed inequality; the oracle pre-dedupes right rows tied on (user, ts)
-# to the smallest event_id because native ASOF has no tiebreak, which is
-# exactly the tie our ascending-__tie ordering selects.
+# to the smallest event_id because native ASOF has no tiebreak — the
+# smallest tiebreak, i.e. the one our mirrored descending-__tie ordering
+# selects (the forward branch scans time-reversed, so DESC __tie picks the
+# minimum event_id among rows tied on ts).
 _NEXT_TOUCH_SQL = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tns FROM events),
 p AS (SELECT event_id, user_id, tns FROM e WHERE event_type = 'purchase'),
@@ -9725,9 +9727,17 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next event; the average weights each value by its holding duration — the
 # feature-store aggregation for irregularly sampled series (a plain AVG
 # over-weights bursts). One lead() window and one aggregation on the same
-# user_id partitioning. The value×duration products sum in DECIMAL on both
-# engines (double summation is order-dependent across 32 partitions; the
-# repo-wide money-sum rule applied to weights), then ONE double division.
+# user_id partitioning. Parity discipline (two hazards, both hit and fixed):
+# ROUND(x,6) on a double is HALF_UP in Spark vs half-even in DuckDB (the
+# binary-tie hazard), and DECIMAL→DOUBLE conversion is correctly rounded in
+# the JVM (BigDecimal.doubleValue) but double-rounded in DuckDB
+# (int128→double / 10^scale→double), measured 1 ulp apart here. So the sum
+# is EXACT INT64 cents×µs — value is 2dp money, ROUND(value*100) lands ~1e-10
+# from an integer (never a .5 tie) — and the quotient divides two exact
+# integers: int64→double is correctly rounded on both engines and IEEE ops
+# are deterministic, so the raw double is bit-identical. Overflow bound:
+# 5e4 cents × ~6e13 µs dataset span ≈ 3e18 < 2^63 per user; at a true 100 TB
+# multi-decade span, switch the sum to DECIMAL(38,0) and band-compare.
 _TWAP_SQL = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
@@ -9739,13 +9749,13 @@ d AS (
 ),
 w AS (
   SELECT user_id,
-         SUM(CAST(value AS DECIMAL(20,6)) * CAST(next_tus - tus AS DECIMAL(18,0))) AS vw,
-         SUM(next_tus - tus) AS span
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (next_tus - tus)) AS BIGINT) AS vw_cents,
+         CAST(SUM(next_tus - tus) AS BIGINT) AS span
   FROM d WHERE next_tus IS NOT NULL
   GROUP BY user_id
 )
-SELECT user_id, CAST(span AS BIGINT) AS span_us,
-       ROUND(CAST(vw AS DOUBLE) / CAST(span AS DOUBLE), 6) AS twap_value
+SELECT user_id, span AS span_us,
+       CAST(vw_cents AS DOUBLE) / (CAST(span AS DOUBLE) * 100.0) AS twap_value
 FROM w WHERE span > 0
 """
 
@@ -9760,14 +9770,17 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_tus").isNotNull()
     )
     dur = F.col("next_tus") - F.col("tus")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     agg = d.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(20,6)") * dur.cast("decimal(18,0)")).alias("vw"),
+        F.sum(cents * dur).alias("vw_cents"),
         F.sum(dur).alias("span"),
     )
     return agg.filter(F.col("span") > 0).select(
         "user_id",
         F.col("span").cast("long").alias("span_us"),
-        F.round(F.col("vw").cast("double") / F.col("span").cast("double"), 6).alias("twap_value"),
+        (
+            F.col("vw_cents").cast("double") / (F.col("span").cast("double") * F.lit(100.0))
+        ).alias("twap_value"),
     )
 
 

@@ -78,6 +78,20 @@ def test_riff_size_exceeding_payload_rejected():
         decode_wav(bytes(payload))
 
 
+def test_chunk_crossing_riff_boundary_rejected():
+    # A chunk size that crosses the declared RIFF end must raise, even when
+    # appended garbage makes the BUFFER long enough to satisfy the slice —
+    # the advisor's probe: inflating the data size over trailing bytes
+    # outside the container must not decode "successfully".
+    payload = bytearray(encode_wav(8000, 1, [1, 2, 3, 4]))
+    i = payload.index(b"data")
+    size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+    payload[i + 4 : i + 8] = struct.pack("<I", size + 8)
+    payload += b"\x00" * 16  # garbage past the RIFF container
+    with pytest.raises(DecodeError):
+        decode_wav(bytes(payload))
+
+
 def test_non_pcm_raises_not_implemented():
     payload = bytearray(encode_wav(8000, 1, [1, 2]))
     i = payload.index(b"fmt ")
