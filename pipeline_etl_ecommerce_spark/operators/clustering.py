@@ -31,15 +31,50 @@ canonicalization, same contract as the MinHash family).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .importance import _widen
 from .similarity import _dvec, dot
+
+# SemDeDup's pair stage is quadratic WITHIN a cluster, so expected cluster
+# size — not cluster count — is the scale knob: with k fixed, clusters grow
+# with the corpus and the pair budget explodes (measured: k=8 at a 10×
+# corpus ran 41.96×; k scaled to the same corpus ran 7.7s vs 60s). The
+# default therefore derives k from the corpus size so E[cluster size] stays
+# constant; SemDeDup (Abbas et al. 2023) uses tens of thousands of clusters
+# at web scale for exactly this reason.
+DEFAULT_TARGET_CLUSTER_SIZE = 64
+
+
+def adaptive_k(n_vectors: int, *, target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE) -> int:
+    """Cluster count that keeps expected cluster size constant as the
+    corpus grows: ``max(8, ceil(n / target_cluster_size))``. Pure integer
+    arithmetic so the SQL oracle reproduces it exactly
+    (``GREATEST(8, CEIL(COUNT(*) / target))``)."""
+    if n_vectors < 0:
+        raise ValueError("n_vectors must be non-negative")
+    if target_cluster_size <= 0:
+        raise ValueError("target_cluster_size must be positive")
+    return max(8, math.ceil(n_vectors / target_cluster_size))
+
+
+def _resolve_k(df: DataFrame, k: int | None) -> int:
+    """``k=None`` → adaptive default. The ``count()`` is a train-time
+    action (one columnless scan), the same bounded driver-side cost class
+    as IVF's offline centroid training — never on a per-query path."""
+    return adaptive_k(df.count()) if k is None else k
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 with fixed left-to-right summation, rounded to 6dp (the
-    cross-engine argmin contract)."""
+    cross-engine argmin contract). Measured note: an unrolled 64-term
+    expression tree (same IEEE order, codegen-able) was A/B-tested against
+    this higher-order fold at the 10× stress scale and LOST on warm runs
+    (1.7s vs 1.0s per assignment) while bloating analysis time — the fold
+    stays."""
     return F.round(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -65,9 +100,20 @@ def _init_centroids(v: DataFrame, k: int) -> DataFrame:
 def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, vec, cid, dist2): nearest centroid per vector, ties to the
     lowest cid. One broadcast cross join + one groupBy (min over a
-    (dist2, cid) struct — no window over the full corpus)."""
+    (dist2, cid) struct — no window over the full corpus).
+
+    The input is widened to the cluster's parallelism first: the crossjoin
+    multiplies per-row cost by k, so a corpus that fits one parquet split
+    (split sizing is BYTE-based) would otherwise run the whole O(n·k)
+    distance evaluation on one core — the same measured 1-split cliff as
+    DSIR's tokenizer (importance._widen; stress: kmeans mart build 58.8s
+    1-split vs ~13s widened at the 10× corpus)."""
+    v = _widen(v)
     scored = v.crossJoin(F.broadcast(centroids)).select(
-        "_vid", "_v", F.struct(_sq_dist(F.col("_v"), F.col("cvec")).alias("d2"), F.col("cid")).alias("dc")
+        "_vid", "_v",
+        F.struct(
+            _sq_dist(F.col("_v"), F.col("cvec")).alias("d2"), F.col("cid")
+        ).alias("dc"),
     )
     best = scored.groupBy("_vid").agg(F.min("dc").alias("best"), F.first("_v").alias("_v"))
     return best.select(
@@ -102,11 +148,15 @@ def kmeans_assign(
     vec_col: str,
     id_col: str,
     *,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
     """Run ``iters`` Lloyd's iterations from the deterministic init and
-    return the final assignment: ``(vec_id, cluster_id, dist2)``."""
+    return the final assignment: ``(vec_id, cluster_id, dist2)``.
+    ``k=None`` scales the cluster count with the corpus
+    (:func:`adaptive_k`) so cluster sizes — and any downstream
+    within-cluster work — stay constant as data grows."""
+    k = _resolve_k(df, k)
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
     v = df.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
@@ -127,7 +177,7 @@ def semantic_dedup(
     vec_col: str,
     id_col: str,
     *,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -137,8 +187,11 @@ def semantic_dedup(
     every input vector — filter on ``kept`` for the surviving corpus.
 
     The pair join's key is the cluster id, so the quadratic blowup is
-    bounded per cluster (pick k so clusters fit the pair budget; SemDeDup
-    uses tens of thousands of clusters at web scale)."""
+    bounded per cluster. ``k=None`` (the default) derives k from the corpus
+    size (:func:`adaptive_k`) so the per-cluster pair budget stays constant
+    as data grows — a FIXED k here is a measured scale cliff (41.96× wall
+    at a 10× corpus; see NOTES.md r5 stress entry)."""
+    k = _resolve_k(df, k)
     v = df.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
     centroids = _init_centroids(v, k)
     assigned = _assign(v, centroids)
@@ -191,11 +244,13 @@ def semantic_dedup_verdict(assigned: DataFrame, *, threshold: float = 0.9) -> Da
 
 
 def centroids_table(
-    df: DataFrame, vec_col: str, id_col: str, *, k: int = 8, iters: int = 2
+    df: DataFrame, vec_col: str, id_col: str, *, k: int | None = None, iters: int = 2
 ) -> DataFrame:
     """Run Lloyd's and return the CENTROIDS ``(cid, cvec)`` instead of the
     assignment — the artifact a pipeline persists as a mart (same contract
-    as the MinHash signature mart: train once per corpus version)."""
+    as the MinHash signature mart: train once per corpus version).
+    ``k=None`` → :func:`adaptive_k` of the training corpus size."""
+    k = _resolve_k(df, k)
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
     v = df.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))

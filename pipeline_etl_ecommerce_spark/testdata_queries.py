@@ -2805,15 +2805,55 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
-@register("sketch_profile_lineitem")  # rows-only: HLL/t-digest estimates are engine-specific
+# Tolerance-banded oracle (the hll_sketch_union_distinct contract): the
+# HLL estimate and t-digest quantiles are implementation-defined, so the
+# engine-specific values stay OUT of the hash; instead the query emits the
+# exact group stats plus booleans asserting each sketch landed inside its
+# published error band — approx_count_distinct(rsd=0.05) within 15% (3σ),
+# percentile_approx(accuracy=10000, rank error ≤ 1e-4) within ±0.02 rank
+# (200× the guarantee). The exact percentile/count-distinct side exists
+# only to band-check the sketch at test SF; the production 100 TB path is
+# the sketch alone (single pass, mergeable, constant memory).
+_SKETCH_PROFILE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_exact,
+       TRUE AS distinct_in_band, TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sketch_profile_lineitem", _SKETCH_PROFILE_SQL)
 def sketch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = sketch_profile(
+    sk = sketch_profile(
         _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_partkey"
     )
-    return df.select(
-        "l_returnflag", "n_rows", "approx_distinct",
-        F.round(F.element_at("approx_quantiles", 1), 2).alias("p50"),
-        F.round(F.element_at("approx_quantiles", 2), 2).alias("p95"),
+    exact = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_distinct_exact"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))"
+            ).alias("qb"),
+        )
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct_exact"))
+            / F.col("n_distinct_exact")
+            <= F.lit(0.15)
+        ).alias("distinct_in_band"),
+        (
+            (F.element_at("approx_quantiles", 1) >= F.element_at("qb", 1))
+            & (F.element_at("approx_quantiles", 1) <= F.element_at("qb", 2))
+        ).alias("p50_in_band"),
+        (
+            (F.element_at("approx_quantiles", 2) >= F.element_at("qb", 3))
+            & (F.element_at("approx_quantiles", 2) <= F.element_at("qb", 4))
+        ).alias("p95_in_band"),
     )
 
 
@@ -3365,23 +3405,28 @@ from .operators.similarity import _dvec  # noqa: E402
 
 
 def _kmeans_ctes(
-    k: int, iters: int, *, vec_sql: str = "embedding", pfx: str = ""
+    k: int | str, iters: int, *, vec_sql: str = "embedding", pfx: str = ""
 ) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs mirroring
     ``operators.clustering`` step for step (same init, same 6dp-rounded
     argmin with cid tie-break, same DECIMAL-sum/9dp-rounded means).
     ``vec_sql`` picks the vector expression over `embeddings` (a
     ``list_slice`` trains a per-subspace PQ codebook); ``pfx`` namespaces
-    the CTEs so several trainings compose in one query."""
+    the CTEs so several trainings compose in one query. ``k`` is either a
+    literal (PQ codebooks: codebook size is a design constant) or a SQL
+    scalar expression (the coarse-quantizer family: k scales with corpus
+    size via the adaptive_k formula, replayed here through a
+    LIMIT-subquery so the oracle picks the same k at every SF)."""
     d2 = (
         f"ROUND(list_aggregate(list_transform(list_zip({pfx}vv.vec, c.cvec),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)"
     )
+    k_limit = str(k) if isinstance(k, int) else f"({k})"
     parts = [
         f"{pfx}vv AS (SELECT vec_id AS _vid,"
         f" list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
         f"{pfx}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY _vid) - 1 AS INTEGER) AS cid,"
-        f" vec AS cvec FROM (SELECT _vid, vec FROM {pfx}vv ORDER BY _vid LIMIT {k}))",
+        f" vec AS cvec FROM (SELECT _vid, vec FROM {pfx}vv ORDER BY _vid LIMIT {k_limit}))",
     ]
     for it in range(1, iters + 1):
         prev = f"{pfx}c{it - 1}"
@@ -3407,10 +3452,20 @@ def _kmeans_ctes(
     return "WITH " + ",\n".join(parts)
 
 
-_KMEANS_K, _KMEANS_ITERS = 8, 2
+_KMEANS_ITERS = 2
+# Coarse-quantizer cluster count scales with the corpus (adaptive_k: keep
+# E[cluster size] ≈ 64 so SemDeDup's within-cluster pair budget is constant
+# as data grows — fixed k was a measured 42× cliff at a 10× corpus). The
+# oracle computes the SAME k from the same table via a LIMIT-subquery:
+# sf0.01 (500 vecs) → 8, sf0.1 (2000) → 32, the 10× stress (20000) → 313.
+_KMEANS_TARGET = 64
+_KMEANS_K_SQL = (
+    f"SELECT GREATEST(8, CAST(CEIL(COUNT(*) / {_KMEANS_TARGET}.0) AS BIGINT))"
+    " FROM embeddings"
+)
 
 _KMEANS_SQL = f"""
-{_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)}
+{_kmeans_ctes(_KMEANS_K_SQL, _KMEANS_ITERS)}
 SELECT _vid AS vec_id, CAST(cid AS INTEGER) AS cluster_id, d2 AS dist2
 FROM a{_KMEANS_ITERS}
 """
@@ -3425,10 +3480,10 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _side_table(
         spark,
         sf_dir,
-        "kmeans_centroids_k8i2",
+        f"kmeans_centroids_adaptive{_KMEANS_TARGET}_i{_KMEANS_ITERS}",
         lambda: centroids_table(
             _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-            k=_KMEANS_K, iters=_KMEANS_ITERS,
+            k=None, iters=_KMEANS_ITERS,  # adaptive: k = max(8, ceil(n/64))
         ),
     )
 
@@ -3439,7 +3494,9 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = emb.select(F.col("vec_id").alias("_vid"), _dvec(F.col("embedding")).alias("_v"))
         return _kmeans_assign_step(v, _kmeans_centroids(spark, sf_dir))
 
-    return _side_table(spark, sf_dir, "kmeans_assignment_k8i2", build)
+    return _side_table(
+        spark, sf_dir, f"kmeans_assignment_adaptive{_KMEANS_TARGET}_i{_KMEANS_ITERS}", build
+    )
 
 
 @register("kmeans_clusters", _KMEANS_SQL)
@@ -3454,7 +3511,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_SQL = f"""
-{_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+{_kmeans_ctes(_KMEANS_K_SQL, _KMEANS_ITERS)},
 sides AS (
     SELECT cid, _vid, vec,
            sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum')) AS nrm
@@ -3490,7 +3547,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE, _IVF_K = 3, 3
 
 _IVF_SQL = f"""
-{_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)},
+{_kmeans_ctes(_KMEANS_K_SQL, _KMEANS_ITERS)},
 qv AS (SELECT _vid AS query_id, vec AS qvec FROM vv WHERE _vid < 10),
 probe AS (
     SELECT query_id, qvec, cid FROM (

@@ -48,6 +48,31 @@ def test_kmeans_rejects_bad_params(blobs):
         kmeans_assign(blobs, "embedding", "vec_id", iters=0)
 
 
+def test_adaptive_k_formula():
+    # k = max(8, ceil(n / target)): constant E[cluster size] as data grows —
+    # the fix for the measured 42x SemDeDup cliff at a 10x corpus.
+    from pipeline_etl_ecommerce_spark.operators.clustering import adaptive_k
+
+    assert adaptive_k(0) == 8
+    assert adaptive_k(500) == 8          # sf0.01 embeddings -> unchanged k
+    assert adaptive_k(513) == 9          # ceil, not floor
+    assert adaptive_k(2000) == 32        # sf0.1
+    assert adaptive_k(20000) == 313      # the 10x stress corpus
+    assert adaptive_k(100, target_cluster_size=10) == 10
+    with pytest.raises(ValueError):
+        adaptive_k(-1)
+    with pytest.raises(ValueError):
+        adaptive_k(10, target_cluster_size=0)
+
+
+def test_kmeans_default_k_is_adaptive(blobs):
+    # k=None on a 20-vector corpus resolves to max(8, ceil(20/64)) = 8;
+    # the run must be identical to an explicit k=8.
+    auto = sorted(map(tuple, kmeans_assign(blobs, "embedding", "vec_id", iters=2).collect()))
+    explicit = sorted(map(tuple, kmeans_assign(blobs, "embedding", "vec_id", k=8, iters=2).collect()))
+    assert auto == explicit
+
+
 def test_semantic_dedup_shadows_exact_duplicates(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
