@@ -1,5 +1,6 @@
-"""Dependency-free image codecs: netpbm PPM (P6 binary / P3 ASCII) and
-Windows BMP (24-bit uncompressed BI_RGB).
+"""Dependency-free image codecs: netpbm PPM (P6 binary / P3 ASCII),
+Windows BMP (24-bit uncompressed BI_RGB), and PNG (8-bit RGB/RGBA,
+non-interlaced — stdlib ``zlib`` carries the DEFLATE layer).
 
 These are REAL decoders — they parse the public on-disk formats byte-for-byte
 (netpbm spec for PPM; the BITMAPFILEHEADER/BITMAPINFOHEADER layout for BMP)
@@ -32,12 +33,15 @@ payload column is projected away immediately after this stage.
 from __future__ import annotations
 
 import struct
+import zlib
 
 __all__ = [
     "DecodeError",
     "decode_bmp",
+    "decode_png",
     "decode_ppm",
     "encode_bmp",
+    "encode_png",
     "encode_ppm",
     "iter_ppm_stream",
     "resize_ppm_nearest",
@@ -284,6 +288,227 @@ def decode_bmp(payload: bytes) -> dict:
         "top_left_b": top_left[2],
         "row0_sum": row0_sum,
     }
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C spec): 8-byte signature, then CRC-protected chunks.
+# Scope: 8-bit depth, color types 2 (RGB) and 6 (RGBA), non-interlaced —
+# the DEFLATE layer is stdlib zlib, the scanline FILTER layer (all five
+# types: None/Sub/Up/Average/Paeth) is implemented here; Adam7 interlace
+# and palette/grayscale types raise NotImplementedError. CRCs are VERIFIED
+# (a decoder that skips them accepts silently corrupted chunks).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) with CRC verification and strict bounds: a chunk
+    whose declared length crosses the payload end raises (the RIFF lesson —
+    never slice-and-tolerate)."""
+    i, n = 8, len(payload)
+    while i < n:
+        if i + 8 > n:
+            raise DecodeError("png: truncated chunk header")
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        if i + 12 + length > n:
+            raise DecodeError(f"png: {ctype!r} chunk crosses payload end")
+        body = payload[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise DecodeError(f"png: CRC mismatch in {ctype!r} chunk")
+        yield ctype, body
+        i += 12 + length
+        if ctype == b"IEND":
+            return
+    raise DecodeError("png: missing IEND chunk")
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Undo per-scanline filtering: each stored row is a filter-type byte
+    followed by width*bpp filtered bytes; reconstruction references the
+    reconstructed prior row and left neighbor (distance = bpp bytes)."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise DecodeError("png: decompressed stream size mismatch")
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        cur = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(a, prior[x], c)) & 0xFF
+        else:
+            raise DecodeError(f"png: unknown filter type {ft}")
+        out[y * stride : (y + 1) * stride] = cur
+        prior = bytes(cur)
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit RGB/RGBA non-interlaced PNG and return the same stat
+    dict shape as :func:`decode_ppm` (``channels`` is 3 or 4; for RGBA the
+    per-channel sums cover R/G/B and ``row0_sum`` includes alpha bytes —
+    both definitions are replayed exactly by the SQL oracle)."""
+    if payload[:8] != _PNG_SIG:
+        raise DecodeError("png: bad signature")
+    ihdr = None
+    idat: list[bytes] = []
+    saw_iend = False
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise DecodeError("png: duplicate IHDR")
+            if len(body) != 13:
+                raise DecodeError("png: IHDR length != 13")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise DecodeError("png: IDAT before IHDR")
+            idat.append(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+        # ancillary chunks (tEXt, pHYs, …) are skipped after CRC check
+    if ihdr is None:
+        raise DecodeError("png: missing IHDR")
+    if not saw_iend:
+        raise DecodeError("png: missing IEND chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0 or width > 1 << 24 or height > 1 << 24:
+        raise DecodeError("png: bad dimensions")
+    if comp != 0 or filt != 0:
+        raise DecodeError("png: unknown compression/filter method")
+    if interlace == 1:
+        raise NotImplementedError("png: Adam7 interlacing not supported")
+    if interlace != 0:
+        raise DecodeError("png: bad interlace flag")
+    if depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            "png: only 8-bit truecolor (RGB/RGBA) decodes in this environment"
+        )
+    if not idat:
+        raise DecodeError("png: missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise DecodeError("png: corrupt IDAT zlib stream") from e
+    channels = 3 if color_type == 2 else 4
+    recon = _unfilter(raw, width, height, channels)
+    mv = memoryview(recon)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": 255,
+        "sum_r": sum(mv[0::channels]),
+        "sum_g": sum(mv[1::channels]),
+        "sum_b": sum(mv[2::channels]),
+        "top_left_r": recon[0],
+        "top_left_g": recon[1],
+        "top_left_b": recon[2],
+        "row0_sum": sum(recon[: width * channels]),
+    }
+
+
+def encode_png(
+    width: int, height: int, raster: bytes, *, channels: int = 3
+) -> bytes:
+    """Encode top-down interleaved RGB(A) bytes as a valid PNG whose row
+    filters CYCLE through all five types (row y uses filter y % 5), so a
+    decoder must implement every filter to round-trip any image taller
+    than four rows — the same adversarial-encoder discipline as the BMP
+    bottom-up/BGR/padding transforms."""
+    if channels not in (3, 4):
+        raise ValueError("png: channels must be 3 (RGB) or 4 (RGBA)")
+    if len(raster) != width * height * channels:
+        raise ValueError("raster size mismatch")
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    stride = width * channels
+    prior = bytes(stride)
+    filtered = bytearray()
+    for y in range(height):
+        cur = raster[y * stride : (y + 1) * stride]
+        ft = y % 5
+        filtered.append(ft)
+        if ft == 0:
+            filtered += cur
+        elif ft == 1:  # Sub
+            filtered += bytes(
+                (cur[x] - (cur[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            filtered += bytes((cur[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            filtered += bytes(
+                (cur[x] - (((cur[x - channels] if x >= channels else 0) + prior[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    cur[x]
+                    - _paeth(
+                        cur[x - channels] if x >= channels else 0,
+                        prior[x],
+                        prior[x - channels] if x >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prior = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    # split IDAT in two so multi-chunk reassembly is exercised by round-trips
+    z = zlib.compress(bytes(filtered), 6)
+    mid = max(1, len(z) // 2) if len(z) > 1 else len(z)
+    idats = chunk(b"IDAT", z[:mid]) + (chunk(b"IDAT", z[mid:]) if z[mid:] else b"")
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00synthetic")  # ancillary chunk to skip
+        + idats
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(width: int, height: int, raster: bytes) -> bytes:

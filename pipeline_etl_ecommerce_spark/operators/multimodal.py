@@ -5,9 +5,11 @@ Since round 4 the uncompressed-format kernels are REAL: ``decode_image``
 dispatches on the payload magic to the dependency-free PPM/BMP parsers in
 ``operators/imagecodec.py``, ``resize_image`` does genuine nearest-neighbor
 resampling of PPM payloads, and ``sample_video_frames`` splits concatenated-P6
-streams (the ``ffmpeg -f image2pipe -vcodec ppm`` framing). Only compressed
-formats (JPEG/PNG/H.264) still raise NotImplementedError — those genuinely
-need codec libraries absent from this environment. ``fake_decode`` et al.
+streams (the ``ffmpeg -f image2pipe -vcodec ppm`` framing). Since round 6
+PNG (8-bit RGB/RGBA, non-interlaced, all five scanline filters) decodes for
+real too — stdlib zlib carries DEFLATE. Only JPEG/H.264-class formats still
+raise NotImplementedError — those genuinely need codec libraries absent
+from this environment. ``fake_decode`` et al.
 remain as the deterministic stand-ins some plumbing tests inject.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
@@ -52,18 +54,22 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL image decode for uncompressed formats: dispatches on the payload
-    magic to the pure-Python PPM (P6/P3) and 24-bit BMP parsers in
-    :mod:`.imagecodec`. Compressed formats still require a codec library."""
-    from .imagecodec import decode_bmp, decode_ppm
+    """REAL image decode: dispatches on the payload magic to the pure-Python
+    PPM (P6/P3), 24-bit BMP, and 8-bit RGB/RGBA PNG parsers in
+    :mod:`.imagecodec` (PNG's DEFLATE layer is stdlib zlib; the scanline
+    filters are implemented). JPEG/H.264-class formats still require a
+    codec library."""
+    from .imagecodec import decode_bmp, decode_png, decode_ppm
 
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/…) require a codec library; "
-        "only PPM and uncompressed BMP decode in this environment"
+        "JPEG/H.264-class formats require a codec library; "
+        "PPM, uncompressed BMP, and 8-bit RGB/RGBA PNG decode in this environment"
     )
 
 
@@ -283,21 +289,44 @@ def synth_raster(media_id: int) -> tuple[int, int, bytes]:
     return w, h, raster
 
 
+def synth_raster_rgba(media_id: int) -> tuple[int, int, bytes]:
+    """RGBA twin of :func:`synth_raster`: dims ``w = 4 + id%4``,
+    ``h = 5 + id%3`` (h ≥ 5 so every image exercises ALL FIVE PNG filter
+    types under the cycling encoder); byte at linear index ``i`` over
+    ``w*h*4`` is ``(id*37 + i*11) % 256``."""
+    w, h = 4 + media_id % 4, 5 + media_id % 3
+    n = w * h * 4
+    base = media_id * 37
+    raster = bytes((base + i * 11) % 256 for i in range(n))
+    return w, h, raster
+
+
 def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
     """mapInPandas encode stage: one valid PPM or BMP payload per id. The
     encoder is separate from the decoder on purpose — the decode stage
     receives opaque bytes it must actually parse (headers, comments, BMP
     bottom-up padded BGR rows), not a dict handed around the side."""
-    from .imagecodec import encode_bmp, encode_ppm
+    from .imagecodec import encode_bmp, encode_png, encode_ppm
 
-    encode = {"ppm": lambda w, h, r: encode_ppm(w, h, r), "bmp": encode_bmp}[fmt]
-    mime = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp"}[fmt]
+    encode = {
+        "ppm": lambda w, h, r: encode_ppm(w, h, r),
+        "bmp": encode_bmp,
+        "png": lambda w, h, r: encode_png(w, h, r),
+        "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
+    }[fmt]
+    mime = {
+        "ppm": "image/x-portable-pixmap",
+        "bmp": "image/bmp",
+        "png": "image/png",
+        "png_rgba": "image/png",
+    }[fmt]
+    raster_fn = synth_raster_rgba if fmt == "png_rgba" else synth_raster
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id in pdf["media_id"]:
-                w, h, raster = synth_raster(int(media_id))
+                w, h, raster = raster_fn(int(media_id))
                 rows.append(
                     {"media_id": media_id, "mime_type": mime, "payload": encode(w, h, raster)}
                 )

@@ -1218,6 +1218,51 @@ def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "bmp")
 
 
+# same formula, same oracle — but the payload is a REAL PNG (stdlib-zlib
+# DEFLATE + CRC-checked chunks + per-row filters cycling through all five
+# types 0..4), so a decoder that botches ANY filter's reconstruction, skips
+# CRC verification, or mishandles multi-chunk IDAT reassembly fails the
+# pixel hash. h = 4 + id%3 means rows 0..5 exist at h=6: every filter type
+# including Paeth is exercised across the table.
+@register("png_decode_stats", _IMAGE_DECODE_SQL_TMPL)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png")
+
+
+# RGBA variant: 4-channel synth raster (w = 4+id%4, h = 5+id%3 — h ≥ 5 so
+# EVERY image individually exercises all five filters), byte i over w*h*4 =
+# (id*37 + i*11) % 256. Channel sums skip alpha (i%4 = 3); row0_sum keeps
+# it — both definitions replayed here. bpp=4 also changes the filters'
+# left-neighbor distance, which the RGB row cannot catch.
+_PNG_RGBA_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 4 + doc_id % 4 AS w, 5 + doc_id % 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i.i, (doc_id * 37 + i.i * 11) % 256 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h * 4 - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS channels, CAST(255 AS BIGINT) AS maxval,
+       CAST(SUM(CASE WHEN i % 4 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 4 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 4 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 1 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 2 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w * 4 THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register("png_rgba_decode_stats", _PNG_RGBA_SQL)
+def png_rgba_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_rgba")
+
+
 # REAL nearest-neighbor resize, end-to-end: synth PPM (same formula) →
 # resize_ppm_nearest to 4x3 → decode the RESIZED bytes → stats. The oracle
 # replays the floor index map sx = dx*sw//4, sy = dy*sh//3 over the pixel

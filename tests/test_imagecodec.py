@@ -1,6 +1,6 @@
-"""Unit tests for the dependency-free PPM/BMP codecs and the real multimodal
-kernels built on them (decode dispatch, nearest-neighbor resize, P6-stream
-frame sampling). Pure-Python — no Spark session needed."""
+"""Unit tests for the dependency-free PPM/BMP/PNG codecs and the real
+multimodal kernels built on them (decode dispatch, nearest-neighbor resize,
+P6-stream frame sampling). Pure-Python — no Spark session needed."""
 
 from __future__ import annotations
 
@@ -9,8 +9,10 @@ import pytest
 from pipeline_etl_ecommerce_spark.operators.imagecodec import (
     DecodeError,
     decode_bmp,
+    decode_png,
     decode_ppm,
     encode_bmp,
+    encode_png,
     encode_ppm,
     iter_ppm_stream,
     resize_ppm_nearest,
@@ -150,8 +152,12 @@ def test_truncated_bmp_raster():
 
 
 def test_compressed_formats_still_not_implemented():
-    with pytest.raises(NotImplementedError):
+    # PNG is implemented since r6 — garbage after the signature is now a
+    # DecodeError from the real parser, not a format gap.
+    with pytest.raises(DecodeError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg")
     with pytest.raises(NotImplementedError):
         resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
     with pytest.raises(NotImplementedError):
@@ -275,3 +281,141 @@ def test_single_byte_mutation_never_crashes(pos, val):
                 fn(bytes(payload))
             except (DecodeError, NotImplementedError):
                 pass
+
+
+# --- PNG: real zlib-backed decode, all five filters, CRC discipline ---------
+import struct as _struct
+import zlib as _zlib
+
+from pipeline_etl_ecommerce_spark.operators.multimodal import synth_raster_rgba
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 7, 123, 4567, 10**9])
+def test_png_roundtrip_matches_formula(media_id):
+    w, h, raster = synth_raster(media_id)
+    st = decode_png(encode_png(w, h, raster))
+    assert (st["width"], st["height"], st["channels"], st["maxval"]) == (w, h, 3, 255)
+    assert st["sum_r"] == sum(raster[0::3])
+    assert st["sum_g"] == sum(raster[1::3])
+    assert st["sum_b"] == sum(raster[2::3])
+    assert (st["top_left_r"], st["top_left_g"], st["top_left_b"]) == tuple(raster[:3])
+    assert st["row0_sum"] == sum(raster[: w * 3])
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 7, 123, 4567])
+def test_png_rgba_roundtrip(media_id):
+    w, h, raster = synth_raster_rgba(media_id)
+    assert h >= 5  # every RGBA image exercises all five filter types
+    st = decode_png(encode_png(w, h, raster, channels=4))
+    assert (st["width"], st["height"], st["channels"]) == (w, h, 4)
+    assert st["sum_r"] == sum(raster[0::4])  # alpha (i%4==3) excluded
+    assert st["sum_b"] == sum(raster[2::4])
+    assert st["row0_sum"] == sum(raster[: w * 4])  # alpha included in the row
+
+
+def test_png_each_filter_type_roundtrips():
+    # h=5 cycles filters 0..4; a constant, a gradient, and a random-ish
+    # raster stress different predictor branches (Average floor, Paeth ties)
+    for pattern in (
+        bytes(5 * 5 * 3),
+        bytes((i % 256) for i in range(5 * 5 * 3)),
+        bytes((i * 97 + 13) % 256 for i in range(5 * 5 * 3)),
+    ):
+        st = decode_png(encode_png(5, 5, pattern))
+        assert st["sum_r"] == sum(pattern[0::3])
+        assert st["row0_sum"] == sum(pattern[: 5 * 3])
+
+
+def test_png_crc_corruption_rejected():
+    payload = bytearray(encode_png(*synth_raster(3)[:2], synth_raster(3)[2]))
+    # flip one bit inside the first IDAT body (CRC must catch it)
+    idx = bytes(payload).index(b"IDAT") + 6
+    payload[idx] ^= 0x01
+    with pytest.raises(DecodeError):
+        decode_png(bytes(payload))
+
+
+def test_png_chunk_crossing_end_rejected():
+    payload = bytearray(encode_png(2, 2, bytes(12)))
+    # inflate the IHDR length field so the chunk crosses the payload end
+    i = bytes(payload).index(b"IHDR") - 4
+    payload[i : i + 4] = _struct.pack(">I", 10_000)
+    with pytest.raises(DecodeError):
+        decode_png(bytes(payload))
+
+
+def test_png_missing_iend_rejected():
+    payload = encode_png(2, 2, bytes(12))
+    with pytest.raises(DecodeError):
+        decode_png(payload[:-12])  # drop the IEND chunk entirely
+
+
+def test_png_interlace_and_exotic_types_not_implemented():
+    def make(depth, color_type, interlace):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0, interlace)
+        def chunk(t, b):
+            return _struct.pack(">I", len(b)) + t + b + _struct.pack(
+                ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+        raw = b"\x00" * 100  # bogus stream; type gate must fire first
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        decode_png(make(8, 2, 1))  # Adam7
+    with pytest.raises(NotImplementedError):
+        decode_png(make(16, 2, 0))  # 16-bit
+    with pytest.raises(NotImplementedError):
+        decode_png(make(8, 3, 0))  # palette
+
+
+def test_png_corrupt_zlib_stream_rejected():
+    def chunk(t, b):
+        return _struct.pack(">I", len(b)) + t + b + _struct.pack(
+            ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"not zlib at all") + chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecodeError):
+        decode_png(bad)
+
+
+def test_png_size_mismatch_rejected():
+    def chunk(t, b):
+        return _struct.pack(">I", len(b)) + t + b + _struct.pack(
+            ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # needs (6+1)*2 bytes
+    short = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 5)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecodeError):
+        decode_png(short)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_png_never_crashes_on_arbitrary_bytes(data):
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=500), val=st.integers(min_value=0, max_value=255))
+def test_png_single_byte_mutation_never_crashes(pos, val):
+    payload = bytearray(encode_png(*synth_raster(7)[:2], synth_raster(7)[2]))
+    payload[pos % len(payload)] = val
+    try:
+        decode_png(bytes(payload))
+    except (DecodeError, NotImplementedError):
+        pass
