@@ -52,13 +52,28 @@ EXACT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
 EXACT_STATE_SCHEMA = "n bigint, cents bigint"
 
 
-def _accumulate_cents(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (n, cents) = state.get if state.exists else (0, 0)
+def fold_running_totals(
+    prev: tuple[int, int] | None, pdfs: Iterable[pd.DataFrame]
+) -> tuple[int, int]:
+    """The pure per-key state fold shared by BOTH stateful APIs
+    (applyInPandasWithState and transformWithState): integer (count, cents)
+    accumulation — associative and order-independent, so any micro-batch
+    composition converges to the batch sum. Split out so the fold is
+    unit-testable without a Spark state server (the transformWithState
+    harness needs google.protobuf, absent in this container)."""
+    n, cents = prev if prev is not None else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
         cents += int(pdf["cents"].sum())
+    return n, cents
+
+
+def _accumulate_cents(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents = fold_running_totals(
+        state.get if state.exists else None, pdfs
+    )
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
@@ -103,11 +118,7 @@ class RunningTotalsProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterable[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        prev = self._totals.get()
-        n, cents = prev if prev is not None else (0, 0)
-        for pdf in rows:
-            n += len(pdf)
-            cents += int(pdf["cents"].sum())
+        n, cents = fold_running_totals(self._totals.get(), rows)
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
