@@ -39,7 +39,11 @@ def run() -> None:
     ap.add_argument(
         "--reps",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")),
+        # min-of-3 is the COMMITTED default (r5 verdict item 6): 1-rep runs
+        # on a loaded host repeatedly produced noise flags the judge had to
+        # adjudicate; the per-query minimum across 3 reps with the spread
+        # recorded alongside is the standard load-noise estimator.
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
         help="runs per query; per-query time reported is the MIN across reps",
     )
     args = ap.parse_args()

@@ -136,12 +136,58 @@ def run_day(spark, payload_dir: str, marts: str, day: dt.date) -> dict[str, int]
     return stats
 
 
+JOURNAL_NAME = "_backfill_journal"
+
+
+def run_backfill(
+    spark,
+    payload_dir: str,
+    marts: str,
+    start: dt.date,
+    end: dt.date,
+    *,
+    day_fn=run_day,
+) -> list[dt.date]:
+    """Resumable multi-day consolidation (the reference's commented backfill
+    loop, ``tarefa_consolidar_dados.php:33-49``, made first-class): process
+    every day in [start, end] IN ORDER, journaling each completed day to
+    ``marts/_backfill_journal`` (single ``day`` column — the same
+    processed-days shape ``streaming.runner.incremental_day_targets``
+    consumes). A crashed run resumes where it stopped: already-journaled
+    days are skipped, and the in-flight day re-runs safely because every
+    sink is a keyed upsert (the journal row is appended only AFTER the day
+    completes — at-least-once day execution, exactly-once day effects).
+
+    Returns the days actually processed this invocation."""
+    journal_path = os.path.join(marts, JOURNAL_NAME)
+    done: set[dt.date] = set()
+    if os.path.exists(journal_path):
+        done = {r[0] for r in spark.read.parquet(journal_path).select("day").collect()}
+    processed = []
+    for i in range((end - start).days + 1):
+        day = start + dt.timedelta(days=i)
+        if day in done:
+            continue
+        stats = day_fn(spark, payload_dir, marts, day)
+        print(f"[{day}] " + ", ".join(f"{k}={v}" for k, v in stats.items()))
+        # journal append is the commit point for the day
+        spark.createDataFrame([(day,)], "day date").write.mode("append").parquet(journal_path)
+        processed.append(day)
+    return processed
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--payloads", required=True, help="dir with <name>.jsonl payload drops")
     ap.add_argument("--marts", required=True, help="output marts directory")
     ap.add_argument("--date", default=None, help="target day (default: today - 3)")
-    ap.add_argument("--backfill", default=None, help="START:END inclusive date range")
+    ap.add_argument(
+        "--backfill",
+        default=None,
+        help="START:END inclusive date range; journaled per completed day "
+        "under <marts>/_backfill_journal, so a crashed run resumes where it "
+        "stopped (re-invoke with the same range)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("run-daily")
@@ -150,8 +196,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.backfill:
         start_s, end_s = args.backfill.split(":")
         start, end = dt.date.fromisoformat(start_s), dt.date.fromisoformat(end_s)
-        days = [start + dt.timedelta(days=i) for i in range((end - start).days + 1)]
-    elif args.date:
+        run_backfill(spark, args.payloads, args.marts, start, end)
+        return 0
+    if args.date:
         days = [dt.date.fromisoformat(args.date)]
     else:
         days = [dt.date.today() - dt.timedelta(days=LATENESS_DAYS)]

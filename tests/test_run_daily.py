@@ -115,3 +115,42 @@ def test_run_day_end_to_end_and_idempotent(spark, tmp_path, payload_dir):
     # idempotence: a re-run of the same day converges to the same marts
     run_day(spark, payload_dir, marts, DAY)
     assert _mart_counts(spark, marts) == counts1
+
+
+def test_backfill_crash_resume_idempotent(spark, tmp_path, payload_dir):
+    """Crash mid-range, then resume: days before the crash are journaled and
+    skipped on re-run; the crashed day re-executes (upserts make that safe);
+    the resumed range converges to the same marts as one clean run."""
+    from run_daily import JOURNAL_NAME, run_backfill
+
+    start, end = dt.date(2025, 8, 10), dt.date(2025, 8, 12)
+
+    # clean reference run over the full range
+    clean = str(tmp_path / "clean")
+    done = run_backfill(spark, payload_dir, clean, start, end)
+    assert done == [start, start + dt.timedelta(days=1), end]
+    clean_counts = _mart_counts(spark, clean)
+    # re-invoking the completed range is a full no-op (all days journaled)
+    assert run_backfill(spark, payload_dir, clean, start, end) == []
+
+    # crashing run: day 2 raises the first time through
+    crashy = str(tmp_path / "crashy")
+    calls = {"n": 0}
+
+    def flaky_day(spark_, payloads_, marts_, day_):
+        if day_ == dt.date(2025, 8, 11) and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash mid-backfill")
+        return run_day(spark_, payloads_, marts_, day_)
+
+    with pytest.raises(RuntimeError):
+        run_backfill(spark, payload_dir, crashy, start, end, day_fn=flaky_day)
+    journaled = {
+        r[0] for r in spark.read.parquet(os.path.join(crashy, JOURNAL_NAME)).collect()
+    }
+    assert journaled == {start}  # only the completed day committed
+
+    # resume with the SAME range: skips day 1, redoes day 2, finishes day 3
+    resumed = run_backfill(spark, payload_dir, crashy, start, end, day_fn=flaky_day)
+    assert resumed == [dt.date(2025, 8, 11), end]
+    assert _mart_counts(spark, crashy) == clean_counts
