@@ -681,83 +681,22 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-5 rotation (the r4 verdict's #3 ask): the red row
-# re-green first, then the 14 queries that have never had a recorded driver
-# row (r1∪r2∪r3∪r4 = 189 of 203) — after r5 EVERY oracle-paired query in
-# the catalog has a recorded CORRECTNESS row in some round. Next the
-# queries NEW in r5 (forward-safe: _driver_order skips names not yet in
-# QUERIES), the 7-query flagship core, and a top-up to 50 with the queries
-# whose latest driver evidence is oldest (r01) as drift re-confirmation.
-# Previously-green queries stay protected by selfcheck+pytest.
+# queries() emits). Round-6 rotation (the r5 verdict's #1 ask): first the
+# 17 queries with NO driver-green row in any round — the 14 r5-late
+# additions, sketch_profile_lineitem (rows-only until r6; now oracle-paired)
+# and the two NEW png decode rows — so after r6 every catalog query has
+# recorded driver evidence. Then the kmeans family re-recorded under the
+# r6 adaptive-k trajectory (code + oracle both changed), the 7-query
+# flagship core, and a top-up to 50 with the queries whose latest driver
+# evidence is oldest (r02). Previously-green queries stay protected by
+# selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) the round-4 red row, re-greened (oracle HUGEINT→BIGINT cast).
-    "token_budget_mixture",
-    # (b) the 14 never-driver-checked queries (all green in the r4 judge's
-    # hostile selfcheck; this records them).
-    "ivf_recall_at3",
-    "xml_source_roundtrip",
-    "streaming_static_enrichment",
-    "ntile_price_quartiles",
-    "copurchase_triangles",
-    "q12_priority_lines_by_status",
-    "trigram_perplexity_scores",
-    "ccnet_perplexity_buckets",
-    "bucketed_colocated_join",
-    "brand_price_percent_rank",
-    "bfs_copurchase_distances",
-    "listagg_brand_part_names",
-    "unpivot_flag_metrics",
-    "recursive_hierarchy_rollup",
-    # (c) NEW in round 5 (registered later this round; forward-safe).
-    "listagg_distinct_types",
-    "rocksdb_user_totals_executed",
-    "doc_feature_correlation",
-    "regex_token_extracts",
-    "latest_event_max_by",
-    "grouped_head_tail_docs",
-    "table_checksum_by_day",
-    "order_clv_deciles",
-    # (d) flagship core, every round.
-    "flagship_consolidation",
-    "pricing_summary",
-    "freight_allocation",
-    "customers_without_orders",
-    "part_filters",
-    "daily_event_rollup",
-    "last_event_per_user",
-    # (e) top-up to 50: queries whose latest driver evidence is r01 —
-    # oldest-first drift re-confirmation, one per family where possible.
-    "distinct_segments",
-    "coalesce_key_agg",
-    "watermark_d3_events",
-    "top3_parts_per_brand",
-    "rank_capture_events",
-    "union_active_parts",
-    "first_lineitem_per_order",
-    "dedup_exact_documents",
-    "minhash_candidate_pairs",
-    "simhash_documents",
-    "knn_cosine_top3",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "doc_fingerprint",
-    "region_customer_rollup",
-    "supplier_same_nation_pairs",
-    "insert_if_absent_users",
-    "posexplode_embeddings",
-    "near_dup_verified_pairs",
-    "train_val_test_split",
-    # ---- position 51+: anything past the first 50 (including overflow from
-    # this list if all (c) names register) keeps its place as a candidate;
-    # rotated-out greens keep catalog order (appended by _driver_order).
-    "stratified_doc_sample",
-    "packed_sequences",
-    "salted_returnflag_totals",
-    "embedding_norms",
-    "multimodal_decode_stub",
-    # ---- NEW in the round-5 continuation session (hostile-verified at
-    # sf0.001+sf0.01; r6 window candidates).
+    # (a) the 17 never-driver-checked queries (all hostile-selfcheck green
+    # at sf0.001/0.01/0.1 this round; this records them).
+    "sketch_profile_lineitem",
+    "png_decode_stats",
+    "png_rgba_decode_stats",
     "wav_decode_stats",
     "peak_concurrent_orders",
     "event_type_transitions",
@@ -772,6 +711,57 @@ _DRIVER_PRIORITY = [
     "cdc_apply_snapshot",
     "sink_compaction_roundtrip",
     "streaming_cdc_apply_executed",
+    # (b) changed in r6: adaptive-k coarse quantizer (k scales with the
+    # corpus; oracle replays it via LIMIT-subquery) — re-record the family.
+    "kmeans_clusters",
+    "semantic_dedup_keep",
+    "ivf_ann_top3",
+    "ivf_recall_at3",
+    # (c) flagship core, every round.
+    "flagship_consolidation",
+    "pricing_summary",
+    "freight_allocation",
+    "customers_without_orders",
+    "part_filters",
+    "daily_event_rollup",
+    "last_event_per_user",
+    # (d) top-up to 50: queries whose latest driver evidence is r02 —
+    # oldest-first drift re-confirmation, one per family where possible.
+    "json_props_extract",
+    "near_dup_components",
+    "ngram_lang_classifier",
+    "bm25_query_scores",
+    "tfidf_top_terms",
+    "doc_repetition_stats",
+    "pii_scan",
+    "decontamination_report",
+    "column_profile",
+    "shuffle_shards_docs",
+    "event_sessions",
+    "last_touch_attribution",
+    "clicks_before_purchase",
+    "rollup_returnflag_status",
+    "cube_status_priority",
+    "pivot_status_qty",
+    "corpus_top_terms",
+    "returnflag_price_stats",
+    "price_percentiles",
+    "order_price_histogram",
+    "user_daily_gapfill",
+    "user_rolling_value",
+    # ---- position 51+: remaining r02-evidence queries queue for the next
+    # rotation; rotated-out greens keep catalog order (appended by
+    # _driver_order).
+    "fuzzy_text_pairs",
+    "doc_chunks",
+    "dup_ngram_stats",
+    "mixture_sampled_docs",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "user_event_deltas",
+    "small_quantity_revenue",
+    "corpus_training_sequences",
+    "late_shipment_priority",
 ]
 
 
