@@ -44,6 +44,7 @@ __all__ = [
     "encode_png",
     "encode_ppm",
     "iter_ppm_stream",
+    "resize_png_nearest",
     "resize_ppm_nearest",
 ]
 
@@ -372,11 +373,9 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit RGB/RGBA non-interlaced PNG and return the same stat
-    dict shape as :func:`decode_ppm` (``channels`` is 3 or 4; for RGBA the
-    per-channel sums cover R/G/B and ``row0_sum`` includes alpha bytes —
-    both definitions are replayed exactly by the SQL oracle)."""
+def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse an 8-bit RGB/RGBA non-interlaced PNG to its reconstructed
+    top-down raster: ``(width, height, channels, bytes)``."""
     if payload[:8] != _PNG_SIG:
         raise DecodeError("png: bad signature")
     ihdr = None
@@ -420,7 +419,15 @@ def decode_png(payload: bytes) -> dict:
     except zlib.error as e:
         raise DecodeError("png: corrupt IDAT zlib stream") from e
     channels = 3 if color_type == 2 else 4
-    recon = _unfilter(raw, width, height, channels)
+    return width, height, channels, _unfilter(raw, width, height, channels)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit RGB/RGBA non-interlaced PNG and return the same stat
+    dict shape as :func:`decode_ppm` (``channels`` is 3 or 4; for RGBA the
+    per-channel sums cover R/G/B and ``row0_sum`` includes alpha bytes —
+    both definitions are replayed exactly by the SQL oracle)."""
+    width, height, channels, recon = _png_raster(payload)
     mv = memoryview(recon)
     return {
         "width": width,
@@ -435,6 +442,26 @@ def decode_png(payload: bytes) -> dict:
         "top_left_b": recon[2],
         "row0_sum": sum(recon[: width * channels]),
     }
+
+
+def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize of an 8-bit RGB/RGBA PNG, returned
+    re-encoded as PNG with the same channel count. Same floor index map as
+    :func:`resize_ppm_nearest` (``src = dst * src_dim // dst_dim``), so the
+    SQL oracle replays resized pixels exactly."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize: target dimensions must be positive")
+    src_w, src_h, channels, raster = _png_raster(payload)
+    out = bytearray(width * height * channels)
+    row_stride = src_w * channels
+    for dy in range(height):
+        src_row = (dy * src_h // height) * row_stride
+        drow = dy * width * channels
+        for dx in range(width):
+            s = src_row + (dx * src_w // width) * channels
+            d = drow + dx * channels
+            out[d : d + channels] = raster[s : s + channels]
+    return encode_png(width, height, bytes(out), channels=channels)
 
 
 def encode_png(

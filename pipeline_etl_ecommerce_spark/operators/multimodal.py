@@ -128,18 +128,27 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_image(payload: bytes, width: int, height: int) -> dict:
-    """REAL nearest-neighbor resize for PPM payloads (floor index map
-    ``src = dst * src_dim // dst_dim`` — SQL-reproducible); compressed
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Format-dispatching nearest-neighbor resize (floor index map
+    ``src = dst * src_dim // dst_dim`` — SQL-reproducible) for the real
+    codecs: PPM stays PPM, PNG stays PNG (RGB or RGBA). JPEG/H.264-class
     formats still require a codec library."""
-    from .imagecodec import resize_ppm_nearest
+    from .imagecodec import resize_png_nearest, resize_ppm_nearest
 
-    if payload[:2] not in (b"P6", b"P3"):
-        raise NotImplementedError(
-            "resize of compressed formats requires a codec library; only PPM "
-            "resizes in this environment"
-        )
-    out = resize_ppm_nearest(payload, width, height)
+    if payload[:2] in (b"P6", b"P3"):
+        return resize_ppm_nearest(payload, width, height)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return resize_png_nearest(payload, width, height)
+    raise NotImplementedError(
+        "resize of JPEG/H.264-class formats requires a codec library; "
+        "PPM and PNG resize in this environment"
+    )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> dict:
+    """REAL nearest-neighbor resize for PPM/PNG payloads; see
+    :func:`_resize_payload` for the dispatch and index-map contract."""
+    out = _resize_payload(payload, width, height)
     return {
         "n_bytes": len(out),
         "content_hash": hashlib.md5(out).hexdigest(),
@@ -360,22 +369,22 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_image_stats(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """mapInPandas REAL-resize stage: nearest-neighbor-resample each PPM
-    payload (:func:`.imagecodec.resize_ppm_nearest`, floor index map), then
-    decode the RESIZED image and emit its exact pixel stats — which the SQL
-    oracle reproduces by replaying the index map over the synthesis formula.
+    """mapInPandas REAL-resize stage: nearest-neighbor-resample each payload
+    (format-dispatched — PPM or PNG, floor index map), then decode the
+    RESIZED image and emit its exact pixel stats — which the SQL oracle
+    reproduces by replaying the index map over the synthesis formula.
     Proves the resampler end-to-end, not just that some bytes came back."""
-    from .imagecodec import DecodeError, decode_ppm, resize_ppm_nearest
+    from .imagecodec import DecodeError
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    resized = resize_ppm_nearest(
+                    resized = _resize_payload(
                         bytes(payload) if payload is not None else b"", width, height
                     )
-                    stats = decode_ppm(resized)
+                    stats = decode_image(resized)
                     stats["decode_status"] = "ok"
                 except (DecodeError, NotImplementedError) as e:
                     stats = dict.fromkeys(_STATS_COLS[1:-1])

@@ -697,6 +697,7 @@ _DRIVER_PRIORITY = [
     "sketch_profile_lineitem",
     "png_decode_stats",
     "png_rgba_decode_stats",
+    "png_resize_stats",
     "wav_decode_stats",
     "peak_concurrent_orders",
     "event_type_transitions",
@@ -748,10 +749,10 @@ _DRIVER_PRIORITY = [
     "price_percentiles",
     "order_price_histogram",
     "user_daily_gapfill",
-    "user_rolling_value",
     # ---- position 51+: remaining r02-evidence queries queue for the next
     # rotation; rotated-out greens keep catalog order (appended by
     # _driver_order).
+    "user_rolling_value",
     "fuzzy_text_pairs",
     "doc_chunks",
     "dup_ngram_stats",
@@ -1296,6 +1297,18 @@ def ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return resize_image_stats(synthesize_images(ids, fmt="ppm"), width=4, height=3)
+
+
+# same oracle verbatim: the synth formula and floor map are format-agnostic,
+# so the PNG path (decode through zlib + the five unfilters, resize, THEN
+# re-encode as PNG and decode again) must land on pixel-identical stats —
+# the whole codec round-trips inside the query, twice.
+@register("png_resize_stats", _RESIZE_STATS_SQL)
+def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_image_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return resize_image_stats(synthesize_images(ids, fmt="png"), width=4, height=3)
 
 
 # REAL video-frame sampling, end-to-end: per-id concatenated-P6 stream of

@@ -16,9 +16,11 @@ def test_every_oracle_has_a_query():
     assert set(oracles) <= set(qs)
 
 
-def test_only_sketch_profile_is_rows_only():
+def test_every_query_is_oracle_paired():
+    # since r6 even the sketch profile has a (tolerance-banded) oracle:
+    # no catalog row may ship without a value-hash check.
     qs, oracles = tq.queries(), tq.oracle_sql()
-    assert set(qs) - set(oracles) == {"sketch_profile_lineitem"}
+    assert set(qs) - set(oracles) == set()
 
 
 def test_driver_priority_names_all_registered():
