@@ -698,6 +698,7 @@ _DRIVER_PRIORITY = [
     "png_decode_stats",
     "png_rgba_decode_stats",
     "png_resize_stats",
+    "zorder_parts_layout",
     "wav_decode_stats",
     "peak_concurrent_orders",
     "event_type_transitions",
@@ -748,10 +749,10 @@ _DRIVER_PRIORITY = [
     "returnflag_price_stats",
     "price_percentiles",
     "order_price_histogram",
-    "user_daily_gapfill",
     # ---- position 51+: remaining r02-evidence queries queue for the next
     # rotation; rotated-out greens keep catalog order (appended by
     # _driver_order).
+    "user_daily_gapfill",
     "user_rolling_value",
     "fuzzy_text_pairs",
     "doc_chunks",
@@ -9763,6 +9764,56 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# Z-order layout (operators/layout.py): the multi-column clustering pass a
+# 100 TB table runs so parquet min/max stats prune files for predicates on
+# ANY participating column (Delta OPTIMIZE ZORDER BY / Iceberg sort-rewrite
+# shape). The key is a flat integer bit-interleave — zero floats — so the
+# oracle replays it term for term; grouping by the top 6 interleaved bits
+# (an 8×8 grid over both dimensions) emits each "file"'s min/max span on
+# BOTH columns, pinning the locality claim in the value hash, not just the
+# key arithmetic.
+from .operators.layout import quantize as _zq, zorder_key as _zkey, zorder_key_sql as _zkey_sql  # noqa: E402
+
+_ZORDER_SQL = f"""
+WITH q AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         (LEAST(GREATEST(CAST(p_size AS BIGINT), 0), 63) >> 0) AS qx,
+         (LEAST(GREATEST(CAST(ROUND(p_retailprice * 100) AS BIGINT), 0), 262143) >> 12) AS qy
+  FROM part
+),
+z AS (
+  SELECT p_size, cents, {_zkey_sql(['qx', 'qy'], bits=6)} AS zkey FROM q
+)
+SELECT zkey >> 6 AS z_bucket,
+       COUNT(*) AS n_parts,
+       CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_parts_layout", _ZORDER_SQL)
+def zorder_parts_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_size", F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents")
+    )
+    q = p.select(
+        "p_size",
+        "cents",
+        _zq(F.col("p_size"), 0, range_bits=6, bits=6).alias("qx"),
+        _zq(F.col("cents"), 0, range_bits=18, bits=6).alias("qy"),
+    )
+    z = q.select("p_size", "cents", _zkey([F.col("qx"), F.col("qy")], bits=6))
+    return z.groupBy(F.shiftright("zkey", 6).alias("z_bucket")).agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
 
 
 # Batch CDC apply (operators/cdc.py): fold an I/U/D op log into a
