@@ -81,6 +81,9 @@ ALLOWED_PYTHON = {
     "ppm_decode_stats",   # REAL decode: synth mapInPandas + parser mapInPandas
     "bmp_decode_stats",   # REAL decode (bottom-up padded BGR parse)
     "ppm_resize_stats",   # REAL nearest-neighbor resample + decode of result
+    "png_decode_stats",   # REAL PNG decode (zlib DEFLATE + 5 unfilters, CRC)
+    "png_rgba_decode_stats",  # REAL PNG RGBA decode (bpp=4 filter distances)
+    "png_resize_stats",   # REAL PNG resample: decode+resize+re-encode+decode
     "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
     "wav_decode_stats",   # REAL RIFF/WAVE chunk-walk decode (audio leg)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
@@ -100,9 +103,28 @@ _DSIR_WIDEN = (
     "No-op on inputs whose split count already covers the cluster."
 )
 
+_KMEANS_WIDEN = (
+    "clustering._assign widens its input to cluster parallelism before the "
+    "O(n*k) distance crossjoin (same 1-split cliff class as DSIR; measured "
+    "interleaved A/B at the 10x corpus: 9-14s widened vs 31-69s not). One "
+    "repartition exchange per assignment layer; no-op when splits already "
+    "cover the cluster."
+)
+
 EXPLAINED_GROWTH: dict[str, str] = {
     "dsir_importance_weights": _DSIR_WIDEN,
     "dsir_selected_corpus": _DSIR_WIDEN,
+    "kmeans_clusters": _KMEANS_WIDEN,
+    "semantic_dedup_keep": _KMEANS_WIDEN,
+    "ivf_ann_top3": _KMEANS_WIDEN,
+    "ivf_recall_at3": _KMEANS_WIDEN,
+    "pq_adc_top3": _KMEANS_WIDEN,
+    "sketch_profile_lineitem": (
+        "r6 gave the sketch row a tolerance-banded oracle: the exact "
+        "count-distinct + percentile band-check aggregation and its join "
+        "add 3 exchanges at TEST SF by design; the production path remains "
+        "the single-pass sketch aggregate."
+    ),
     "peak_concurrent_orders": (
         "switched to the two-level parallel prefix scan (cell_width): the "
         "single-window plan capped the running sum at one task per group "
@@ -151,6 +173,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm every shared side mart FIRST (same setup step as bench.py):
+    # otherwise the mart materializes at its first consumer in WINDOW order,
+    # and the printed InMemoryRelation/AQE state inside later consumers'
+    # plans shifts whenever the rotation reorders the window — r6 saw
+    # phantom "plan growth" on untouched queries from exactly this
+    # (minhash_candidate_pairs 2->4 exchanges during the audit, 2 in a
+    # fresh session). Warming first makes the capture order-independent.
+    from pipeline_etl_ecommerce_spark import testdata_queries as _tq
+
+    _tq.warm_side_tables(spark, sf_dir)
 
     results: dict[str, dict] = {}
     failures: list[str] = []
