@@ -90,16 +90,18 @@ def write_zordered(
     bits: int = 16,
     target_files: int = 8,
     mode: str = "overwrite",
+    keep_key: bool = False,
 ) -> None:
     """Rewrite ``df`` as ``target_files`` parquet files clustered on the
     Z-curve of ``cols``: one range shuffle on the z-key, a local sort inside
-    each range, key dropped before write. Each output file then holds a
-    contiguous z-range — narrow min/max on every participating column."""
+    each range. Each output file then holds a contiguous z-range — narrow
+    min/max on every participating column. ``keep_key=True`` persists the
+    ``__zkey`` column so readers can range-filter on it directly (the
+    ``sinks.write_zorder_mart`` contract); the default drops it."""
     keyed = df.withColumn("__zkey", zorder_key(cols, bits=bits))
-    (
-        keyed.repartitionByRange(target_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode(mode)
-        .parquet(path)
+    ranged = keyed.repartitionByRange(target_files, "__zkey").sortWithinPartitions(
+        "__zkey"
     )
+    if not keep_key:
+        ranged = ranged.drop("__zkey")
+    ranged.write.mode(mode).parquet(path)

@@ -464,29 +464,19 @@ class WriterLockHeld(RuntimeError):
 
 
 def zorder_key(x, y, *, bits: int = 16):
-    """Morton (Z-order) key: interleave the low ``bits`` bits of two
-    non-negative integer expressions into one BIGINT, so locality in the
-    combined key preserves locality in BOTH dimensions. Pure integer
-    shift/mask arithmetic built from codegen HOFs — deterministic on any
-    engine (the repo's oracle discipline; no floats anywhere).
-
-    Inputs must already be quantized to ``[0, 2^bits)`` — quantization is
-    the caller's policy decision (day numbers, id buckets, histogram
-    bins); values are masked defensively."""
+    """Two-column Morton key — thin delegate to the n-dimensional builder
+    in ``operators.layout`` (ONE bit-interleave implementation repo-wide;
+    for d=2 column j's bit i lands at 2i+j, identical to the historical
+    inline form — integer adds commute, and reading only bits 0..bits-1
+    equals the old defensive mask). Inputs must already be quantized to
+    ``[0, 2^bits)``."""
     from pyspark.sql import functions as F
+
+    from ..operators.layout import zorder_key as _zk
 
     xm = F.col(x) if isinstance(x, str) else x
     ym = F.col(y) if isinstance(y, str) else y
-    mask = (1 << bits) - 1
-    xb = xm.cast("long").bitwiseAND(F.lit(mask))
-    yb = ym.cast("long").bitwiseAND(F.lit(mask))
-    # unrolled with literal shift counts (shiftleft's bit count must be a
-    # literal) — 2*bits adds, all whole-stage codegen, no HOF lambdas
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return z
+    return _zk([xm, ym], bits=bits)
 
 
 def write_zorder_mart(
@@ -502,16 +492,15 @@ def write_zorder_mart(
     reduction): cluster files by the Morton key of (x, y) so a box
     predicate on EITHER or BOTH dimensions overlaps a bounded subset of
     files — the multi-dim generalization of ``write_sorted_mart``, which
-    can only serve one dimension. The ``__zkey`` column is persisted so
-    readers can range-filter on it directly (min/max footer stats prune)."""
-    out = df.withColumn("__zkey", zorder_key(x_col, y_col, bits=bits))
+    can only serve one dimension. The ``__zkey`` column is PERSISTED so
+    readers can range-filter on it directly (min/max footer stats prune);
+    delegates to ``operators.layout.write_zordered`` with keep_key."""
+    from ..operators.layout import write_zordered
+
     n = target_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    (
-        out.repartitionByRange(n, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    xm = F.col(x_col) if isinstance(x_col, str) else x_col
+    ym = F.col(y_col) if isinstance(y_col, str) else y_col
+    write_zordered(df, path, [xm, ym], bits=bits, target_files=n, keep_key=True)
 
 
 def merge_aggregate_mart(
