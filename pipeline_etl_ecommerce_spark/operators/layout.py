@@ -105,3 +105,34 @@ def write_zordered(
     if not keep_key:
         ranged = ranged.drop("__zkey")
     ranged.write.mode(mode).parquet(path)
+
+
+def recluster_zordered(
+    spark,
+    path: str,
+    cols: list[Column],
+    *,
+    bits: int = 16,
+    target_files: int = 8,
+) -> int:
+    """Table maintenance: rewrite an EXISTING parquet path into
+    ``target_files`` Z-clustered files IN PLACE — the scheduled job that
+    repairs the layout after appends/streaming upserts fragment it (the
+    Delta ``OPTIMIZE ZORDER BY`` maintenance shape, composing the
+    compaction family's atomic temp-write-then-swap so concurrent readers
+    see either the old layout or the new one, never a partial directory).
+    Returns the post-rewrite file count."""
+    import glob
+    import os
+
+    from ..sources.sinks import _write_and_swap
+
+    df = spark.read.parquet(path)
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits=bits))
+    ranged = (
+        keyed.repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    _write_and_swap(ranged, path, prefix="zorder_")
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -627,6 +627,50 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark 4 VariantType (the shredded semi-structured path): at 100 TB a JSON
+# string column is re-parsed on every query, while VARIANT parses once and
+# stores a binary-shredded encoding that typed path extraction reads
+# directly. The query builds a NESTED document from known columns
+# (to_json), parses it to VARIANT, and extracts typed values back through
+# object, nested-object, and array-index paths — so the oracle is simply
+# the ORIGINAL columns (lossless round-trip identity), and any extraction,
+# typing, or path bug breaks the hash. props.k rides along through the
+# same variant (string-typed, as stored). NULL discipline: to_json drops
+# null fields, try_variant_get returns NULL on missing paths — identity
+# holds for null inputs too.
+_VARIANT_SQL = """
+SELECT event_id, event_type AS t,
+       user_id AS u, value AS amt,
+       event_id AS id0,
+       props->>'$.k' AS k_str
+FROM events
+"""
+
+
+@register("variant_props_extract", _VARIANT_SQL)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(F.col("user_id").alias("u"), F.col("value").alias("amt")).alias(
+                "who"
+            ),
+            F.array("event_id").alias("ids"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.t", "string").alias("t"),
+        F.try_variant_get("v", "$.who.u", "long").alias("u"),
+        F.try_variant_get("v", "$.who.amt", "double").alias("amt"),
+        F.try_variant_get("v", "$.ids[0]", "long").alias("id0"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+    )
+
+
 # ===========================================================================
 # Dedup (exact): hash-groupBy canonicalization over documents
 # ===========================================================================
@@ -699,6 +743,8 @@ _DRIVER_PRIORITY = [
     "png_rgba_decode_stats",
     "png_resize_stats",
     "zorder_parts_layout",
+    "zorder_recluster_roundtrip",
+    "variant_props_extract",
     "wav_decode_stats",
     "peak_concurrent_orders",
     "event_type_transitions",
@@ -747,11 +793,11 @@ _DRIVER_PRIORITY = [
     "pivot_status_qty",
     "corpus_top_terms",
     "returnflag_price_stats",
-    "price_percentiles",
-    "order_price_histogram",
     # ---- position 51+: remaining r02-evidence queries queue for the next
     # rotation; rotated-out greens keep catalog order (appended by
     # _driver_order).
+    "price_percentiles",
+    "order_price_histogram",
     "user_daily_gapfill",
     "user_rolling_value",
     "fuzzy_text_pairs",
@@ -9814,6 +9860,90 @@ def zorder_parts_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# Z-order recluster EXECUTED (table maintenance, the OPTIMIZE ZORDER
+# shape): a deliberately fragmented copy of part (64-way write) is
+# re-clustered IN PLACE to 8 z-ordered files via the atomic
+# temp-write-then-swap. Content identity is pinned by the same per-bucket
+# min/max oracle as zorder_parts_layout (the z-key is a pure function of
+# the DATA, so the aggregate is file-layout-independent), and the file
+# count rides as a banded boolean (range partitioning may emit empty
+# ranges, so <= target is the contract, not ==).
+_ZORDER_RECLUSTER_SQL = f"""
+WITH q AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         (LEAST(GREATEST(CAST(p_size AS BIGINT), 0), 63) >> 0) AS qx,
+         (LEAST(GREATEST(CAST(ROUND(p_retailprice * 100) AS BIGINT), 0), 262143) >> 12) AS qy
+  FROM part
+),
+z AS (
+  SELECT p_size, cents, {_zkey_sql(['qx', 'qy'], bits=6)} AS zkey FROM q
+)
+SELECT zkey >> 6 AS z_bucket,
+       COUNT(*) AS n_parts,
+       CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+       TRUE AS files_ok
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_recluster_roundtrip", _ZORDER_RECLUSTER_SQL)
+def zorder_recluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .operators.layout import recluster_zordered
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    base = _tempfile.mkdtemp(prefix="zorder_recluster_")
+    target = os.path.join(base, "mart")
+    try:
+        p.repartition(64).write.parquet(target)  # the fragmented debris
+        assert len(_glob.glob(os.path.join(target, "*.parquet"))) > 8
+        n_files = recluster_zordered(
+            spark,
+            target,
+            [
+                _zq(F.col("p_size"), 0, range_bits=6, bits=6),
+                _zq(
+                    F.round(F.col("p_retailprice") * 100, 0).cast("long"),
+                    0,
+                    range_bits=18,
+                    bits=6,
+                ),
+            ],
+            bits=6,
+            target_files=8,
+        )
+        back = spark.read.parquet(target).select(
+            "p_size",
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+        )
+        q = back.select(
+            "p_size",
+            "cents",
+            _zq(F.col("p_size"), 0, range_bits=6, bits=6).alias("qx"),
+            _zq(F.col("cents"), 0, range_bits=18, bits=6).alias("qy"),
+        )
+        z = q.select("p_size", "cents", _zkey([F.col("qx"), F.col("qy")], bits=6))
+        return (
+            z.groupBy(F.shiftright("zkey", 6).alias("z_bucket"))
+            .agg(
+                F.count("*").alias("n_parts"),
+                F.min("p_size").cast("long").alias("min_size"),
+                F.max("p_size").cast("long").alias("max_size"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+            .withColumn("files_ok", F.lit(n_files <= 8))
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 # Batch CDC apply (operators/cdc.py): fold an I/U/D op log into a

@@ -104,3 +104,26 @@ def test_write_zordered_file_locality(spark, tmp_path):
         .collect()
     )
     assert max(max(r["sx"], r["sy"]) for r in base) >= 60
+
+
+def test_recluster_zordered_in_place(spark, tmp_path):
+    from pipeline_etl_ecommerce_spark.operators.layout import recluster_zordered
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "mart")
+    df.repartition(40).write.parquet(path)  # fragmented debris
+
+    n_files = recluster_zordered(
+        spark, path, [F.col("x"), F.col("y")], bits=6, target_files=16
+    )
+    assert n_files <= 16
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert sorted(back.columns) == ["x", "y"]  # __zkey dropped
+    spans = (
+        back.groupBy(F.input_file_name())
+        .agg((F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert max(max(r["sx"], r["sy"]) for r in spans) <= 40  # clustered, not debris
