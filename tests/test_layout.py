@@ -127,3 +127,44 @@ def test_recluster_zordered_in_place(spark, tmp_path):
         .collect()
     )
     assert max(max(r["sx"], r["sy"]) for r in spans) <= 40  # clustered, not debris
+
+
+# --- hypothesis: bit-interleave exactness over the full input space --------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=(1 << 12) - 1), min_size=2, max_size=4),
+)
+def test_zorder_sql_twin_always_matches_reference(vals):
+    # DuckDB-evaluated SQL twin == pure-Python Morton reference for any
+    # dimensionality 2-4 and any 12-bit values (the oracle-side contract)
+    import duckdb
+
+    cols = [f"c{i}" for i in range(len(vals))]
+    sel = ", ".join(f"{v} AS {c}" for v, c in zip(vals, cols))
+    got = duckdb.connect().execute(
+        f"SELECT {zorder_key_sql(cols, bits=12)} FROM (SELECT {sel})"
+    ).fetchone()[0]
+    assert got == _morton_ref(vals, 12)
+
+
+def test_zorder_prefix_property(spark):
+    # equal z-prefix => equal high bits in EVERY dimension (the property
+    # file skipping relies on): verify over an exhaustive 5-bit grid
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT x, y, " + zorder_key_sql(["x", "y"], bits=5) + " AS z "
+        "FROM (SELECT a.range AS x, b.range AS y FROM range(32) a, range(32) b)"
+    ).fetchall()
+    for x, y, z in rows:
+        # exact deinterleave: the key is a bijection on the grid, and each
+        # dimension's bits sit at their assigned positions
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(5))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(5))
+        assert (rx, ry) == (x, y)
+    assert len({z for _, _, z in rows}) == 1024  # bijective over the grid
