@@ -3637,9 +3637,17 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF ANN with the pinned k-means coarse quantizer: the oracle replays the
 # full trajectory — Lloyd's CTEs (shared with kmeans_clusters), the same
 # 6dp-rounded probe ranking, and the cosine re-rank — so the formerly
-# rows-only IVF query now has a value-hash check. nprobe/k_clusters match
-# the kmeans family constants to reuse the proven CTE machinery.
-_IVF_NPROBE, _IVF_K = 3, 3
+# rows-only IVF query now has a value-hash check. Since r6 the quantizer's
+# k is adaptive (∝ corpus size), so nprobe scales with it to hold the
+# probed FRACTION at the family's pinned 3-of-8 (a fixed nprobe probed a
+# shrinking fraction and the measured worst-query recall@3 fell 0.67→0.33
+# at sf0.1; see operators.ivf.adaptive_nprobe). ceil(k*3/8) is exact on
+# both engines (power-of-two dyadic multiplier). sf0.01 stays k=8/nprobe=3
+# — byte-identical to the r4/r5 recorded trajectory.
+_IVF_K = 3
+_IVF_NPROBE_SQL = (
+    f"SELECT GREATEST(3, CAST(CEIL(({_KMEANS_K_SQL}) * 3.0 / 8.0) AS BIGINT))"
+)
 
 _IVF_SQL = f"""
 {_kmeans_ctes(_KMEANS_K_SQL, _KMEANS_ITERS)},
@@ -3653,7 +3661,7 @@ probe AS (
                                                        p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d2
             FROM qv q, c{_KMEANS_ITERS - 1} c
         )
-    ) WHERE prn <= {_IVF_NPROBE}
+    ) WHERE prn <= ({_IVF_NPROBE_SQL})
 ),
 invlists AS (SELECT _vid AS cand_id, vec AS cvec2, cid FROM a{_KMEANS_ITERS}),
 scored AS (
@@ -3675,12 +3683,15 @@ from .operators.ivf import ivf_search_pinned  # noqa: E402
 
 @register("ivf_ann_top3", _IVF_SQL)
 def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import adaptive_k
+    from .operators.ivf import adaptive_nprobe
+
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_search_pinned(
         _kmeans_assignment(spark, sf_dir),
         _kmeans_centroids(spark, sf_dir),
         emb.filter(F.col("vec_id") < 10),
-        nprobe=_IVF_NPROBE,
+        nprobe=adaptive_nprobe(adaptive_k(emb.count())),
         k=_IVF_K,
     )
 
