@@ -119,9 +119,15 @@ def recluster_zordered(
     ``target_files`` Z-clustered files IN PLACE — the scheduled job that
     repairs the layout after appends/streaming upserts fragment it (the
     Delta ``OPTIMIZE ZORDER BY`` maintenance shape, composing the
-    compaction family's atomic temp-write-then-swap so concurrent readers
-    see either the old layout or the new one, never a partial directory).
-    Returns the post-rewrite file count."""
+    compaction family's temp-write-then-swap: the new layout fully
+    materializes before the old one drops, so no reader ever sees a
+    PARTIAL directory). Honest reader contract, same as ``compact_path``:
+    the swap itself is rmtree-then-move, so a reader that lists the path
+    inside that window errors on a missing directory — schedule under
+    ``sinks.writer_lock``, or recluster into a versioned mart
+    (``sinks.transactional_upsert_to_path``'s snapshot+pointer layout)
+    when readers need a truly atomic flip. Returns the post-rewrite file
+    count."""
     import glob
     import os
 
