@@ -53,6 +53,12 @@ class DecodeError(ValueError):
     """Malformed or unsupported payload (distinct from 'library missing')."""
 
 
+# Hard ceiling on any decoded raster (filter bytes included): a curation
+# pipeline's thumbnails/pages sit far below this, and the bound is what turns
+# a crafted zlib bomb into a DecodeError instead of an executor MemoryError.
+_MAX_RASTER_BYTES = 256 * 1024 * 1024
+
+
 # --------------------------------------------------------------------------
 # PPM (netpbm): P6 = binary RGB, P3 = ASCII RGB. Header tokens are separated
 # by whitespace; '#' starts a comment running to end-of-line (valid anywhere
@@ -414,11 +420,23 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if not idat:
         raise DecodeError("png: missing IDAT")
+    channels = 3 if color_type == 2 else 4
+    # Bound the inflate BEFORE allocating: a crafted stream with valid CRCs
+    # could otherwise force a multi-GB allocation (zlib amplifies ~1000x)
+    # ahead of _unfilter's size check. Expected bytes are fixed by IHDR:
+    # (width*channels + 1 filter byte) per row, height rows.
+    expected = (width * channels + 1) * height
+    if expected > _MAX_RASTER_BYTES:
+        raise DecodeError("png: raster exceeds decode size cap")
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise DecodeError("png: corrupt IDAT zlib stream") from e
-    channels = 3 if color_type == 2 else 4
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise DecodeError("png: IDAT inflates past the IHDR raster size")
+    if not dec.eof and not dec.unused_data and dec.decompress(b"", 1):
+        raise DecodeError("png: IDAT inflates past the IHDR raster size")
     return width, height, channels, _unfilter(raw, width, height, channels)
 
 

@@ -74,10 +74,15 @@ def kmv_sketch(
     )
 
 
-def kmv_estimate(kmv_col: Column, *, k: int = 64) -> Column:
+def kmv_estimate(kmv_col: Column, *, k: int) -> Column:
     """Distinct-count estimate from a sketch array: exact size below k,
     ``(k-1) * 2^32 / h_k`` at k. The expression is a fixed IEEE tree over
-    exact integers, so it is bit-identical across engines."""
+    exact integers, so it is bit-identical across engines.
+
+    ``k`` is REQUIRED and must equal the k the sketch was built with: a
+    mismatch (e.g. estimating a k=256 sketch as k=64) would silently read
+    ``element_at(kmv, 64)`` and return a badly wrong estimate — better to
+    fail at call time than to emit a plausible-looking number."""
     return F.when(
         F.size(kmv_col) >= k,
         F.lit(float(k - 1))
@@ -86,9 +91,10 @@ def kmv_estimate(kmv_col: Column, *, k: int = 64) -> Column:
     ).otherwise(F.size(kmv_col).cast("double"))
 
 
-def kmv_pair_estimates(a: Column, b: Column, *, k: int = 64) -> Column:
+def kmv_pair_estimates(a: Column, b: Column, *, k: int) -> Column:
     """Union/intersection estimates for two sketches, as a struct
-    ``(est_union double, est_intersection double)``.
+    ``(est_union double, est_intersection double)``. ``k`` is REQUIRED and
+    must match the build-time k of BOTH sketches (see kmv_estimate).
 
     merged = k smallest of A ∪ B (itself a valid KMV sketch of the union);
     ρ = fraction of merged values present in BOTH inputs;

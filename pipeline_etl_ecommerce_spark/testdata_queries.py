@@ -10039,7 +10039,12 @@ def zorder_recluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(base, "mart")
     try:
         p.repartition(64).write.parquet(target)  # the fragmented debris
-        assert len(_glob.glob(os.path.join(target, "*.parquet"))) > 8
+        # explicit raise, not assert: the "recluster actually defragmented"
+        # precondition must hold under `python -O` too
+        if len(_glob.glob(os.path.join(target, "*.parquet"))) <= 8:
+            raise RuntimeError(
+                "zorder_recluster_roundtrip: fragmentation precondition failed"
+            )
         n_files = recluster_zordered(
             spark,
             target,

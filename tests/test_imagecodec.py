@@ -401,6 +401,39 @@ def test_png_size_mismatch_rejected():
         decode_png(short)
 
 
+def _chunk(t, b):
+    return _struct.pack(">I", len(b)) + t + b + _struct.pack(
+        ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+    )
+
+
+def test_png_zlib_bomb_rejected_before_allocation():
+    # Valid CRCs, tiny payload, but IHDR claims 2^24 x 2^24 — expected raster
+    # ~2^51 bytes. Must raise DecodeError from the size cap, never attempt
+    # the allocation (a MemoryError here would fail the test too).
+    ihdr = _struct.pack(">IIBBBBB", 1 << 24, 1 << 24, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 64)) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecodeError, match="size cap"):
+        decode_png(bomb)
+
+
+def test_png_idat_overlong_inflate_rejected():
+    # IHDR says 2x2 RGB (expected (6+1)*2 = 14 bytes) but the IDAT stream
+    # inflates to 1 MiB. The bounded decompressobj must stop at expected+1
+    # and raise, not inflate the whole stream.
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    over = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * (1 << 20)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(DecodeError, match="inflates past"):
+        decode_png(over)
+
+
 @settings(max_examples=300, deadline=None)
 @given(data=st.binary(min_size=0, max_size=200))
 def test_png_never_crashes_on_arbitrary_bytes(data):

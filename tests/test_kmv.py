@@ -76,3 +76,12 @@ def test_nulls_dropped_and_k_validated(spark):
     assert kmv_sketch(df, ["g"], "v", k=8).collect()[0]["kmv"].__len__() == 2
     with pytest.raises(ValueError):
         kmv_sketch(df, ["g"], "v", k=1)
+
+
+def test_estimate_k_is_required():
+    # a build/estimate k mismatch must fail loudly at call time, not return
+    # element_at(kmv, default_k) silently (ADVICE r6)
+    with pytest.raises(TypeError):
+        kmv_estimate(F.col("kmv"))  # type: ignore[call-arg]
+    with pytest.raises(TypeError):
+        kmv_pair_estimates(F.col("a"), F.col("b"))  # type: ignore[call-arg]
