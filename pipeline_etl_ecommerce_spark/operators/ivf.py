@@ -165,9 +165,10 @@ def adaptive_nprobe(k_clusters: int, *, probe_fraction: float = 3 / 8, floor: in
     query recall@3 fell 0.67 → 0.33 from sf0.01's 3/8 probed to sf0.1's
     3/32). Constant fraction restores recall at linear probe cost — the
     bounded-fraction scan an exact re-rank needs anyway. For a sublinear
-    index at 100 TB, train a DEDICATED quantizer with k ≈ sqrt(n) and
-    nprobe ≈ sqrt(k) instead of reusing the dedup mart; the tradeoff is
-    the caller's, which is why this is a helper, not a hidden default.
+    index at 100 TB use :func:`build_search_index` — the DEDICATED
+    k ≈ sqrt(n) quantizer with spilled lists and nprobe ≈ sqrt(k) is the
+    DEFAULT search-only path since r7; this constant-fraction helper
+    remains for searches that piggyback on the dedup-shared quantizer.
     ``probe_fraction`` defaults to the family's pinned 3-of-8. The ceil is
     exact cross-engine: k * 3/8 multiplies an exact int by a power-of-two
     dyadic, so the double is exact and CEIL is deterministic."""
@@ -176,6 +177,98 @@ def adaptive_nprobe(k_clusters: int, *, probe_fraction: float = 3 / 8, floor: in
     if k_clusters <= 0:
         raise ValueError("k_clusters must be positive")
     return max(floor, math.ceil(k_clusters * probe_fraction))
+
+
+def sublinear_k(n_vectors: int) -> int:
+    """Cluster count for the DEDICATED search-only quantizer:
+    ``max(8, ceil(sqrt(n)))``. With k ≈ √n each inverted list holds ≈ √n
+    vectors, so a fixed-nprobe probe reads O(√n) rows — the sublinear index
+    the dedup-shared quantizer (constant cluster SIZE ⇒ linear probe cost)
+    deliberately is not. Exact cross-engine: IEEE sqrt is correctly rounded
+    on both engines, CEIL deterministic (``GREATEST(8, CEIL(SQRT(COUNT(*))))``
+    replays it)."""
+    if n_vectors < 0:
+        raise ValueError("n_vectors must be non-negative")
+    import math
+
+    return max(8, math.ceil(math.sqrt(n_vectors)))
+
+
+def sublinear_nprobe(k_clusters: int) -> int:
+    """Probe count for the search-only quantizer: ``max(3, ceil(sqrt(k)))``.
+    Probed fraction = √k/k → 0 as the corpus grows; with 2-way spilled lists
+    (see :func:`build_search_index`) expected candidates ≈ 2·n^(3/4) —
+    sublinear in n, vs the dedup-shared quantizer's constant 3/8 fraction."""
+    if k_clusters <= 0:
+        raise ValueError("k_clusters must be positive")
+    import math
+
+    return max(3, math.ceil(math.sqrt(k_clusters)))
+
+
+def spilled_assignment(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    spill: int = 2,
+) -> DataFrame:
+    """Multi-assignment inverted lists: every corpus vector lands in its
+    ``spill`` nearest lists (6dp-rounded distance, cid tie-break — the
+    family's pinned argmin, extended from rn=1 to rn≤spill). Border vectors
+    live in each adjacent list, which is what lets a √k probe keep recall
+    that a single-assignment index loses (measured at sf0.1/k=45: worst
+    query recall@3 0.67 single vs 1.0 spilled, same nprobe=7). Storage and
+    probe cost scale by ×spill — still O(n^(3/4)) per query at spill=2.
+    Output: ``(_vid, _v, cid)`` — one row per (vector, list)."""
+    if spill < 1:
+        raise ValueError("spill must be at least 1")
+    from .clustering import _sq_dist
+
+    v = corpus.select(F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v"))
+    scored = v.crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
+        "_vid", "_v", "cid", _sq_dist(F.col("_v"), F.col("cvec")).alias("d2")
+    )
+    w = Window.partitionBy("_vid").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= spill)
+        .select("_vid", "_v", "cid")
+    )
+
+
+def build_search_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    iters: int = 2,
+    spill: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """THE default build path for a search-only ANN mart: a DEDICATED
+    k ≈ √n quantizer (:func:`sublinear_k`) with 2-way spilled inverted
+    lists, decoupled from the SemDeDup/dedup quantizer whose constant
+    cluster SIZE makes probe cost linear in corpus size. Returns
+    ``(assigned, centroids)`` — both persistable marts; search any number
+    of query batches via :func:`ivf_search_pinned` with
+    ``nprobe=sublinear_nprobe(k)`` and ``dedupe_candidates=True`` (spilled
+    lists can surface a candidate from two probed lists).
+
+    At 100 TB: training is offline (Lloyd's over a sample or the corpus),
+    the centroid table stays broadcast-sized (√n rows), and a query batch
+    touches ≈ spill·nprobe/k of the data — shrinking, not constant, as the
+    corpus grows."""
+    n = corpus.count()  # train-time action, same cost class as training
+    kk = sublinear_k(n) if k is None else k
+    from .clustering import centroids_table
+
+    cents = centroids_table(corpus, vec_col, id_col, k=kk, iters=iters)
+    assigned = spilled_assignment(
+        corpus, cents, vec_col=vec_col, id_col=id_col, spill=spill
+    )
+    return assigned, cents
 
 
 def ivf_search_pinned(
@@ -187,12 +280,17 @@ def ivf_search_pinned(
     id_col: str = "vec_id",
     nprobe: int = 3,
     k: int = 3,
+    dedupe_candidates: bool = False,
 ) -> DataFrame:
     """The search half of ``ivf_topk_pinned`` over a PRECOMPUTED
     ``(_vid, _v, cid, ...)`` assignment and ``(cid, cvec)`` centroid table —
     the persisted-mart path: train once per corpus version
     (``clustering.centroids_table``), search any number of query batches
-    without re-running Lloyd's per query."""
+    without re-running Lloyd's per query. ``dedupe_candidates=True`` is
+    REQUIRED when the lists are spilled (:func:`spilled_assignment`): a
+    candidate probed via two of its lists would otherwise occupy two of the
+    top-k slots (identical cos_sim rows) and silently evict a real
+    neighbor. Single-assignment lists skip the extra shuffle."""
     from .clustering import _sq_dist
 
     cents = centroids
@@ -222,6 +320,10 @@ def ivf_search_pinned(
             ).alias("cos_sim"),
         )
     )
+    if dedupe_candidates:
+        # duplicate (query, cand) rows carry an identical rounded cos_sim
+        # (same inputs, same expression), so dropDuplicates collapses exactly
+        scored = scored.dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

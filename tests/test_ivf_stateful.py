@@ -88,3 +88,74 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         )
     assert latest[1]["n_events"] == 3 and latest[1]["total_value"] == pytest.approx(17.5)
     assert latest[2]["n_events"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Sublinear search index (r7): dedicated sqrt(n) quantizer + 2-way spill
+# ---------------------------------------------------------------------------
+
+
+def test_sublinear_policy_values():
+    from pipeline_etl_ecommerce_spark.operators.ivf import sublinear_k, sublinear_nprobe
+
+    assert sublinear_k(0) == 8 and sublinear_k(64) == 8
+    assert sublinear_k(500) == 23 and sublinear_k(2000) == 45
+    assert sublinear_nprobe(8) == 3 and sublinear_nprobe(23) == 5
+    assert sublinear_nprobe(45) == 7
+    with pytest.raises(ValueError):
+        sublinear_k(-1)
+    with pytest.raises(ValueError):
+        sublinear_nprobe(0)
+
+
+def test_spilled_assignment_shape_and_primary_cluster(emb):
+    """Every vector lands in exactly `spill` lists (k >= spill here), and
+    its rank-1 list equals the single-assignment cluster."""
+    from pipeline_etl_ecommerce_spark.operators.clustering import (
+        _assign,
+        centroids_table,
+    )
+    from pipeline_etl_ecommerce_spark.operators.ivf import spilled_assignment
+    from pipeline_etl_ecommerce_spark.operators.similarity import _dvec
+
+    cents = centroids_table(emb, "embedding", "vec_id", k=8, iters=2).localCheckpoint()
+    sp = spilled_assignment(emb, cents, spill=2)
+    per_vec = {r["_vid"]: r["n"] for r in sp.groupBy("_vid").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_vec.values()) == {2}
+    v = emb.select(F.col("vec_id").alias("_vid"), _dvec(F.col("embedding")).alias("_v"))
+    single = {r["_vid"]: r["cid"] for r in _assign(v, cents).collect()}
+    spilled_sets = (
+        sp.groupBy("_vid").agg(F.collect_set("cid").alias("cids")).collect()
+    )
+    for r in spilled_sets:
+        assert single[r["_vid"]] in r["cids"]
+
+
+def test_build_search_index_default_is_sublinear_and_full_recall(emb):
+    """The default search-index path (k≈sqrt(n), 2-way spill, sqrt(k)
+    probes) recovers the exact top-3 for every query on the test corpus."""
+    from pyspark.sql import Window
+
+    from pipeline_etl_ecommerce_spark.operators.ivf import (
+        build_search_index,
+        ivf_search_pinned,
+        sublinear_k,
+        sublinear_nprobe,
+    )
+    from pipeline_etl_ecommerce_spark.operators.similarity import cosine_topk
+
+    assigned, cents = build_search_index(emb)
+    assigned = assigned.localCheckpoint()
+    cents = cents.localCheckpoint()
+    k = sublinear_k(emb.count())
+    assert cents.count() == k
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_search_pinned(
+        assigned, cents, q, nprobe=sublinear_nprobe(k), k=3, dedupe_candidates=True
+    )
+    got = {(r["query_id"], r["cand_id"]) for r in ann.collect()}
+    assert len(got) == 30  # no duplicate candidates ate a top-3 slot
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    assert got == exact  # recall@3 == 1.0 on every query
