@@ -725,92 +725,124 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-6 rotation (the r5 verdict's #1 ask): first the
-# 17 queries with NO driver-green row in any round — the 14 r5-late
-# additions, sketch_profile_lineitem (rows-only until r6; now oracle-paired)
-# and the two NEW png decode rows — so after r6 every catalog query has
-# recorded driver evidence. Then the kmeans family re-recorded under the
-# r6 adaptive-k trajectory (code + oracle both changed), the 7-query
-# flagship core, and a top-up to 50 with the queries whose latest driver
-# evidence is oldest (r02). Previously-green queries stay protected by
+# queries() emits). Round-7 rotation (the r6 verdict's #2 ask): strict
+# oldest-last-green order. First the 2 NEW never-driver-checked rows (the
+# r7 sublinear-IVF family), then ALL 20 rows whose latest driver evidence
+# is r01, then 28 of the 29 r02 rows (corpus_training_sequences defers one
+# round — it carries the heaviest pytest e2e coverage of the group). The
+# 50 r03-evidence rows queue at position 51+ in the same oldest-first
+# order for the r8 window. Every row here is hostile-selfcheck green at
+# sf0.001/0.01/0.1 this round; rotated-out greens stay protected by
 # selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) the 17 never-driver-checked queries (all hostile-selfcheck green
-    # at sf0.001/0.01/0.1 this round; this records them).
-    "sketch_profile_lineitem",
-    "png_decode_stats",
-    "png_rgba_decode_stats",
-    "png_resize_stats",
-    "zorder_parts_layout",
-    "zorder_recluster_roundtrip",
-    "variant_props_extract",
-    "kmv_user_overlap_sets",
-    "wav_decode_stats",
-    "peak_concurrent_orders",
-    "event_type_transitions",
-    "snapshot_table_diff",
-    "next_touch_after_purchase",
-    "time_weighted_avg_value",
-    "active_day_streaks",
-    "last_touch_within_hour",
-    "try_divide_return_rate",
-    "hll_sketch_union_distinct",
-    "bitmap_exact_distinct_users",
-    "cdc_apply_snapshot",
-    "sink_compaction_roundtrip",
-    "streaming_cdc_apply_executed",
-    # (b) changed in r6: adaptive-k coarse quantizer (k scales with the
-    # corpus; oracle replays it via LIMIT-subquery) — re-record the family.
-    "kmeans_clusters",
-    "semantic_dedup_keep",
-    "ivf_ann_top3",
-    "ivf_recall_at3",
-    # (c) flagship core, every round.
-    "flagship_consolidation",
-    "pricing_summary",
-    "freight_allocation",
-    "customers_without_orders",
-    "part_filters",
-    "daily_event_rollup",
-    "last_event_per_user",
-    # (d) top-up to 50: queries whose latest driver evidence is r02 —
-    # oldest-first drift re-confirmation, one per family where possible.
-    "json_props_extract",
-    "near_dup_components",
-    "ngram_lang_classifier",
-    "bm25_query_scores",
-    "tfidf_top_terms",
-    "doc_repetition_stats",
-    "pii_scan",
-    "decontamination_report",
-    "column_profile",
-    "shuffle_shards_docs",
-    "event_sessions",
-    "last_touch_attribution",
-    "clicks_before_purchase",
-    "rollup_returnflag_status",
-    "cube_status_priority",
-    "pivot_status_qty",
-    "corpus_top_terms",
-    # ---- position 51+: remaining r02-evidence queries queue for the next
-    # rotation; rotated-out greens keep catalog order (appended by
-    # _driver_order).
-    "returnflag_price_stats",
-    "price_percentiles",
-    "order_price_histogram",
-    "user_daily_gapfill",
-    "user_rolling_value",
-    "fuzzy_text_pairs",
+    # (a) never driver-checked: the r7 sublinear search-index rows.
+    "ivf_ann_sublinear_top3",
+    "ivf_sublinear_recall_at3",
+    # (b) latest driver evidence r01 (20 rows).
+    "assembled_packs",
+    "curated_documents",
+    "curated_documents_multimodal",
+    "doc_token_stats",
+    "embedding_near_dup_pairs",
+    "embedding_norms",
+    "minhash_band_buckets",
+    "minhash_incremental_pairs",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "near_dup_canonical_ids",
+    "ngram_jaccard_pairs",
+    "packed_sequences",
+    "salted_join_flag_counts",
+    "salted_returnflag_totals",
+    "simhash_near_pairs",
+    "stratified_doc_sample",
+    "winnow_containment_pairs",
+    "winnow_fingerprints",
+    # (c) latest driver evidence r02 (28 of 29 rows).
+    "customer_order_distribution",
+    "disjunctive_predicate_revenue",
     "doc_chunks",
     "dup_ngram_stats",
-    "mixture_sampled_docs",
-    "shipping_priority_top10",
-    "local_supplier_volume",
-    "user_event_deltas",
-    "small_quantity_revenue",
-    "corpus_training_sequences",
+    "forecast_revenue_change",
+    "fuzzy_text_pairs",
+    "large_order_customers",
     "late_shipment_priority",
+    "local_supplier_volume",
+    "mixture_sampled_docs",
+    "nation_market_share",
+    "nation_pair_volume",
+    "order_price_histogram",
+    "parts_sold_both_years",
+    "price_percentiles",
+    "promo_revenue_share",
+    "quality_gate_p25",
+    "returned_item_top_customers",
+    "returnflag_price_stats",
+    "shipping_priority_top10",
+    "small_quantity_revenue",
+    "streaming_chunk_replace",
+    "streaming_dedup_executed",
+    "streaming_ingest_pairs_converged",
+    "top_supplier_quarter",
+    "user_daily_gapfill",
+    "user_event_deltas",
+    "user_rolling_value",
+    # ---- position 51+: the deferred r02 row, then the 50 r03-evidence
+    # rows — the r8 window inherits this order; rotated-out greens keep
+    # catalog order (appended by _driver_order).
+    "corpus_training_sequences",
+    "backfill_daily_rollup",
+    "boilerplate_pruned_documents",
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
+    "cohort_retention_weekly",
+    "collocation_lift_top20",
+    "csv_source_roundtrip",
+    "debounced_events",
+    "deposito_saldo_extract",
+    "dominant_part_suppliers",
+    "dq_constraint_report",
+    "dsir_importance_weights",
+    "dsir_selected_corpus",
+    "embedding_random_projection",
+    "events_props_variant",
+    "incremental_agg_mart",
+    "inverted_index_postings",
+    "json_quarantine_ingest",
+    "keyed_update_retailprice",
+    "lateral_top2_customers",
+    "locale_parse_roundtrip",
+    "nation_yearly_profit",
+    "near_dup_keep_best",
+    "near_dup_pagerank",
+    "not_in_null_semantics",
+    "order_ship_days_explode",
+    "part_name_explode_outer",
+    "part_sales_bag_setops",
+    "point_lookup_enrichment",
+    "pq_adc_top3",
+    "priority_bag_union_counts",
+    "queue_claim_transitions",
+    "rest_offset_ingest",
+    "rest_page_ingest",
+    "rest_scroll_ingest",
+    "scd2_event_type_history",
+    "session_funnel_counts",
+    "simhash_incremental_pairs",
+    "sink_append_roundtrip",
+    "sink_partitioned_bi_mart",
+    "sink_schema_evolution",
+    "sink_truncate_reload",
+    "sp_timezone_daily_rollup",
+    "streaming_attribution_executed",
+    "streaming_rollup_executed",
+    "streaming_sessions_executed",
+    "streaming_stateful_totals",
+    "supplier_cnt_by_part",
+    "waiting_suppliers",
+    "zorder_events_key",
 ]
 
 
