@@ -147,6 +147,26 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
+    # --- oracle rounding lint (r6 verdict item 3): refuse to start on an
+    # unadjudicated ROUND(integer-quotient) site — the binary-tie class the
+    # advisors caught twice. Cheap (pure string pass over the catalog).
+    from pipeline_etl_ecommerce_spark.oracle_lint import (
+        round_tie_findings,
+        stale_allowlist_entries,
+    )
+
+    oracle_all = __import__("__spark_entry__").oracle_sql()
+    lint_hits = round_tie_findings(oracle_all)
+    stale = stale_allowlist_entries(oracle_all)
+    if lint_hits or stale:
+        for q, site in lint_hits:
+            print(f"[LINT] {q}: unadjudicated ROUND over a quotient: {site[:160]}")
+        for k in stale:
+            print(f"[LINT] stale allowlist entry (site no longer in catalog): {k[:160]}")
+        print("\noracle rounding lint FAILED — see pipeline_etl_ecommerce_spark/oracle_lint.py")
+        return 2
+    print(f"[lint] oracle ROUND sites clean ({len(oracle_all)} oracles checked)")
+
     if hostile:
         print("[mode] HOSTILE session: UTC tz, default confs")
         spark = hostile_spark()
