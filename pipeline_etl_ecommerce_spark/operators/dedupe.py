@@ -417,6 +417,107 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def connected_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the opt-in variant for graphs where label propagation's O(diameter)
+    round count degenerates.
+
+    Crossover guidance: :func:`connected_components` (label propagation)
+    does one join+groupBy per round and near-dup graphs are dense little
+    cliques (diameter 2-3), so it wins there. A LONG-CHAIN graph (e.g.
+    exact-substring overlap chains, citation threads) has diameter O(n) and
+    label-prop runs O(n) rounds; the star algorithm contracts ANY topology
+    in O(log² n) rounds worst case (O(log n) in practice), each round two
+    grouped aggregations over the current edge set. Same output contract as
+    label-prop: ``(doc_id, component_id=min doc id in component)`` for every
+    node appearing in ``pairs`` (property-tested equal on random graphs).
+
+    Each round strictly shrinks the sum of parent pointers, so convergence
+    is guaranteed; the loop stops when the edge set reaches the fixed point
+    (every edge points a node at its component minimum).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes from the RAW pairs (before the self-loop filter) so a node whose
+    # only edge is a self-loop still gets a singleton row — label-prop's
+    # contract, property-tested equal
+    all_nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # xor-fold of per-edge hashes: a set fingerprint (edges are distinct)
+        # that cannot overflow under ANSI mode, unlike a SUM of int64 hashes
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; every strictly-larger neighbor re-points
+        # at min(N(u) ∪ {u})
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbrs.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge large→small; u and all its smaller neighbors
+        # re-point at the minimum of the closed smaller-neighborhood
+        o = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        repointed = (
+            o.join(mins, "src")
+            .select(F.col("dst").alias("v"), "m")
+            .unionByName(mins.select(F.col("src").alias("v"), "m"))
+        )
+        return (
+            repointed.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # fixed point: every remaining edge is (node, component_min); roots and
+    # isolated-within-pairs nodes map to themselves
+    assigned = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+    )
+    return (
+        all_nodes.join(assigned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+    )
+
+
 def simhash_near_pairs(signatures: DataFrame, *, max_hamming: int = 4) -> DataFrame:
     """Near-dup pairs from SimHash signatures: band the 32-bit signature into
     four bytes; pairs sharing ANY band byte are candidates (a pair within
