@@ -7,9 +7,12 @@ dispatches on the payload magic to the dependency-free PPM/BMP parsers in
 resampling of PPM payloads, and ``sample_video_frames`` splits concatenated-P6
 streams (the ``ffmpeg -f image2pipe -vcodec ppm`` framing). Since round 6
 PNG (8-bit RGB/RGBA, non-interlaced, all five scanline filters) decodes for
-real too — stdlib zlib carries DEFLATE. Only JPEG/H.264-class formats still
-raise NotImplementedError — those genuinely need codec libraries absent
-from this environment. ``fake_decode`` et al.
+real too — stdlib zlib carries DEFLATE — and since round 7 so does baseline
+JPEG (in-file Huffman tables, dequant/zigzag/IDCT, YCbCr, 4:4:4 + 4:2:0
+MCU interleave; ``operators/jpegcodec.py``). Only H.264-class video and the
+exotic JPEG modes (progressive, arithmetic, 12-bit) still raise
+NotImplementedError — those genuinely need codec libraries absent from this
+environment. ``fake_decode`` et al.
 remain as the deterministic stand-ins some plumbing tests inject.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -55,11 +59,12 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> dict:
     """REAL image decode: dispatches on the payload magic to the pure-Python
-    PPM (P6/P3), 24-bit BMP, and 8-bit RGB/RGBA PNG parsers in
-    :mod:`.imagecodec` (PNG's DEFLATE layer is stdlib zlib; the scanline
-    filters are implemented). JPEG/H.264-class formats still require a
-    codec library."""
+    PPM (P6/P3), 24-bit BMP, 8-bit RGB/RGBA PNG, and baseline JPEG parsers
+    (:mod:`.imagecodec`, :mod:`.jpegcodec`; PNG's DEFLATE layer is stdlib
+    zlib, JPEG's Huffman/DCT layers are implemented in full). H.264-class
+    video and progressive/arithmetic JPEG still require a codec library."""
     from .imagecodec import decode_bmp, decode_png, decode_ppm
+    from .jpegcodec import decode_jpeg
 
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
@@ -67,9 +72,13 @@ def decode_image(payload: bytes) -> dict:
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        stats = decode_jpeg(payload)
+        stats.pop("raster", None)  # feature rows carry stats, not pixels
+        return stats
     raise NotImplementedError(
-        "JPEG/H.264-class formats require a codec library; "
-        "PPM, uncompressed BMP, and 8-bit RGB/RGBA PNG decode in this environment"
+        "H.264-class formats require a codec library; PPM, uncompressed BMP, "
+        "8-bit RGB/RGBA PNG, and baseline JPEG decode in this environment"
     )
 
 
@@ -131,17 +140,35 @@ FRAME_SCHEMA = StructType(
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     """Format-dispatching nearest-neighbor resize (floor index map
     ``src = dst * src_dim // dst_dim`` — SQL-reproducible) for the real
-    codecs: PPM stays PPM, PNG stays PNG (RGB or RGBA). JPEG/H.264-class
-    formats still require a codec library."""
+    codecs: PPM stays PPM, PNG stays PNG (RGB or RGBA), JPEG decodes,
+    resamples, and re-encodes 4:4:4 (lossy by format definition — the
+    decoded-pixel band, not a byte hash, is the verification contract).
+    H.264-class formats still require a codec library."""
     from .imagecodec import resize_png_nearest, resize_ppm_nearest
 
     if payload[:2] in (b"P6", b"P3"):
         return resize_ppm_nearest(payload, width, height)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return resize_png_nearest(payload, width, height)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg, encode_jpeg
+
+        st = decode_jpeg(payload)
+        src, sw, sh = st["raster"], st["width"], st["height"]
+        if width <= 0 or height <= 0:
+            raise ValueError("resize: target dimensions must be positive")
+        out = bytearray(width * height * 3)
+        for dy in range(height):
+            srow = (dy * sh // height) * sw * 3
+            drow = dy * width * 3
+            for dx in range(width):
+                s = srow + (dx * sw // width) * 3
+                d = drow + dx * 3
+                out[d : d + 3] = src[s : s + 3]
+        return encode_jpeg(width, height, bytes(out))
     raise NotImplementedError(
-        "resize of JPEG/H.264-class formats requires a codec library; "
-        "PPM and PNG resize in this environment"
+        "resize of H.264-class formats requires a codec library; "
+        "PPM, PNG, and baseline JPEG resize in this environment"
     )
 
 
@@ -310,34 +337,73 @@ def synth_raster_rgba(media_id: int) -> tuple[int, int, bytes]:
     return w, h, raster
 
 
+def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
+    """SMOOTH deterministic RGB raster for the lossy-codec (JPEG) row: dims
+    ``w = 16 + id%9``, ``h = 16 + id%5`` (multiple MCUs each way, incl.
+    partial 16×16 MCUs at 4:2:0), pixel ``(x, y, c)`` value
+    ``id%29 + x*3 + y*2 + c*17`` (max 169 < 255 — no modular wrap, so the
+    image has no artificial high-frequency edges and the near-lossless
+    encode stays inside a tight pixel band)."""
+    w, h = 16 + media_id % 9, 16 + media_id % 5
+    base = media_id % 29
+    raster = bytearray(w * h * 3)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                raster[i] = base + x * 3 + y * 2 + c * 17
+                i += 1
+    return w, h, bytes(raster)
+
+
+def jpeg_subsampling_for(media_id: int) -> str:
+    """Catalog contract: even ids encode 4:4:4, odd ids 4:2:0 — every run
+    of the row exercises both component layouts and the oracle replays the
+    choice from the id."""
+    return "4:4:4" if media_id % 2 == 0 else "4:2:0"
+
+
 def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
-    """mapInPandas encode stage: one valid PPM or BMP payload per id. The
-    encoder is separate from the decoder on purpose — the decode stage
+    """mapInPandas encode stage: one valid PPM/BMP/PNG/JPEG payload per id.
+    The encoder is separate from the decoder on purpose — the decode stage
     receives opaque bytes it must actually parse (headers, comments, BMP
-    bottom-up padded BGR rows), not a dict handed around the side."""
+    bottom-up padded BGR rows, JPEG entropy stream), not a dict handed
+    around the side."""
     from .imagecodec import encode_bmp, encode_png, encode_ppm
+    from .jpegcodec import encode_jpeg
 
     encode = {
         "ppm": lambda w, h, r: encode_ppm(w, h, r),
         "bmp": encode_bmp,
         "png": lambda w, h, r: encode_png(w, h, r),
         "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
+        "jpeg": None,  # id-dependent subsampling, handled below
     }[fmt]
     mime = {
         "ppm": "image/x-portable-pixmap",
         "bmp": "image/bmp",
         "png": "image/png",
         "png_rgba": "image/png",
+        "jpeg": "image/jpeg",
     }[fmt]
-    raster_fn = synth_raster_rgba if fmt == "png_rgba" else synth_raster
+    raster_fn = {
+        "png_rgba": synth_raster_rgba,
+        "jpeg": synth_raster_smooth,
+    }.get(fmt, synth_raster)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id in pdf["media_id"]:
                 w, h, raster = raster_fn(int(media_id))
+                if fmt == "jpeg":
+                    payload = encode_jpeg(
+                        w, h, raster, subsampling=jpeg_subsampling_for(int(media_id))
+                    )
+                else:
+                    payload = encode(w, h, raster)
                 rows.append(
-                    {"media_id": media_id, "mime_type": mime, "payload": encode(w, h, raster)}
+                    {"media_id": media_id, "mime_type": mime, "payload": payload}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -578,3 +644,89 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit("text/plain").alias("mime_type"),
         F.col("text").cast("binary").alias("payload"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lossy-codec (JPEG) band-stats path: the decoded raster is deterministic
+# (pure-Python IEEE arithmetic) but NOT SQL-replayable (an IDCT in an
+# oracle is not realistic), so the row follows the tolerance-band oracle
+# convention (sketch_profile_lineitem): exact header facts (dims, channels,
+# subsampling read from SOF) hash directly; pixel fidelity is asserted as
+# booleans computed IN the kernel against the regenerated original raster,
+# which the oracle replays as literal TRUE — a decode drift flips the
+# boolean and fails the value hash loudly.
+# --------------------------------------------------------------------------
+
+JPEG_BAND_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("subsampling", StringType()),
+        StructField("pixels_in_band", BooleanType()),
+        StructField("sums_in_band", BooleanType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+_JPEG_BAND_COLS = [f.name for f in JPEG_BAND_SCHEMA.fields]
+
+# Measured on the smooth synth raster: worst per-pixel abs err = 1 at both
+# subsamplings with the all-ones quant tables. Bands carry 4× headroom for
+# the color-transform corner cases a future image might hit; a REAL decoder
+# bug (wrong zigzag, block placement, upsample layout, channel swap) shows
+# errors of tens-to-hundreds and lands far outside.
+JPEG_MAX_ABS_PIXEL_ERR = 4
+JPEG_MAX_MEAN_CHANNEL_ERR = 2.0
+
+
+def jpeg_decode_band_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-JPEG-decode stage: parse each payload with the
+    baseline decoder, regenerate the pre-encode raster from the media id
+    (``synth_raster_smooth``) and emit header facts + fidelity-band
+    booleans. Malformed payloads degrade to a status row (dead-letter
+    semantics, same policy as the other decode stages)."""
+    from .imagecodec import DecodeError
+    from .jpegcodec import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    st = decode_jpeg(bytes(payload) if payload is not None else b"")
+                    w, h, orig = synth_raster_smooth(int(media_id))
+                    got = st["raster"]
+                    dims_ok = st["width"] == w and st["height"] == h and len(got) == len(orig)
+                    if dims_ok:
+                        max_err = max(
+                            (abs(a - b) for a, b in zip(got, orig)), default=0
+                        )
+                        n_px = w * h
+                        sums_ok = all(
+                            abs(sum(got[c::3]) - sum(orig[c::3]))
+                            <= JPEG_MAX_MEAN_CHANNEL_ERR * n_px
+                            for c in range(3)
+                        )
+                    else:
+                        max_err, sums_ok = None, False
+                    row = {
+                        "width": st["width"],
+                        "height": st["height"],
+                        "channels": st["channels"],
+                        "subsampling": st["subsampling"],
+                        "pixels_in_band": bool(
+                            dims_ok and max_err is not None and max_err <= JPEG_MAX_ABS_PIXEL_ERR
+                        ),
+                        "sums_in_band": bool(dims_ok and sums_ok),
+                        "decode_status": "ok",
+                    }
+                except (DecodeError, NotImplementedError) as e:
+                    row = dict.fromkeys(_JPEG_BAND_COLS[1:-1])
+                    row["decode_status"] = f"error: {type(e).__name__}"
+                row["media_id"] = media_id
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=_JPEG_BAND_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=JPEG_BAND_SCHEMA)

@@ -1334,6 +1334,34 @@ def png_rgba_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "png_rgba")
 
 
+# Baseline JPEG (NEW r7, verdict item 4): REAL lossy decode — markers,
+# in-file DHT Huffman, dequant/zigzag/IDCT, YCbCr, 4:4:4 AND 4:2:0 MCU
+# interleave (odd ids subsample, so both layouts run every round). Lossy ⇒
+# the tolerance-band oracle convention (sketch_profile_lineitem): header
+# facts (dims from SOF, subsampling from the sampling factors) hash
+# exactly; pixel fidelity is a kernel-computed band boolean vs the
+# regenerated original raster (measured worst |err| = 1, band = 4), which
+# the oracle replays as literal TRUE — any decode drift flips it loudly.
+_JPEG_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 9 AS BIGINT) AS width,
+       CAST(16 + doc_id % 5 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN '4:4:4' ELSE '4:2:0' END AS subsampling,
+       TRUE AS pixels_in_band, TRUE AS sums_in_band,
+       'ok' AS decode_status
+FROM documents
+"""
+
+
+@register("jpeg_decode_stats", _JPEG_DECODE_SQL)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import jpeg_decode_band_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return jpeg_decode_band_stats(synthesize_images(ids, fmt="jpeg"))
+
+
 # REAL nearest-neighbor resize, end-to-end: synth PPM (same formula) →
 # resize_ppm_nearest to 4x3 → decode the RESIZED bytes → stats. The oracle
 # replays the floor index map sx = dx*sw//4, sy = dy*sh//3 over the pixel
@@ -10598,6 +10626,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("embedding_lsh_pairs", lambda: _emb_pairs(spark, sf_dir)),
             ("lang_trigram_profiles", lambda: _lang_profiles(spark, sf_dir)),
             ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
+            ("ivf_search_centroids", lambda: _ivf_search_centroids(spark, sf_dir)),
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
@@ -10606,6 +10635,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         [
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
             ("kmeans_assignment", lambda: _kmeans_assignment(spark, sf_dir)),
+            ("ivf_search_lists", lambda: _ivf_search_lists(spark, sf_dir)),
             ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
         ],
         [

@@ -152,13 +152,13 @@ def test_truncated_bmp_raster():
 
 
 def test_compressed_formats_still_not_implemented():
-    # PNG is implemented since r6 — garbage after the signature is now a
-    # DecodeError from the real parser, not a format gap.
+    # PNG (r6) and baseline JPEG (r7) are implemented — garbage after the
+    # signature is now a DecodeError from the real parsers, not a format gap.
     with pytest.raises(DecodeError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(DecodeError):
         decode_image(b"\xff\xd8\xff\xe0jpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(DecodeError):
         resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00 ftypmp42", 2)
@@ -490,5 +490,5 @@ def test_resize_image_dispatches_png():
 
     st = decode_png(resize_png_nearest(encode_png(w, h, raster), 4, 3))
     assert (st["width"], st["height"]) == (4, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(DecodeError):  # malformed JPEG: real parser since r7
         resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)

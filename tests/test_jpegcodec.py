@@ -1,0 +1,150 @@
+"""Baseline JPEG codec: exact round-trip error bounds (the decoded raster
+is deterministic pure-Python IEEE arithmetic), structural rejection of the
+unsupported modes, and fuzz totality — the same battery as the PNG codec."""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pipeline_etl_ecommerce_spark.operators.imagecodec import DecodeError
+from pipeline_etl_ecommerce_spark.operators.jpegcodec import (
+    _AC_CHROMA_BITS,
+    _AC_CHROMA_VALS,
+    _AC_LUMA_BITS,
+    _AC_LUMA_VALS,
+    _DC_CHROMA_BITS,
+    _DC_CHROMA_VALS,
+    _DC_LUMA_BITS,
+    _DC_LUMA_VALS,
+    _build_codes,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_gray,
+)
+from pipeline_etl_ecommerce_spark.operators.multimodal import (
+    JPEG_MAX_ABS_PIXEL_ERR,
+    synth_raster_smooth,
+)
+
+
+def _noisy(w: int, h: int, seed: int) -> bytes:
+    return bytes((seed * 31 + i * 7) % 256 for i in range(w * h * 3))
+
+
+def test_annex_k_tables_are_wellformed():
+    for bits, vals in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (_AC_LUMA_BITS, _AC_LUMA_VALS),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals)
+        codes = _build_codes(bits, vals)  # raises if the code space overflows
+        # prefix-free: canonical construction guarantees it; spot-check no
+        # code is a prefix of a longer one
+        by_len = sorted(codes.values(), key=lambda cl: cl[1])
+        for i, (c1, l1) in enumerate(by_len):
+            for c2, l2 in by_len[i + 1 :]:
+                if l2 > l1:
+                    assert (c2 >> (l2 - l1)) != c1
+    assert len(_AC_LUMA_VALS) == len(_AC_CHROMA_VALS) == 162
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 2, 3, 7, 12, 44])
+def test_smooth_roundtrip_within_band(media_id):
+    w, h, raster = synth_raster_smooth(media_id)
+    sub = "4:4:4" if media_id % 2 == 0 else "4:2:0"
+    st_ = decode_jpeg(encode_jpeg(w, h, raster, subsampling=sub))
+    assert (st_["width"], st_["height"], st_["channels"]) == (w, h, 3)
+    assert st_["subsampling"] == sub
+    worst = max(abs(a - b) for a, b in zip(st_["raster"], raster))
+    assert worst <= JPEG_MAX_ABS_PIXEL_ERR
+
+
+def test_noisy_roundtrip_444_bounded():
+    """Modular-noise raster (every frequency present): all-ones quant keeps
+    per-pixel error within a few units at 4:4:4."""
+    for seed in (3, 7, 10):
+        w, h = 16 + seed % 9, 16 + seed % 5
+        raster = _noisy(w, h, seed)
+        st_ = decode_jpeg(encode_jpeg(w, h, raster))
+        assert max(abs(a - b) for a, b in zip(st_["raster"], raster)) <= 6
+
+
+def test_coarse_quant_still_decodes():
+    """A non-trivial quant table (the lossy regime) decodes fine; error is
+    bounded by the quantizer magnitude, not correctness."""
+    w, h, raster = synth_raster_smooth(5)
+    q = [16] * 64
+    st_ = decode_jpeg(encode_jpeg(w, h, raster, quant_luma=q, quant_chroma=q))
+    assert (st_["width"], st_["height"]) == (w, h)
+    # DC quantized by 16 -> worst-case block offset 8; stay generous
+    assert max(abs(a - b) for a, b in zip(st_["raster"], raster)) <= 24
+
+
+def test_grayscale_single_component():
+    w, h = 17, 9  # partial blocks both ways
+    gray = bytes((x * 5 + y * 3) % 200 for y in range(h) for x in range(w))
+    st_ = decode_jpeg(encode_jpeg_gray(w, h, gray))
+    assert (st_["width"], st_["height"], st_["channels"]) == (w, h, 1)
+    got = st_["raster"]
+    worst = max(abs(got[3 * i] - gray[i]) for i in range(w * h))
+    assert worst <= 2
+    assert got[0::3] == got[1::3] == got[2::3]  # replicated channels
+
+
+def test_progressive_and_dri_rejected_honestly():
+    w, h, raster = synth_raster_smooth(2)
+    good = encode_jpeg(w, h, raster)
+    sof_at = good.find(b"\xff\xc0")
+    progressive = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+    dri = good[:sof_at] + b"\xff\xdd\x00\x04\x00\x08" + good[sof_at:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(dri)
+
+
+def test_truncation_and_garbage_rejected():
+    w, h, raster = synth_raster_smooth(4)
+    good = encode_jpeg(w, h, raster)
+    with pytest.raises(DecodeError):
+        decode_jpeg(good[: len(good) // 2])
+    with pytest.raises(DecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(DecodeError):
+        decode_jpeg(b"notajpeg")
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_never_crashes_on_arbitrary_bytes(data):
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(pos=st.integers(0, 10_000), val=st.integers(0, 255))
+def test_single_byte_mutation_never_crashes(pos, val):
+    w, h, raster = synth_raster_smooth(6)
+    good = bytearray(encode_jpeg(w, h, raster, subsampling="4:2:0"))
+    good[pos % len(good)] = val
+    try:
+        decode_jpeg(bytes(good))
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+def test_resize_dispatch_roundtrip():
+    from pipeline_etl_ecommerce_spark.operators.multimodal import _resize_payload
+
+    w, h, raster = synth_raster_smooth(3)
+    resized = _resize_payload(encode_jpeg(w, h, raster), 8, 6)
+    st_ = decode_jpeg(resized)
+    assert (st_["width"], st_["height"]) == (8, 6)
