@@ -736,9 +736,12 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked: the r7 sublinear search-index rows.
+    # (a) never driver-checked: the r7 additions (sublinear search index,
+    # baseline-JPEG banded decode, star-CC cross-algorithm row).
     "ivf_ann_sublinear_top3",
     "ivf_sublinear_recall_at3",
+    "jpeg_decode_stats",
+    "near_dup_components_star",
     # (b) latest driver evidence r01 (20 rows).
     "assembled_packs",
     "curated_documents",
@@ -787,11 +790,12 @@ _DRIVER_PRIORITY = [
     "streaming_ingest_pairs_converged",
     "top_supplier_quarter",
     "user_daily_gapfill",
+    # ---- position 51+: the three r02 rows displaced by the never-checked
+    # r7 additions (a window is 50; these lead the r8 window), then the 50
+    # r03-evidence rows; rotated-out greens keep catalog order (appended
+    # by _driver_order).
     "user_event_deltas",
     "user_rolling_value",
-    # ---- position 51+: the deferred r02 row, then the 50 r03-evidence
-    # rows — the r8 window inherits this order; rotated-out greens keep
-    # catalog order (appended by _driver_order).
     "corpus_training_sequences",
     "backfill_daily_rollup",
     "boilerplate_pruned_documents",
@@ -1985,6 +1989,20 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure as a DuckDB recursive CTE over the identical verified-pairs edge
     list, so this formerly rows-only query now has a full value-hash check."""
     return _components(spark, sf_dir)
+
+
+@register("near_dup_components_star", _COMPONENTS_SQL)
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME closure, computed by the alternating large-star/small-star
+    algorithm (Kiveris et al. 2014; O(log² n) rounds on ANY topology —
+    the opt-in for long-chain graphs where label-prop's O(diameter) round
+    count degenerates). Components are algorithm-independent, so the row
+    shares near_dup_components' oracle verbatim: a hash match here is a
+    cross-ALGORITHM equality proof on real data, on top of the
+    hypothesis property test (tests/test_cc_star.py)."""
+    from .operators.dedupe import connected_components_star
+
+    return connected_components_star(_verified_pairs(spark, sf_dir))
 
 
 # ===========================================================================
