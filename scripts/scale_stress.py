@@ -226,8 +226,63 @@ def main() -> int:
             f"| {r['query']} | {r['sf0.1_wall_s']} | {r['sf1_wall_s']} | {r['wall_ratio']}x "
             f"| {r['sf0.1_shuffle_mb']} | {r['sf1_shuffle_mb']} |"
         )
+    # IVF probe-cost metric, noise-free: the EXACT number of candidate rows
+    # the probe join reads per 10-query batch under each index policy. Walls
+    # at these SFs are startup-dominated; the scanned-row count is the
+    # quantity whose growth law the two policies actually differ on
+    # (shared-quantizer: 3/8 of the corpus = linear; sublinear: ~2n/sqrt(k)
+    # = O(n^(3/4))).
+    probe_rows = {}
+    try:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from pipeline_etl_ecommerce_spark.operators.clustering import adaptive_k
+        from pipeline_etl_ecommerce_spark.operators.ivf import (
+            adaptive_nprobe,
+            sublinear_k,
+            sublinear_nprobe,
+        )
+
+        for label, sf_dir in (("sf0.1", SF_SRC), ("sf1", sf1_dir)):
+            emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            n = emb.count()
+            q = emb.filter(F.col("vec_id") < 10)
+            shared = tq._kmeans_assignment(spark, sf_dir)
+            cents = tq._kmeans_centroids(spark, sf_dir)
+            sub_lists = tq._ivf_search_lists(spark, sf_dir)
+            sub_cents = tq._ivf_search_centroids(spark, sf_dir)
+
+            def probed(assigned, centroids, nprobe):
+                from pipeline_etl_ecommerce_spark.operators.ivf import ivf_search_pinned
+
+                # count the scored candidate rows BEFORE top-k (the probe
+                # join's true output size): re-rank keeps k, so count the
+                # join via the same lists/probe construction with k=10**9
+                return ivf_search_pinned(
+                    assigned, centroids, q, nprobe=nprobe, k=1 << 30
+                ).count()
+
+            probe_rows[label] = {
+                "n_vectors": n,
+                "linear_3of8": probed(shared, cents, adaptive_nprobe(adaptive_k(n))),
+                "sublinear_sqrt": probed(
+                    sub_lists, sub_cents, sublinear_nprobe(sublinear_k(n))
+                ),
+            }
+            print(f"  probe rows @ {label}: {probe_rows[label]}")
+        r01, r1 = probe_rows["sf0.1"], probe_rows["sf1"]
+        probe_rows["growth_ratio"] = {
+            "linear_3of8": round(r1["linear_3of8"] / r01["linear_3of8"], 2),
+            "sublinear_sqrt": round(r1["sublinear_sqrt"] / r01["sublinear_sqrt"], 2),
+            "data_ratio": round(r1["n_vectors"] / r01["n_vectors"], 2),
+        }
+        print(f"  probe growth: {probe_rows['growth_ratio']}")
+    except Exception as ex:  # noqa: BLE001 — metric is additive, never fatal
+        probe_rows["error"] = str(ex)[:200]
+
     if args.json_out:
         artifact = {
+            "ivf_probe_rows": probe_rows,
             "copies": args.copies,
             "source_sf_dir": SF_SRC,
             "loadavg_start": load0,
