@@ -5,12 +5,13 @@ NotImplementedError for (r6 verdict item 4). Both directions are REAL
 codecs over the public on-disk format — no imaging library:
 
 - markers: SOI / APPn (skipped) / COM (skipped) / DQT / SOF0 (baseline
-  sequential, 8-bit) / DHT / SOS / EOI; DNL, progressive SOF2, arithmetic
-  coding, and restart intervals raise honest errors;
+  sequential, 8-bit) / DHT / DRI / SOS / RSTn / EOI; DNL, progressive
+  SOF2, arithmetic coding, and 12-bit precision raise honest errors;
 - entropy layer: canonical Huffman per the DHT segments IN THE FILE (the
   decoder never assumes the Annex K defaults it happens to share with the
   encoder), 0xFF00 byte-unstuffing, DC differentials, AC (run, size)
-  symbols incl. ZRL and EOB;
+  symbols incl. ZRL and EOB, restart intervals (byte-aligned RSTn with
+  sequence checking and predictor resets per T.81 E.2.4);
 - transform layer: 8×8 float fDCT/IDCT (separable, precomputed basis),
   quantization per the DQT tables in the file, zigzag order;
 - color layer: JFIF YCbCr ↔ RGB with clamping; 4:4:4 and 2×2-subsampled
@@ -198,6 +199,12 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-fill per the spec
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padded, stuffing-safe) and emit RST(m)."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
@@ -221,13 +228,29 @@ class _BitReader:
                 elif nxt == 0xD9:  # EOI reached while bits wanted
                     raise DecodeError("jpeg: entropy stream ended before all MCUs")
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("jpeg: restart markers not supported")
+                    raise DecodeError(
+                        "jpeg: restart marker where coefficient bits expected"
+                    )
                 else:
                     raise DecodeError("jpeg: unexpected marker inside entropy stream")
             self._acc = b
             self._n = 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def expect_restart(self, m: int) -> None:
+        """Byte-align and consume the RST(m) marker a DRI interval demands
+        (T.81 E.2.4: predictors reset, bit stream restarts byte-aligned)."""
+        self._acc = 0
+        self._n = 0  # discard pad bits
+        if self.pos + 2 > len(self.data):
+            raise DecodeError("jpeg: truncated at expected restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise DecodeError("jpeg: expected restart marker")
+        if b1 != 0xD0 + (m & 7):
+            raise DecodeError("jpeg: restart marker out of sequence")
+        self.pos += 2
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -340,6 +363,7 @@ def encode_jpeg(
     subsampling: str = "4:4:4",
     quant_luma: list[int] | None = None,
     quant_chroma: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a top-down interleaved RGB raster as a baseline JFIF JPEG.
 
@@ -405,8 +429,15 @@ def encode_jpeg(
     mcux = (width + 8 * h1 - 1) // (8 * h1)
     mcuy = (height + 8 * v1 - 1) // (8 * v1)
     pdc = [0, 0, 0]
+    mcu_index = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.restart(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                pdc = [0, 0, 0]
+            mcu_index += 1
             for by in range(v1):
                 for bx in range(h1):
                     pdc[0] = _encode_block(
@@ -440,8 +471,9 @@ def encode_jpeg(
         + bytes([0, 63, 0]),
     )
     jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
-        b"\xff\xd8" + jfif + dqt(0, ql) + dqt(1, qc)
+        b"\xff\xd8" + jfif + dri + dqt(0, ql) + dqt(1, qc)
         + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
         + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
         + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
@@ -552,6 +584,7 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[_Component] = []
     width = height = 0
     sof_seen = False
+    restart_interval = 0
 
     def need(n: int) -> None:
         if pos + n > len(payload):
@@ -634,8 +667,10 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append(_Component(cid, h, v, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0/1) supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) != 2:
+                raise DecodeError("jpeg: bad DRI")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise DecodeError("jpeg: SOS before SOF")
@@ -670,8 +705,15 @@ def decode_jpeg(payload: bytes) -> dict:
 
     br = _BitReader(payload, pos)
     prev = {c.cid: 0 for c in comps}
+    mcu_index = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br.expect_restart(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                prev = {c.cid: 0 for c in comps}  # predictors reset (E.2.4)
+            mcu_index += 1
             for c in comps:
                 if c.td not in dc_maps or c.ta not in ac_maps:
                     raise DecodeError("jpeg: scan references missing huffman table")

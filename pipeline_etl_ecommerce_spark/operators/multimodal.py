@@ -397,8 +397,16 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
             for media_id in pdf["media_id"]:
                 w, h, raster = raster_fn(int(media_id))
                 if fmt == "jpeg":
+                    # ids % 3 == 0 carry a DRI restart interval: the decoder
+                    # must handle byte-aligned RSTn + predictor resets every
+                    # round (coefficients are identical, so the decoded
+                    # pixels — and the band oracle — are unchanged)
                     payload = encode_jpeg(
-                        w, h, raster, subsampling=jpeg_subsampling_for(int(media_id))
+                        w,
+                        h,
+                        raster,
+                        subsampling=jpeg_subsampling_for(int(media_id)),
+                        restart_interval=2 if int(media_id) % 3 == 0 else 0,
                     )
                 else:
                     payload = encode(w, h, raster)

@@ -97,16 +97,53 @@ def test_grayscale_single_component():
     assert got[0::3] == got[1::3] == got[2::3]  # replicated channels
 
 
-def test_progressive_and_dri_rejected_honestly():
+def test_progressive_rejected_honestly():
     w, h, raster = synth_raster_smooth(2)
     good = encode_jpeg(w, h, raster)
     sof_at = good.find(b"\xff\xc0")
     progressive = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
     with pytest.raises(NotImplementedError):
         decode_jpeg(progressive)
-    dri = good[:sof_at] + b"\xff\xdd\x00\x04\x00\x08" + good[sof_at:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(dri)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_interval_roundtrip(sub, ri):
+    """DRI/RSTn: byte-aligned restarts with predictor resets decode to the
+    same band as the unrestarted stream; RST markers actually appear."""
+    media_id = 8
+    w, h, raster = synth_raster_smooth(media_id)
+    jp = encode_jpeg(w, h, raster, subsampling=sub, restart_interval=ri)
+    assert b"\xff\xdd" in jp  # DRI present
+    mcu = 16 if sub == "4:2:0" else 8
+    n_mcus = -(-w // mcu) * -(-h // mcu)
+    if n_mcus > ri:  # restarts only occur between intervals
+        assert any(bytes([0xFF, 0xD0 + m]) in jp for m in range(8))
+    st_ = decode_jpeg(jp)
+    assert (st_["width"], st_["height"], st_["subsampling"]) == (w, h, sub)
+    worst = max(abs(a - b) for a, b in zip(st_["raster"], raster))
+    assert worst <= JPEG_MAX_ABS_PIXEL_ERR
+
+
+def test_missing_restart_marker_rejected():
+    """A DRI announcement with no actual RST markers in the scan must fail
+    loudly, not silently misparse coefficient bits as a marker."""
+    w, h, raster = synth_raster_smooth(2)
+    good = encode_jpeg(w, h, raster)  # no restarts in the scan
+    sof_at = good.find(b"\xff\xc0")
+    lying_dri = good[:sof_at] + b"\xff\xdd\x00\x04\x00\x01" + good[sof_at:]
+    with pytest.raises(DecodeError):
+        decode_jpeg(lying_dri)
+
+
+def test_out_of_sequence_restart_rejected():
+    w, h, raster = synth_raster_smooth(8)
+    jp = bytearray(encode_jpeg(w, h, raster, restart_interval=1))
+    first_rst = jp.find(bytes([0xFF, 0xD0]))
+    assert first_rst > 0
+    jp[first_rst + 1] = 0xD5  # wrong sequence number
+    with pytest.raises(DecodeError):
+        decode_jpeg(bytes(jp))
 
 
 def test_truncation_and_garbage_rejected():
