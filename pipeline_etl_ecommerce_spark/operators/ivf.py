@@ -271,6 +271,97 @@ def build_search_index(
     return assigned, cents
 
 
+def ivfadc_topk(
+    lists: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    nprobe: int = 3,
+    k: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the canonical billion-scale layout):
+    coarse-probe the inverted lists for CANDIDATE ids, then rank them by
+    PQ Asymmetric Distance over the 2-byte codes mart — the float corpus
+    appears in NEITHER stage. Composes the two persisted marts this
+    module family already maintains: the (spilled) sublinear search lists
+    (:func:`build_search_index`) and the PQ codes/codebooks
+    (``operators/pq.py``).
+
+    Scale shape, in join order: probes × lists bounds candidates to
+    ~spill·nprobe/k_clusters of the corpus; candidates ⋈ codes is keyed on
+    the vector id; the per-(query, sub, code) distance table broadcasts;
+    the reduce is a map-side-combined groupBy. Total search cost
+    ∝ probed candidates × m — memory-sublinear AND compute-sublinear.
+    Output: ``(query_id, cand_id, adc_dist, rnk)``."""
+    from .clustering import _sq_dist
+    from .pq import _subvec
+
+    if dim is None:
+        dim = len(queries.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    probe_scored = q.crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
+        "query_id", F.col("cid"), _sq_dist(F.col("qv"), F.col("cvec")).alias("d2")
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        probe_scored.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    cands = (
+        probes.join(
+            lists.select(F.col("_vid").alias("cand_id"), F.col("cid").alias("cluster")),
+            "cluster",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()  # spilled lists surface border vectors twice
+    )
+
+    # per-(query, sub, code) ADC table — broadcast-sized: n_queries × m × k
+    from functools import reduce as _reduce
+
+    qsubs = _reduce(
+        DataFrame.unionByName,
+        [
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.lit(s).cast("int").alias("sub"),
+                _dvec(_subvec(vec_col, s, sub_dim)).alias("_q"),
+            )
+            for s in range(m)
+        ],
+    )
+    dtable = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        _sq_dist(F.col("_q"), F.col("cvec")).alias("sub_dist"),
+    )
+    scored = (
+        cands.join(codes, cands["cand_id"] == codes["vec_id"])
+        .select("query_id", "cand_id", "sub", "code")
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("sub_dist"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ivf_search_pinned(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -740,6 +740,7 @@ _DRIVER_PRIORITY = [
     # baseline-JPEG banded decode, star-CC cross-algorithm row).
     "ivf_ann_sublinear_top3",
     "ivf_sublinear_recall_at3",
+    "ivfadc_top3",
     "jpeg_decode_stats",
     "near_dup_components_star",
     # (b) latest driver evidence r01 (20 rows).
@@ -789,11 +790,11 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_executed",
     "streaming_ingest_pairs_converged",
     "top_supplier_quarter",
-    "user_daily_gapfill",
-    # ---- position 51+: the three r02 rows displaced by the never-checked
+    # ---- position 51+: the four r02 rows displaced by the never-checked
     # r7 additions (a window is 50; these lead the r8 window), then the 50
     # r03-evidence rows; rotated-out greens keep catalog order (appended
     # by _driver_order).
+    "user_daily_gapfill",
     "user_event_deltas",
     "user_rolling_value",
     "corpus_training_sequences",
@@ -3848,9 +3849,9 @@ _IVF_SUB_D2 = (
     " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)"
 )
 
-_IVF_SUB_SQL = f"""
-{_kmeans_ctes(_IVF_SUB_K_SQL, _KMEANS_ITERS, pfx="s")},
-sdist AS (
+# The spilled-lists + probe CTEs, shared verbatim by the sublinear top-k
+# oracle and the IVFADC oracle below (both replay the same search mart).
+_IVF_SUB_SEARCH_CTES = f"""sdist AS (
     SELECT svv._vid, svv.vec, c.cid,
            {_IVF_SUB_D2.format(a="svv.vec", b="c.cvec")} AS d2
     FROM svv, sc{_KMEANS_ITERS - 1} c
@@ -3870,7 +3871,11 @@ sprobe AS (
             FROM sqv q, sc{_KMEANS_ITERS - 1} c
         )
     ) WHERE prn <= ({_IVF_SUB_NPROBE_SQL})
-),
+)"""
+
+_IVF_SUB_SQL = f"""
+{_kmeans_ctes(_IVF_SUB_K_SQL, _KMEANS_ITERS, pfx="s")},
+{_IVF_SUB_SEARCH_CTES},
 sscored AS (
     SELECT DISTINCT p.query_id, c.cand_id,
            ROUND(list_aggregate(list_transform(list_zip(p.qvec, c.cvec2),
@@ -6639,6 +6644,86 @@ def pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         m=_PQ_M,
+        k=_PQ_TOPK,
+        dim=64,
+    )
+
+
+# IVFADC (NEW r7): the canonical billion-scale ANN layout (Jégou et al.
+# 2011) — coarse-probe the SUBLINEAR spilled inverted lists for candidate
+# ids, then rank candidates by PQ asymmetric distance over the 2-byte
+# codes mart. The float corpus appears in NEITHER search stage; cost ∝
+# probed candidates × m. The oracle composes the two already-verified
+# trainings (sublinear quantizer pfx "s"; per-subspace PQ codebooks pfx
+# "s0_"/"s1_") and replays probe → candidate → ADC → rank exactly.
+_IVFADC_SQL = (
+    _kmeans_ctes(_IVF_SUB_K_SQL, _KMEANS_ITERS, pfx="s")
+    + ",\n"
+    + _kmeans_ctes(_PQ_K, _KMEANS_ITERS, vec_sql="list_slice(embedding, 1, 32)", pfx="s0_")[len("WITH ") :]
+    + ",\n"
+    + _kmeans_ctes(_PQ_K, _KMEANS_ITERS, vec_sql="list_slice(embedding, 33, 64)", pfx="s1_")[len("WITH ") :]
+    + ",\n"
+    + _IVF_SUB_SEARCH_CTES
+    + f""",
+scand AS (
+    SELECT DISTINCT p.query_id, c.cand_id
+    FROM sprobe p JOIN slists c ON c.cid = p.cid AND c.cand_id <> p.query_id
+),
+codes AS (
+    SELECT _vid, 0 AS sub, cid AS code FROM s0_a{_KMEANS_ITERS}
+    UNION ALL
+    SELECT _vid, 1 AS sub, cid AS code FROM s1_a{_KMEANS_ITERS}
+),
+books AS (
+    SELECT 0 AS sub, cid, cvec FROM s0_c{_KMEANS_ITERS - 1}
+    UNION ALL
+    SELECT 1 AS sub, cid, cvec FROM s1_c{_KMEANS_ITERS - 1}
+),
+qsubs AS (
+    SELECT _vid AS query_id, 0 AS sub, vec AS qv FROM s0_vv WHERE _vid < 10
+    UNION ALL
+    SELECT _vid AS query_id, 1 AS sub, vec AS qv FROM s1_vv WHERE _vid < 10
+),
+dtable AS (
+    SELECT q.query_id, b.sub, b.cid AS code,
+           ROUND(list_aggregate(list_transform(list_zip(q.qv, b.cvec),
+                                               p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                'sum'), 6) AS sub_dist
+    FROM qsubs q JOIN books b ON b.sub = q.sub
+),
+adc AS (
+    SELECT s.query_id, s.cand_id, ROUND(SUM(d.sub_dist), 6) AS adc_dist
+    FROM scand s
+    JOIN codes c ON c._vid = s.cand_id
+    JOIN dtable d ON d.query_id = s.query_id AND d.sub = c.sub AND d.code = c.code
+    GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rnk
+    FROM adc
+) WHERE rnk <= {_PQ_TOPK}
+"""
+)
+
+
+@register("ivfadc_top3", _IVFADC_SQL)
+def ivfadc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: sublinear coarse probe (spilled √n-quantizer lists) +
+    PQ asymmetric-distance ranking over the codes mart — all four marts
+    (search lists, search centroids, PQ codes, PQ codebooks) are the
+    persisted session side tables the other rows already verify."""
+    from .operators.clustering import adaptive_k  # noqa: F401 (doc parity)
+    from .operators.ivf import ivfadc_topk, sublinear_k, sublinear_nprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfadc_topk(
+        _ivf_search_lists(spark, sf_dir),
+        _ivf_search_centroids(spark, sf_dir),
+        _pq_codes(spark, sf_dir),
+        _pq_codebooks(spark, sf_dir),
+        emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M,
+        nprobe=sublinear_nprobe(sublinear_k(emb.count())),
         k=_PQ_TOPK,
         dim=64,
     )
