@@ -71,6 +71,11 @@ ALLOWED_NESTED_LOOP = {
     "trigram_perplexity_scores",  # one-row vocab-size (V) broadcast
     "ccnet_perplexity_buckets",   # same scalar V broadcast via the scores
     "ivf_recall_at3",             # composes knn + ivf bounded baselines
+    "ivf_ann_sublinear_top3",     # sqrt(n) centroid table broadcast (r7)
+    "ivf_sublinear_recall_at3",   # composes knn + sublinear bounded baselines
+    "ivfadc_top3",                # centroid + m*k codebook broadcasts (r7)
+    "ivfadc_refined_top3",        # same broadcasts + bounded shortlist re-rank
+    "ivfadc_recall_at3",          # composes knn + ivfadc bounded baselines
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
@@ -86,6 +91,7 @@ ALLOWED_PYTHON = {
     "png_resize_stats",   # REAL PNG resample: decode+resize+re-encode+decode
     "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
     "wav_decode_stats",   # REAL RIFF/WAVE chunk-walk decode (audio leg)
+    "jpeg_decode_stats",  # REAL baseline-JPEG encode + decode + band check (r7)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
