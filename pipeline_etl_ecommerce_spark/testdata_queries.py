@@ -743,6 +743,7 @@ _DRIVER_PRIORITY = [
     "ivfadc_top3",
     "ivfadc_refined_top3",
     "ivfadc_recall_at3",
+    "ivf_delta_list_ingest",
     "jpeg_decode_stats",
     "near_dup_components_star",
     # (b) latest driver evidence r01 (20 rows).
@@ -789,11 +790,11 @@ _DRIVER_PRIORITY = [
     "shipping_priority_top10",
     "small_quantity_revenue",
     "streaming_chunk_replace",
-    "streaming_dedup_executed",
-    # ---- position 51+: the six r02 rows displaced by the never-checked
+    # ---- position 51+: the seven r02 rows displaced by the never-checked
     # r7 additions (a window is 50; these lead the r8 window), then the 50
     # r03-evidence rows; rotated-out greens keep catalog order (appended
     # by _driver_order).
+    "streaming_dedup_executed",
     "streaming_ingest_pairs_converged",
     "top_supplier_quarter",
     "user_daily_gapfill",
@@ -3582,7 +3583,12 @@ from .operators.similarity import _dvec  # noqa: E402
 
 
 def _kmeans_ctes(
-    k: int | str, iters: int, *, vec_sql: str = "embedding", pfx: str = ""
+    k: int | str,
+    iters: int,
+    *,
+    vec_sql: str = "embedding",
+    pfx: str = "",
+    where_sql: str = "",
 ) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs mirroring
     ``operators.clustering`` step for step (same init, same 6dp-rounded
@@ -3593,7 +3599,9 @@ def _kmeans_ctes(
     literal (PQ codebooks: codebook size is a design constant) or a SQL
     scalar expression (the coarse-quantizer family: k scales with corpus
     size via the adaptive_k formula, replayed here through a
-    LIMIT-subquery so the oracle picks the same k at every SF)."""
+    LIMIT-subquery so the oracle picks the same k at every SF).
+    ``where_sql`` restricts the TRAINING rows (the delta-ingest rows train
+    on the base slice only) — pass e.g. ``"WHERE vec_id % 10 < 8"``."""
     d2 = (
         f"ROUND(list_aggregate(list_transform(list_zip({pfx}vv.vec, c.cvec),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)"
@@ -3601,7 +3609,8 @@ def _kmeans_ctes(
     k_limit = str(k) if isinstance(k, int) else f"({k})"
     parts = [
         f"{pfx}vv AS (SELECT vec_id AS _vid,"
-        f" list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f" list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS vec"
+        f" FROM embeddings {where_sql})",
         f"{pfx}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY _vid) - 1 AS INTEGER) AS cid,"
         f" vec AS cvec FROM (SELECT _vid, vec FROM {pfx}vv ORDER BY _vid LIMIT {k_limit}))",
     ]
@@ -6813,6 +6822,63 @@ FROM exact_k e
 LEFT JOIN ann_k a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
 GROUP BY e.query_id
 """
+
+
+# Delta ingest into the SEARCH index (NEW r7): the O(delta) pattern the
+# incremental MinHash/SimHash marts already prove, applied to the ANN
+# tier — train the sublinear quantizer on the BASE slice (vec_id%10 < 8)
+# once, then spill-assign NEW vectors (the %10 >= 8 delta) into the
+# existing lists with the same pinned argmin: broadcast centroids + one
+# window over the delta only, never a retrain or corpus rescan. A vector
+# lands in identical lists whether it arrived in the training batch or a
+# later delta (assign_to_centroids' contract, extended to spilled lists).
+_IVF_DELTA_WHERE = "WHERE vec_id % 10 < 8"
+_IVF_DELTA_K_SQL = (
+    f"SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings {_IVF_DELTA_WHERE}"
+)
+
+_IVF_DELTA_SQL = f"""
+{_kmeans_ctes(_IVF_DELTA_K_SQL, _KMEANS_ITERS, pfx="b", where_sql=_IVF_DELTA_WHERE)},
+dvv AS (
+    SELECT vec_id AS _vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings WHERE vec_id % 10 >= 8
+),
+ddist AS (
+    SELECT dvv._vid, c.cid,
+           ROUND(list_aggregate(list_transform(list_zip(dvv.vec, c.cvec),
+                                               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d2
+    FROM dvv, bc{_KMEANS_ITERS - 1} c
+)
+SELECT _vid AS vec_id, CAST(cid AS INTEGER) AS cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY _vid ORDER BY d2, cid) AS rn FROM ddist
+) WHERE rn <= {_IVF_SUB_SPILL}
+"""
+
+
+def _ivf_delta_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import centroids_table as _ct
+    from .operators.ivf import sublinear_k
+
+    def build() -> DataFrame:
+        base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 < 8)
+        return _ct(
+            base, "embedding", "vec_id", k=sublinear_k(base.count()), iters=_KMEANS_ITERS
+        )
+
+    return _side_table(spark, sf_dir, f"ivf_delta_centroids_sqrt_i{_KMEANS_ITERS}", build)
+
+
+@register("ivf_delta_list_ingest", _IVF_DELTA_SQL)
+def ivf_delta_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ivf import spilled_assignment
+
+    delta = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 >= 8)
+    sp = spilled_assignment(
+        delta, _ivf_delta_centroids(spark, sf_dir), spill=_IVF_SUB_SPILL
+    )
+    return sp.select(
+        F.col("_vid").alias("vec_id"), F.col("cid").cast("int").alias("cluster_id")
+    )
 
 
 @register("ivfadc_recall_at3", _IVFADC_RECALL_SQL)
