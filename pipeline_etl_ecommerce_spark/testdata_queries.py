@@ -10902,6 +10902,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("lang_trigram_profiles", lambda: _lang_profiles(spark, sf_dir)),
             ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
             ("ivf_search_centroids", lambda: _ivf_search_centroids(spark, sf_dir)),
+            ("ivf_delta_centroids", lambda: _ivf_delta_centroids(spark, sf_dir)),
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
