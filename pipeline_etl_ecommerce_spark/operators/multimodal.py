@@ -391,6 +391,17 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "jpeg": synth_raster_smooth,
     }.get(fmt, synth_raster)
 
+    # The id frame usually comes off a one-split parquet scan (split sizing
+    # is BYTE-based), but the encode kernel's cost per BYTE is enormous —
+    # the measured 1-split cliff: the 2000-image JPEG row ran its whole
+    # encode+decode on ONE core (30.4 s) until this widen (the
+    # importance._widen lesson applied to the media path). No-op when the
+    # input already has enough splits; the synth/decode outputs are
+    # per-row, so redistribution cannot move any result.
+    from .importance import _widen
+
+    media_ids = _widen(media_ids.select("media_id"))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
