@@ -76,6 +76,7 @@ ALLOWED_NESTED_LOOP = {
     "ivfadc_top3",                # centroid + m*k codebook broadcasts (r7)
     "ivfadc_refined_top3",        # same broadcasts + bounded shortlist re-rank
     "ivfadc_recall_at3",          # composes knn + ivfadc bounded baselines
+    "ivf_delta_list_ingest",      # base-trained centroid table broadcast onto the delta
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
@@ -117,7 +118,21 @@ _KMEANS_WIDEN = (
     "cover the cluster."
 )
 
+_MEDIA_WIDEN = (
+    "multimodal.synthesize_images widens the media-id frame to cluster "
+    "parallelism before the encode/decode kernels (same 1-split cliff "
+    "class as DSIR — parquet splits are byte-sized, the codec cost per "
+    "byte is enormous; measured r7: the JPEG row ran 30.4s on ONE core, "
+    "2.24s widened). One repartition exchange; no-op on multi-split inputs."
+)
+
 EXPLAINED_GROWTH: dict[str, str] = {
+    "ppm_decode_stats": _MEDIA_WIDEN,
+    "bmp_decode_stats": _MEDIA_WIDEN,
+    "png_decode_stats": _MEDIA_WIDEN,
+    "png_rgba_decode_stats": _MEDIA_WIDEN,
+    "ppm_resize_stats": _MEDIA_WIDEN,
+    "png_resize_stats": _MEDIA_WIDEN,
     "dsir_importance_weights": _DSIR_WIDEN,
     "dsir_selected_corpus": _DSIR_WIDEN,
     "kmeans_clusters": _KMEANS_WIDEN,
