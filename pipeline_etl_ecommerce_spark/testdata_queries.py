@@ -744,6 +744,7 @@ _DRIVER_PRIORITY = [
     "ivfadc_refined_top3",
     "ivfadc_recall_at3",
     "ivf_delta_list_ingest",
+    "streaming_ann_ingest_executed",
     "jpeg_decode_stats",
     "near_dup_components_star",
     # (b) latest driver evidence r01 (20 rows).
@@ -789,11 +790,11 @@ _DRIVER_PRIORITY = [
     "returnflag_price_stats",
     "shipping_priority_top10",
     "small_quantity_revenue",
-    "streaming_chunk_replace",
-    # ---- position 51+: the seven r02 rows displaced by the never-checked
+    # ---- position 51+: the eight r02 rows displaced by the never-checked
     # r7 additions (a window is 50; these lead the r8 window), then the 50
     # r03-evidence rows; rotated-out greens keep catalog order (appended
     # by _driver_order).
+    "streaming_chunk_replace",
     "streaming_dedup_executed",
     "streaming_ingest_pairs_converged",
     "top_supplier_quarter",
@@ -6879,6 +6880,68 @@ def ivf_delta_list_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.select(
         F.col("_vid").alias("vec_id"), F.col("cid").cast("int").alias("cluster_id")
     )
+
+
+# The same delta ingest EXECUTED as a real stream (T1/T5 applied to the
+# ANN tier): new embeddings arrive as two JSONL drop files (two real
+# AvailableNow triggers), each micro-batch spill-assigns its vectors
+# against the PERSISTED base-trained centroid mart inside foreachBatch
+# and appends to the list mart — O(batch) work per trigger, no retrain,
+# no corpus rescan. The streamed mart must equal the batch delta
+# assignment bit-for-bit, so the oracle is _IVF_DELTA_SQL verbatim.
+@register("streaming_ann_ingest_executed", _IVF_DELTA_SQL)
+def streaming_ann_ingest_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .operators.ivf import spilled_assignment
+    from .streaming.runner import read_json_stream, stream_shuffle_partitions
+
+    cents = _ivf_delta_centroids(spark, sf_dir)
+    delta = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 >= 8)
+        .select("vec_id", _dvec(F.col("embedding")).alias("embedding"))
+    )
+    rows = delta.collect()  # bounded staging: the DELTA slice only
+
+    base = _tempfile.mkdtemp(prefix="stream_ann_ingest_")
+    drops = os.path.join(base, "drops")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(drops)
+    try:
+        with open(os.path.join(drops, "b1.json"), "w") as f1, open(
+            os.path.join(drops, "b2.json"), "w"
+        ) as f2:
+            for r in rows:
+                d = _json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+                # two arrival waves split by id parity — each vector arrives
+                # exactly once, in one of two REAL triggers
+                (f1 if r.vec_id % 2 == 0 else f2).write(d + "\n")
+        schema = StructType.fromDDL("vec_id bigint, embedding array<double>")
+
+        def ingest(bdf, _batch_id: int) -> None:
+            sp = spilled_assignment(bdf, cents, spill=_IVF_SUB_SPILL)
+            sp.select(
+                F.col("_vid").alias("vec_id"),
+                F.col("cid").cast("int").alias("cluster_id"),
+            ).write.mode("append").parquet(target)
+
+        with stream_shuffle_partitions(spark, 8):
+            _await_stream(
+                read_json_stream(spark, drops, schema, max_files_per_trigger=1)
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 @register("ivfadc_recall_at3", _IVFADC_RECALL_SQL)
