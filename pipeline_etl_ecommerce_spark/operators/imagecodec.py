@@ -42,6 +42,7 @@ __all__ = [
     "decode_ppm",
     "encode_bmp",
     "encode_png",
+    "encode_png_palette",
     "encode_ppm",
     "iter_ppm_stream",
     "resize_png_nearest",
@@ -299,11 +300,14 @@ def decode_bmp(payload: bytes) -> dict:
 
 # --------------------------------------------------------------------------
 # PNG (RFC 2083 / W3C spec): 8-byte signature, then CRC-protected chunks.
-# Scope: 8-bit depth, color types 2 (RGB) and 6 (RGBA), non-interlaced —
-# the DEFLATE layer is stdlib zlib, the scanline FILTER layer (all five
-# types: None/Sub/Up/Average/Paeth) is implemented here; Adam7 interlace
-# and palette/grayscale types raise NotImplementedError. CRCs are VERIFIED
-# (a decoder that skips them accepts silently corrupted chunks).
+# Scope: 8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette —
+# PLTE-indexed, the ubiquitous web form), 4 (gray+alpha), 6 (RGBA),
+# non-interlaced — the DEFLATE layer is stdlib zlib, the scanline FILTER
+# layer (all five types: None/Sub/Up/Average/Paeth) is implemented here;
+# Adam7 interlace, 16-bit depth, and palette transparency (tRNS) raise
+# NotImplementedError. CRCs are VERIFIED (a decoder that skips them
+# accepts silently corrupted chunks). Palette rasters expand to RGB at
+# decode; filtering for type 3 operates on INDEX bytes (bpp=1) per spec.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -379,12 +383,19 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# samples per pixel at depth 8, by color type
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse an 8-bit RGB/RGBA non-interlaced PNG to its reconstructed
-    top-down raster: ``(width, height, channels, bytes)``."""
+    """Parse an 8-bit non-interlaced PNG to its reconstructed top-down
+    raster: ``(width, height, channels, bytes)``. ``channels`` is 1 (gray),
+    2 (gray+alpha), 3 (RGB — truecolor OR palette expanded through PLTE),
+    or 4 (RGBA)."""
     if payload[:8] != _PNG_SIG:
         raise DecodeError("png: bad signature")
     ihdr = None
+    plte: bytes | None = None
     idat: list[bytes] = []
     saw_iend = False
     for ctype, body in _png_chunks(payload):
@@ -394,6 +405,18 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(body) != 13:
                 raise DecodeError("png: IHDR length != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if ihdr is None:
+                raise DecodeError("png: PLTE before IHDR")
+            if plte is not None:
+                raise DecodeError("png: duplicate PLTE")
+            if idat:
+                raise DecodeError("png: PLTE after IDAT")
+            if len(body) == 0 or len(body) % 3 != 0 or len(body) > 768:
+                raise DecodeError("png: bad PLTE length")
+            plte = body
+        elif ctype == b"tRNS":
+            raise NotImplementedError("png: palette transparency (tRNS) not supported")
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise DecodeError("png: IDAT before IHDR")
@@ -414,18 +437,22 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError("png: Adam7 interlacing not supported")
     if interlace != 0:
         raise DecodeError("png: bad interlace flag")
-    if depth != 8 or color_type not in (2, 6):
-        raise NotImplementedError(
-            "png: only 8-bit truecolor (RGB/RGBA) decodes in this environment"
-        )
+    if color_type not in _PNG_SAMPLES:
+        raise DecodeError("png: bad color type")
+    if depth != 8:
+        raise NotImplementedError("png: only 8-bit depth decodes in this environment")
+    if color_type == 3 and plte is None:
+        raise DecodeError("png: palette image missing PLTE")
+    if color_type != 3 and plte is not None:
+        raise DecodeError("png: PLTE on a non-palette color type")
     if not idat:
         raise DecodeError("png: missing IDAT")
-    channels = 3 if color_type == 2 else 4
+    samples = _PNG_SAMPLES[color_type]
     # Bound the inflate BEFORE allocating: a crafted stream with valid CRCs
     # could otherwise force a multi-GB allocation (zlib amplifies ~1000x)
     # ahead of _unfilter's size check. Expected bytes are fixed by IHDR:
-    # (width*channels + 1 filter byte) per row, height rows.
-    expected = (width * channels + 1) * height
+    # (width*samples + 1 filter byte) per row, height rows.
+    expected = (width * samples + 1) * height
     if expected > _MAX_RASTER_BYTES:
         raise DecodeError("png: raster exceeds decode size cap")
     try:
@@ -437,27 +464,48 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
     if not dec.eof and not dec.unused_data and dec.decompress(b"", 1):
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
-    return width, height, channels, _unfilter(raw, width, height, channels)
+    recon = _unfilter(raw, width, height, samples)
+    if color_type == 3:
+        # expand indices through the palette (filtering already ran on the
+        # INDEX bytes — the spec's bpp for type 3)
+        n_entries = len(plte) // 3
+        out = bytearray(width * height * 3)
+        for i, idx in enumerate(recon):
+            if idx >= n_entries:
+                raise DecodeError("png: palette index out of range")
+            out[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(out)
+    return width, height, samples, recon
 
 
 def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit RGB/RGBA non-interlaced PNG and return the same stat
-    dict shape as :func:`decode_ppm` (``channels`` is 3 or 4; for RGBA the
-    per-channel sums cover R/G/B and ``row0_sum`` includes alpha bytes —
-    both definitions are replayed exactly by the SQL oracle)."""
+    """Parse an 8-bit non-interlaced PNG and return the same stat dict
+    shape as :func:`decode_ppm`. ``channels``: 1 = grayscale, 2 =
+    gray+alpha, 3 = RGB (truecolor or palette-expanded), 4 = RGBA. For
+    gray forms the three channel sums and top-left values replicate the
+    gray channel (alpha excluded from sums); ``row0_sum`` always covers
+    ALL stored samples of row 0 including alpha — every definition is
+    replayed exactly by the SQL oracles."""
     width, height, channels, recon = _png_raster(payload)
     mv = memoryview(recon)
+    if channels <= 2:
+        gray_sum = sum(mv[0::channels])
+        sums = (gray_sum, gray_sum, gray_sum)
+        top = (recon[0], recon[0], recon[0])
+    else:
+        sums = (sum(mv[0::channels]), sum(mv[1::channels]), sum(mv[2::channels]))
+        top = (recon[0], recon[1], recon[2])
     return {
         "width": width,
         "height": height,
         "channels": channels,
         "maxval": 255,
-        "sum_r": sum(mv[0::channels]),
-        "sum_g": sum(mv[1::channels]),
-        "sum_b": sum(mv[2::channels]),
-        "top_left_r": recon[0],
-        "top_left_g": recon[1],
-        "top_left_b": recon[2],
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+        "top_left_r": top[0],
+        "top_left_g": top[1],
+        "top_left_b": top[2],
         "row0_sum": sum(recon[: width * channels]),
     }
 
@@ -485,18 +533,28 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
 def encode_png(
     width: int, height: int, raster: bytes, *, channels: int = 3
 ) -> bytes:
-    """Encode top-down interleaved RGB(A) bytes as a valid PNG whose row
+    """Encode top-down interleaved samples as a valid PNG whose row
     filters CYCLE through all five types (row y uses filter y % 5), so a
     decoder must implement every filter to round-trip any image taller
     than four rows — the same adversarial-encoder discipline as the BMP
-    bottom-up/BGR/padding transforms."""
-    if channels not in (3, 4):
-        raise ValueError("png: channels must be 3 (RGB) or 4 (RGBA)")
+    bottom-up/BGR/padding transforms. ``channels`` picks the color type:
+    1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor (2), 4 → RGBA (6)."""
+    if channels not in (1, 2, 3, 4):
+        raise ValueError("png: channels must be 1, 2, 3 (RGB) or 4 (RGBA)")
     if len(raster) != width * height * channels:
         raise ValueError("raster size mismatch")
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
-    stride = width * channels
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    return _png_container(
+        width, height, color_type, _png_filter_rows(raster, width, height, channels)
+    )
+
+
+def _png_filter_rows(raster: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Apply the cycling per-row filters (y % 5) over ``bpp``-byte pixels —
+    shared by the truecolor/gray and the palette (index-byte) encoders."""
+    stride = width * bpp
     prior = bytes(stride)
     filtered = bytearray()
     for y in range(height):
@@ -507,14 +565,14 @@ def encode_png(
             filtered += cur
         elif ft == 1:  # Sub
             filtered += bytes(
-                (cur[x] - (cur[x - channels] if x >= channels else 0)) & 0xFF
+                (cur[x] - (cur[x - bpp] if x >= bpp else 0)) & 0xFF
                 for x in range(stride)
             )
         elif ft == 2:  # Up
             filtered += bytes((cur[x] - prior[x]) & 0xFF for x in range(stride))
         elif ft == 3:  # Average
             filtered += bytes(
-                (cur[x] - (((cur[x - channels] if x >= channels else 0) + prior[x]) >> 1))
+                (cur[x] - (((cur[x - bpp] if x >= bpp else 0) + prior[x]) >> 1))
                 & 0xFF
                 for x in range(stride)
             )
@@ -523,16 +581,21 @@ def encode_png(
                 (
                     cur[x]
                     - _paeth(
-                        cur[x - channels] if x >= channels else 0,
+                        cur[x - bpp] if x >= bpp else 0,
                         prior[x],
-                        prior[x - channels] if x >= channels else 0,
+                        prior[x - bpp] if x >= bpp else 0,
                     )
                 )
                 & 0xFF
                 for x in range(stride)
             )
         prior = cur
+    return bytes(filtered)
 
+
+def _png_container(
+    width: int, height: int, color_type: int, filtered: bytes, *, plte: bytes = b""
+) -> bytes:
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
             struct.pack(">I", len(body))
@@ -541,18 +604,46 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    color_type = 2 if channels == 3 else 6
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     # split IDAT in two so multi-chunk reassembly is exercised by round-trips
-    z = zlib.compress(bytes(filtered), 6)
+    z = zlib.compress(filtered, 6)
     mid = max(1, len(z) // 2) if len(z) > 1 else len(z)
     idats = chunk(b"IDAT", z[:mid]) + (chunk(b"IDAT", z[mid:]) if z[mid:] else b"")
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
         + chunk(b"tEXt", b"Comment\x00synthetic")  # ancillary chunk to skip
+        + (chunk(b"PLTE", plte) if plte else b"")
         + idats
         + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(width: int, height: int, raster: bytes) -> bytes:
+    """Encode top-down RGB bytes as an 8-bit PALETTE PNG (color type 3, the
+    ubiquitous web form): PLTE holds the distinct colors in first-appearance
+    order, the stored raster is one index byte per pixel, and the cycling
+    row filters run over the INDEX bytes (bpp=1) — exactly lossless for any
+    image with ≤ 256 distinct colors, so the decode oracle is the same
+    pixel formula as the truecolor row."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster size mismatch")
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    colors: dict[bytes, int] = {}
+    indices = bytearray(width * height)
+    for i in range(width * height):
+        c = bytes(raster[3 * i : 3 * i + 3])
+        idx = colors.get(c)
+        if idx is None:
+            idx = len(colors)
+            if idx >= 256:
+                raise ValueError("png: palette encoding needs <= 256 distinct colors")
+            colors[c] = idx
+        indices[i] = idx
+    plte = b"".join(colors)  # insertion order == index order
+    return _png_container(
+        width, height, 3, _png_filter_rows(bytes(indices), width, height, 1), plte=plte
     )
 
 

@@ -337,6 +337,15 @@ def synth_raster_rgba(media_id: int) -> tuple[int, int, bytes]:
     return w, h, raster
 
 
+def synth_raster_gray(media_id: int) -> tuple[int, int, bytes]:
+    """Single-channel twin of :func:`synth_raster` for the grayscale PNG
+    row: dims ``w = 8 + id%5``, ``h = 4 + id%3``; byte at linear index
+    ``i`` over ``w*h`` is ``(id*41 + i*13) % 256``."""
+    w, h = 8 + media_id % 5, 4 + media_id % 3
+    base = media_id * 41
+    return w, h, bytes((base + i * 13) % 256 for i in range(w * h))
+
+
 def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
     """SMOOTH deterministic RGB raster for the lossy-codec (JPEG) row: dims
     ``w = 16 + id%9``, ``h = 16 + id%5`` (multiple MCUs each way, incl.
@@ -369,7 +378,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
     receives opaque bytes it must actually parse (headers, comments, BMP
     bottom-up padded BGR rows, JPEG entropy stream), not a dict handed
     around the side."""
-    from .imagecodec import encode_bmp, encode_png, encode_ppm
+    from .imagecodec import encode_bmp, encode_png, encode_png_palette, encode_ppm
     from .jpegcodec import encode_jpeg
 
     encode = {
@@ -377,6 +386,8 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "bmp": encode_bmp,
         "png": lambda w, h, r: encode_png(w, h, r),
         "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
+        "png_palette": encode_png_palette,
+        "png_gray": lambda w, h, r: encode_png(w, h, r, channels=1),
         "jpeg": None,  # id-dependent subsampling, handled below
     }[fmt]
     mime = {
@@ -384,10 +395,13 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "bmp": "image/bmp",
         "png": "image/png",
         "png_rgba": "image/png",
+        "png_palette": "image/png",
+        "png_gray": "image/png",
         "jpeg": "image/jpeg",
     }[fmt]
     raster_fn = {
         "png_rgba": synth_raster_rgba,
+        "png_gray": synth_raster_gray,
         "jpeg": synth_raster_smooth,
     }.get(fmt, synth_raster)
 

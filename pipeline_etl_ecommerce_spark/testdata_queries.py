@@ -746,6 +746,8 @@ _DRIVER_PRIORITY = [
     "ivf_delta_list_ingest",
     "streaming_ann_ingest_executed",
     "jpeg_decode_stats",
+    "png_palette_decode_stats",
+    "png_gray_decode_stats",
     "near_dup_components_star",
     # (b) latest driver evidence r01 (20 rows).
     "assembled_packs",
@@ -788,12 +790,12 @@ _DRIVER_PRIORITY = [
     "quality_gate_p25",
     "returned_item_top_customers",
     "returnflag_price_stats",
-    "shipping_priority_top10",
-    "small_quantity_revenue",
-    # ---- position 51+: the eight r02 rows displaced by the never-checked
+    # ---- position 51+: the ten r02 rows displaced by the never-checked
     # r7 additions (a window is 50; these lead the r8 window), then the 50
     # r03-evidence rows; rotated-out greens keep catalog order (appended
     # by _driver_order).
+    "shipping_priority_top10",
+    "small_quantity_revenue",
     "streaming_chunk_replace",
     "streaming_dedup_executed",
     "streaming_ingest_pairs_converged",
@@ -1341,6 +1343,49 @@ GROUP BY doc_id, w, h
 @register("png_rgba_decode_stats", _PNG_RGBA_SQL)
 def png_rgba_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "png_rgba")
+
+
+# PALETTE PNG (NEW r7): color type 3, the ubiquitous web form — PLTE
+# lookup, index-byte filtering (bpp=1), out-of-range-index rejection. The
+# synth rasters have ≤ 72 pixels so palette encoding is exactly lossless:
+# the oracle is the SAME pixel formula as the truecolor row, making the
+# hash a cross-REPRESENTATION equality proof (truecolor and palette
+# encodings of one image decode to identical stats).
+@register("png_palette_decode_stats", _IMAGE_DECODE_SQL_TMPL)
+def png_palette_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_palette")
+
+
+# GRAYSCALE PNG (NEW r7): color type 0 — 1 byte/pixel scanlines under the
+# same cycling filters; channel sums and top-left replicate the gray
+# channel, row0_sum covers the stored row (definitions in decode_png).
+_PNG_GRAY_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i.i, (doc_id * 41 + i.i * 13) % 256 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels, CAST(255 AS BIGINT) AS maxval,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM(v) AS BIGINT) AS sum_g,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register("png_gray_decode_stats", _PNG_GRAY_SQL)
+def png_gray_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_gray")
 
 
 # Baseline JPEG (NEW r7, verdict item 4): REAL lossy decode — markers,

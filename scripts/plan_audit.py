@@ -93,6 +93,8 @@ ALLOWED_PYTHON = {
     "ppm_stream_frame_stats",  # REAL P6-stream split + per-frame decode
     "wav_decode_stats",   # REAL RIFF/WAVE chunk-walk decode (audio leg)
     "jpeg_decode_stats",  # REAL baseline-JPEG encode + decode + band check (r7)
+    "png_palette_decode_stats",  # REAL palette-PNG decode (PLTE expansion, r7)
+    "png_gray_decode_stats",     # REAL grayscale-PNG decode (r7)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",

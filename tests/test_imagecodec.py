@@ -367,8 +367,10 @@ def test_png_interlace_and_exotic_types_not_implemented():
         decode_png(make(8, 2, 1))  # Adam7
     with pytest.raises(NotImplementedError):
         decode_png(make(16, 2, 0))  # 16-bit
-    with pytest.raises(NotImplementedError):
-        decode_png(make(8, 3, 0))  # palette
+    # palette is IMPLEMENTED since r7 — this crafted file lacks its PLTE,
+    # which is a malformed-file error, not a format gap
+    with pytest.raises(DecodeError, match="missing PLTE"):
+        decode_png(make(8, 3, 0))
 
 
 def test_png_corrupt_zlib_stream_rejected():
@@ -492,3 +494,79 @@ def test_resize_image_dispatches_png():
     assert (st["width"], st["height"]) == (4, 3)
     with pytest.raises(DecodeError):  # malformed JPEG: real parser since r7
         resize_image(b"\xff\xd8\xff\xe0jpeg", 2, 2)
+
+
+def test_png_palette_equals_truecolor_stats():
+    """Palette encoding of a ≤256-color image decodes to IDENTICAL stats
+    as its truecolor encoding — cross-representation equality."""
+    from pipeline_etl_ecommerce_spark.operators.imagecodec import encode_png_palette
+    from pipeline_etl_ecommerce_spark.operators.multimodal import synth_raster
+
+    for mid in (0, 5, 9, 14):
+        w, h, r = synth_raster(mid)
+        assert decode_png(encode_png(w, h, r)) == decode_png(encode_png_palette(w, h, r))
+
+
+def test_png_gray_and_gray_alpha_roundtrip():
+    w, h = 9, 7
+    g = bytes((i * 13 + 5) % 256 for i in range(w * h))
+    st = decode_png(encode_png(w, h, g, channels=1))
+    assert (st["channels"], st["sum_r"], st["row0_sum"]) == (1, sum(g), sum(g[:w]))
+    assert st["sum_r"] == st["sum_g"] == st["sum_b"]
+    ga = bytes((i * 7 + 3) % 256 for i in range(w * h * 2))
+    st2 = decode_png(encode_png(w, h, ga, channels=2))
+    assert st2["channels"] == 2
+    assert st2["sum_r"] == sum(ga[0::2])  # alpha excluded from channel sums
+    assert st2["row0_sum"] == sum(ga[: w * 2])  # but included in the row sum
+
+
+def test_png_palette_structure_rejections():
+    from pipeline_etl_ecommerce_spark.operators.imagecodec import encode_png_palette
+    from pipeline_etl_ecommerce_spark.operators.multimodal import synth_raster
+
+    w, h, r = synth_raster(1)
+    good = encode_png_palette(w, h, r)
+
+    def chunks(payload):
+        i = 8
+        out = []
+        while i < len(payload):
+            (ln,) = _struct.unpack(">I", payload[i : i + 4])
+            out.append((payload[i + 4 : i + 8], payload[i + 8 : i + 8 + ln]))
+            i += 12 + ln
+        return out
+
+    def rebuild(cs):
+        body = b"\x89PNG\r\n\x1a\n"
+        for t, b in cs:
+            body += _struct.pack(">I", len(b)) + t + b + _struct.pack(
+                ">I", _zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+        return body
+
+    cs = chunks(good)
+    # out-of-range palette index: shrink PLTE to one entry
+    shrunk = [(t, (b[:3] if t == b"PLTE" else b)) for t, b in cs]
+    with pytest.raises(DecodeError, match="palette index out of range"):
+        decode_png(rebuild(shrunk))
+    # palette image with PLTE dropped entirely
+    with pytest.raises(DecodeError, match="missing PLTE"):
+        decode_png(rebuild([(t, b) for t, b in cs if t != b"PLTE"]))
+    # tRNS rejected honestly (transparency would silently drop otherwise)
+    with_trns = []
+    for t, b in cs:
+        with_trns.append((t, b))
+        if t == b"PLTE":
+            with_trns.append((b"tRNS", b"\x00"))
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(with_trns))
+    # PLTE on a truecolor image rejected
+    w2, h2, r2 = synth_raster(2)
+    tc = chunks(encode_png(w2, h2, r2))
+    with_plte = []
+    for t, b in tc:
+        with_plte.append((t, b))
+        if t == b"IHDR":
+            with_plte.append((b"PLTE", b"\x01\x02\x03"))
+    with pytest.raises(DecodeError, match="non-palette"):
+        decode_png(rebuild(with_plte))
