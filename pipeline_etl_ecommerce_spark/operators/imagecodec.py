@@ -302,12 +302,14 @@ def decode_bmp(payload: bytes) -> dict:
 # PNG (RFC 2083 / W3C spec): 8-byte signature, then CRC-protected chunks.
 # Scope: 8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette —
 # PLTE-indexed, the ubiquitous web form), 4 (gray+alpha), 6 (RGBA),
-# non-interlaced — the DEFLATE layer is stdlib zlib, the scanline FILTER
-# layer (all five types: None/Sub/Up/Average/Paeth) is implemented here;
-# Adam7 interlace, 16-bit depth, and palette transparency (tRNS) raise
-# NotImplementedError. CRCs are VERIFIED (a decoder that skips them
-# accepts silently corrupted chunks). Palette rasters expand to RGB at
-# decode; filtering for type 3 operates on INDEX bytes (bpp=1) per spec.
+# sequential AND Adam7-interlaced layouts — the DEFLATE layer is stdlib
+# zlib, the scanline FILTER layer (all five types: None/Sub/Up/Average/
+# Paeth) is implemented here, and interlaced streams unfilter each of the
+# 7 pass sub-images independently before the deinterlace scatter; 16-bit
+# depth and palette transparency (tRNS) raise NotImplementedError. CRCs
+# are VERIFIED (a decoder that skips them accepts silently corrupted
+# chunks). Palette rasters expand to RGB at decode; filtering for type 3
+# operates on INDEX bytes (bpp=1) per spec.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -386,6 +388,54 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
 # samples per pixel at depth 8, by color type
 _PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+# Pass p covers pixels (x0 + i*xs, y0 + j*ys); empty passes store nothing.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, xs, ys, pass_width, pass_height) per pass, in pass order."""
+    out = []
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+        ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+        out.append((x0, y0, xs, ys, pw, ph))
+    return out
+
+
+def _adam7_deinterlace(
+    raw: bytes, width: int, height: int, samples: int
+) -> bytes:
+    """Unfilter the 7 consecutive pass sub-images and scatter their pixels
+    to the full raster's positions."""
+    out = bytearray(width * height * samples)
+    pos = 0
+    for x0, y0, xs, ys, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        size = (pw * samples + 1) * ph
+        sub = _unfilter(raw[pos : pos + size], pw, ph, samples)
+        pos += size
+        for j in range(ph):
+            y = y0 + j * ys
+            srow = j * pw * samples
+            for i in range(pw):
+                x = x0 + i * xs
+                d = (y * width + x) * samples
+                s = srow + i * samples
+                out[d : d + samples] = sub[s : s + samples]
+    if pos != len(raw):
+        raise DecodeError("png: interlaced stream size mismatch")
+    return bytes(out)
+
 
 def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse an 8-bit non-interlaced PNG to its reconstructed top-down
@@ -433,9 +483,7 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: bad dimensions")
     if comp != 0 or filt != 0:
         raise DecodeError("png: unknown compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("png: Adam7 interlacing not supported")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise DecodeError("png: bad interlace flag")
     if color_type not in _PNG_SAMPLES:
         raise DecodeError("png: bad color type")
@@ -451,8 +499,16 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     # Bound the inflate BEFORE allocating: a crafted stream with valid CRCs
     # could otherwise force a multi-GB allocation (zlib amplifies ~1000x)
     # ahead of _unfilter's size check. Expected bytes are fixed by IHDR:
-    # (width*samples + 1 filter byte) per row, height rows.
-    expected = (width * samples + 1) * height
+    # (width*samples + 1 filter byte) per row for the sequential layout;
+    # for Adam7, the sum of the 7 filtered pass sub-images.
+    if interlace == 0:
+        expected = (width * samples + 1) * height
+    else:
+        expected = sum(
+            (pw * samples + 1) * ph
+            for _x0, _y0, _xs, _ys, pw, ph in _adam7_pass_dims(width, height)
+            if pw and ph
+        )
     if expected > _MAX_RASTER_BYTES:
         raise DecodeError("png: raster exceeds decode size cap")
     try:
@@ -464,7 +520,10 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
     if not dec.eof and not dec.unused_data and dec.decompress(b"", 1):
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
-    recon = _unfilter(raw, width, height, samples)
+    if interlace == 1:
+        recon = _adam7_deinterlace(raw, width, height, samples)
+    else:
+        recon = _unfilter(raw, width, height, samples)
     if color_type == 3:
         # expand indices through the palette (filtering already ran on the
         # INDEX bytes — the spec's bpp for type 3)
@@ -531,14 +590,21 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
 
 
 def encode_png(
-    width: int, height: int, raster: bytes, *, channels: int = 3
+    width: int,
+    height: int,
+    raster: bytes,
+    *,
+    channels: int = 3,
+    interlace: bool = False,
 ) -> bytes:
     """Encode top-down interleaved samples as a valid PNG whose row
     filters CYCLE through all five types (row y uses filter y % 5), so a
     decoder must implement every filter to round-trip any image taller
     than four rows — the same adversarial-encoder discipline as the BMP
     bottom-up/BGR/padding transforms. ``channels`` picks the color type:
-    1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor (2), 4 → RGBA (6)."""
+    1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor (2), 4 → RGBA (6).
+    ``interlace=True`` stores the Adam7 layout: seven independently
+    filtered pass sub-images in pass order (empty passes store nothing)."""
     if channels not in (1, 2, 3, 4):
         raise ValueError("png: channels must be 1, 2, 3 (RGB) or 4 (RGBA)")
     if len(raster) != width * height * channels:
@@ -546,9 +612,24 @@ def encode_png(
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    return _png_container(
-        width, height, color_type, _png_filter_rows(raster, width, height, channels)
-    )
+    if not interlace:
+        return _png_container(
+            width, height, color_type, _png_filter_rows(raster, width, height, channels)
+        )
+    parts = []
+    for x0, y0, xs, ys, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        sub = bytearray(pw * ph * channels)
+        for j in range(ph):
+            y = y0 + j * ys
+            for i in range(pw):
+                x = x0 + i * xs
+                s = (y * width + x) * channels
+                d = (j * pw + i) * channels
+                sub[d : d + channels] = raster[s : s + channels]
+        parts.append(_png_filter_rows(bytes(sub), pw, ph, channels))
+    return _png_container(width, height, color_type, b"".join(parts), interlace=1)
 
 
 def _png_filter_rows(raster: bytes, width: int, height: int, bpp: int) -> bytes:
@@ -594,7 +675,13 @@ def _png_filter_rows(raster: bytes, width: int, height: int, bpp: int) -> bytes:
 
 
 def _png_container(
-    width: int, height: int, color_type: int, filtered: bytes, *, plte: bytes = b""
+    width: int,
+    height: int,
+    color_type: int,
+    filtered: bytes,
+    *,
+    plte: bytes = b"",
+    interlace: int = 0,
 ) -> bytes:
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -604,7 +691,7 @@ def _png_container(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, interlace)
     # split IDAT in two so multi-chunk reassembly is exercised by round-trips
     z = zlib.compress(filtered, 6)
     mid = max(1, len(z) // 2) if len(z) > 1 else len(z)

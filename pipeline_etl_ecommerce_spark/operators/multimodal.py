@@ -384,7 +384,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
     encode = {
         "ppm": lambda w, h, r: encode_ppm(w, h, r),
         "bmp": encode_bmp,
-        "png": lambda w, h, r: encode_png(w, h, r),
+        "png": None,  # id-dependent Adam7 interlacing, handled below
         "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
         "png_palette": encode_png_palette,
         "png_gray": lambda w, h, r: encode_png(w, h, r, channels=1),
@@ -432,6 +432,14 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
                         raster,
                         subsampling=jpeg_subsampling_for(int(media_id)),
                         restart_interval=2 if int(media_id) % 3 == 0 else 0,
+                    )
+                elif fmt == "png":
+                    # ids % 7 == 0 store the Adam7 interlaced layout — the
+                    # decoder reassembles the 7 pass sub-images every round
+                    # (pure re-layout: decoded pixels — and the formula
+                    # oracle — are unchanged)
+                    payload = encode_png(
+                        w, h, raster, interlace=int(media_id) % 7 == 0
                     )
                 else:
                     payload = encode(w, h, raster)

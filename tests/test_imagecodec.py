@@ -363,14 +363,45 @@ def test_png_interlace_and_exotic_types_not_implemented():
             + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError):
-        decode_png(make(8, 2, 1))  # Adam7
+    # Adam7 is IMPLEMENTED since r7 — this crafted file's bogus stream now
+    # fails the pass-layout size check, a malformed-file error
+    with pytest.raises(DecodeError):
+        decode_png(make(8, 2, 1))
     with pytest.raises(NotImplementedError):
         decode_png(make(16, 2, 0))  # 16-bit
     # palette is IMPLEMENTED since r7 — this crafted file lacks its PLTE,
     # which is a malformed-file error, not a format gap
     with pytest.raises(DecodeError, match="missing PLTE"):
         decode_png(make(8, 3, 0))
+
+
+def test_png_adam7_roundtrips_identical_to_sequential():
+    """Adam7 storage is a pure re-layout: the interlaced encoding of any
+    image decodes to stats IDENTICAL to its sequential encoding — across
+    RGB/RGBA/gray and edge dims where several passes are empty."""
+    from pipeline_etl_ecommerce_spark.operators.multimodal import (
+        synth_raster_gray,
+        synth_raster_rgba,
+    )
+
+    for mid in (0, 3, 8, 13):
+        w, h, r = synth_raster(mid)
+        assert decode_png(encode_png(w, h, r, interlace=True)) == decode_png(
+            encode_png(w, h, r)
+        )
+        w, h, r = synth_raster_rgba(mid)
+        assert decode_png(
+            encode_png(w, h, r, channels=4, interlace=True)
+        ) == decode_png(encode_png(w, h, r, channels=4))
+        w, h, g = synth_raster_gray(mid)
+        assert decode_png(
+            encode_png(w, h, g, channels=1, interlace=True)
+        ) == decode_png(encode_png(w, h, g, channels=1))
+    for w, h in [(1, 1), (2, 1), (1, 2), (7, 5), (8, 8), (9, 9), (16, 2)]:
+        r = bytes((i * 7 + 1) % 256 for i in range(w * h * 3))
+        assert decode_png(encode_png(w, h, r, interlace=True)) == decode_png(
+            encode_png(w, h, r)
+        )
 
 
 def test_png_corrupt_zlib_stream_rejected():
