@@ -151,6 +151,12 @@ ADJUDICATIONS = {
     "ivf_ann_sublinear_top3": "sqrt(n) quantizer + 2-way spill + sqrt(k) probes: "
     "probed rows ~ 2n/sqrt(k) = O(n^(3/4)) - sublinear; fixed per-query overhead "
     "dominates at these SFs so wall ratio should sit well under the 10x data step",
+    "near_dup_components_star": "alternating star contraction: O(log^2 n) rounds on "
+    "ANY topology; per-round shuffle ~ edges, which the synthesizer grows "
+    "superlinearly by design (planted near-dups densify the graph)",
+    "jpeg_decode_stats": "map-only Arrow kernel over id-widened splits: wall "
+    "tracks image count linearly, parallelism absorbs locally (the r7 widen "
+    "removed the 1-split cliff this row shipped with)",
 }
 
 
@@ -187,6 +193,8 @@ def main() -> int:
         "semantic_dedup_keep",
         "ivf_ann_top3",
         "ivf_ann_sublinear_top3",
+        "near_dup_components_star",
+        "jpeg_decode_stats",
     ]
     # Pre-build the shared marts at BOTH SFs outside the per-query timers
     # (the ingest-time contract; bench.py bills the same way), recording the
