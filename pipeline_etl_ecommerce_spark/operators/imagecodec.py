@@ -306,10 +306,11 @@ def decode_bmp(payload: bytes) -> dict:
 # zlib, the scanline FILTER layer (all five types: None/Sub/Up/Average/
 # Paeth) is implemented here, and interlaced streams unfilter each of the
 # 7 pass sub-images independently before the deinterlace scatter; 16-bit
-# depth and palette transparency (tRNS) raise NotImplementedError. CRCs
-# are VERIFIED (a decoder that skips them accepts silently corrupted
-# chunks). Palette rasters expand to RGB at decode; filtering for type 3
-# operates on INDEX bytes (bpp=1) per spec.
+# depth and COLOR-KEY tRNS (gray/truecolor) raise NotImplementedError.
+# CRCs are VERIFIED (a decoder that skips them accepts silently corrupted
+# chunks). Palette rasters expand to RGB at decode — or RGBA when a tRNS
+# chunk supplies per-entry alpha; filtering for type 3 operates on INDEX
+# bytes (bpp=1) per spec.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -446,6 +447,7 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: bad signature")
     ihdr = None
     plte: bytes | None = None
+    trns: bytes | None = None
     idat: list[bytes] = []
     saw_iend = False
     for ctype, body in _png_chunks(payload):
@@ -466,7 +468,11 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise DecodeError("png: bad PLTE length")
             plte = body
         elif ctype == b"tRNS":
-            raise NotImplementedError("png: palette transparency (tRNS) not supported")
+            if trns is not None:
+                raise DecodeError("png: duplicate tRNS")
+            if idat:
+                raise DecodeError("png: tRNS after IDAT")
+            trns = body
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise DecodeError("png: IDAT before IHDR")
@@ -493,6 +499,15 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: palette image missing PLTE")
     if color_type != 3 and plte is not None:
         raise DecodeError("png: PLTE on a non-palette color type")
+    if trns is not None:
+        if color_type != 3:
+            # gray/truecolor tRNS is a transparent-COLOR key, a different
+            # mechanism from the per-entry palette alpha implemented here
+            raise NotImplementedError(
+                "png: tRNS color-key transparency (non-palette) not supported"
+            )
+        if len(trns) > len(plte) // 3:
+            raise DecodeError("png: tRNS longer than the palette")
     if not idat:
         raise DecodeError("png: missing IDAT")
     samples = _PNG_SAMPLES[color_type]
@@ -526,14 +541,19 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         recon = _unfilter(raw, width, height, samples)
     if color_type == 3:
         # expand indices through the palette (filtering already ran on the
-        # INDEX bytes — the spec's bpp for type 3)
+        # INDEX bytes — the spec's bpp for type 3); a tRNS chunk adds a
+        # per-entry alpha (255 beyond its length) and widens to RGBA
         n_entries = len(plte) // 3
-        out = bytearray(width * height * 3)
+        out_ch = 4 if trns is not None else 3
+        out = bytearray(width * height * out_ch)
         for i, idx in enumerate(recon):
             if idx >= n_entries:
                 raise DecodeError("png: palette index out of range")
-            out[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return width, height, 3, bytes(out)
+            o = out_ch * i
+            out[o : o + 3] = plte[3 * idx : 3 * idx + 3]
+            if out_ch == 4:
+                out[o + 3] = trns[idx] if idx < len(trns) else 255
+        return width, height, out_ch, bytes(out)
     return width, height, samples, recon
 
 
@@ -681,6 +701,7 @@ def _png_container(
     filtered: bytes,
     *,
     plte: bytes = b"",
+    trns: bytes = b"",
     interlace: int = 0,
 ) -> bytes:
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -701,26 +722,36 @@ def _png_container(
         + chunk(b"IHDR", ihdr)
         + chunk(b"tEXt", b"Comment\x00synthetic")  # ancillary chunk to skip
         + (chunk(b"PLTE", plte) if plte else b"")
+        + (chunk(b"tRNS", trns) if trns else b"")
         + idats
         + chunk(b"IEND", b"")
     )
 
 
-def encode_png_palette(width: int, height: int, raster: bytes) -> bytes:
-    """Encode top-down RGB bytes as an 8-bit PALETTE PNG (color type 3, the
-    ubiquitous web form): PLTE holds the distinct colors in first-appearance
-    order, the stored raster is one index byte per pixel, and the cycling
-    row filters run over the INDEX bytes (bpp=1) — exactly lossless for any
-    image with ≤ 256 distinct colors, so the decode oracle is the same
-    pixel formula as the truecolor row."""
+def encode_png_palette(
+    width: int, height: int, raster: bytes, *, alpha: bytes | None = None
+) -> bytes:
+    """Encode top-down RGB(A) bytes as an 8-bit PALETTE PNG (color type 3,
+    the ubiquitous web form): PLTE holds the distinct colors in
+    first-appearance order, the stored raster is one index byte per pixel,
+    and the cycling row filters run over the INDEX bytes (bpp=1) — exactly
+    lossless for any image with ≤ 256 distinct colors, so the decode
+    oracle is the same pixel formula as the truecolor row. ``alpha`` (one
+    byte per PIXEL, same order as the raster) emits a tRNS chunk carrying
+    each palette entry's alpha — distinctness is then per (color, alpha)
+    tuple, matching the decoder's RGBA expansion."""
     if len(raster) != width * height * 3:
         raise ValueError("raster size mismatch")
+    if alpha is not None and len(alpha) != width * height:
+        raise ValueError("alpha size mismatch")
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
     colors: dict[bytes, int] = {}
     indices = bytearray(width * height)
     for i in range(width * height):
-        c = bytes(raster[3 * i : 3 * i + 3])
+        c = bytes(raster[3 * i : 3 * i + 3]) + (
+            bytes([alpha[i]]) if alpha is not None else b""
+        )
         idx = colors.get(c)
         if idx is None:
             idx = len(colors)
@@ -728,9 +759,15 @@ def encode_png_palette(width: int, height: int, raster: bytes) -> bytes:
                 raise ValueError("png: palette encoding needs <= 256 distinct colors")
             colors[c] = idx
         indices[i] = idx
-    plte = b"".join(colors)  # insertion order == index order
+    plte = b"".join(c[:3] for c in colors)  # insertion order == index order
+    trns = bytes(c[3] for c in colors) if alpha is not None else b""
     return _png_container(
-        width, height, 3, _png_filter_rows(bytes(indices), width, height, 1), plte=plte
+        width,
+        height,
+        3,
+        _png_filter_rows(bytes(indices), width, height, 1),
+        plte=plte,
+        trns=trns,
     )
 
 

@@ -583,14 +583,33 @@ def test_png_palette_structure_rejections():
     # palette image with PLTE dropped entirely
     with pytest.raises(DecodeError, match="missing PLTE"):
         decode_png(rebuild([(t, b) for t, b in cs if t != b"PLTE"]))
-    # tRNS rejected honestly (transparency would silently drop otherwise)
+    # palette tRNS is IMPLEMENTED since r7: entry 0 gets alpha 0, the rest
+    # default to 255, and the output widens to RGBA
     with_trns = []
     for t, b in cs:
         with_trns.append((t, b))
         if t == b"PLTE":
             with_trns.append((b"tRNS", b"\x00"))
+    st = decode_png(rebuild(with_trns))
+    assert st["channels"] == 4
+    # color-key tRNS on truecolor remains an honest gap
+    w3, h3, r3 = synth_raster(3)
+    tc3 = chunks(encode_png(w3, h3, r3))
+    with_key = []
+    for t, b in tc3:
+        with_key.append((t, b))
+        if t == b"IHDR":
+            with_key.append((b"tRNS", b"\x00\x01\x00\x02\x00\x03"))
     with pytest.raises(NotImplementedError):
-        decode_png(rebuild(with_trns))
+        decode_png(rebuild(with_key))
+    # tRNS longer than the palette is malformed
+    too_long = []
+    for t, b in cs:
+        too_long.append((t, b))
+        if t == b"PLTE":
+            too_long.append((b"tRNS", b"\x00" * (len(b) // 3 + 1)))
+    with pytest.raises(DecodeError, match="longer than the palette"):
+        decode_png(rebuild(too_long))
     # PLTE on a truecolor image rejected
     w2, h2, r2 = synth_raster(2)
     tc = chunks(encode_png(w2, h2, r2))
@@ -601,3 +620,27 @@ def test_png_palette_structure_rejections():
             with_plte.append((b"PLTE", b"\x01\x02\x03"))
     with pytest.raises(DecodeError, match="non-palette"):
         decode_png(rebuild(with_plte))
+
+
+def test_png_palette_trns_alpha_roundtrip():
+    """Per-pixel alpha through the palette: encode_png_palette(alpha=...)
+    emits tRNS and the decode expands to RGBA whose alpha channel equals
+    the input alphas; stats match the RGBA definitions (alpha excluded
+    from channel sums, included in row0_sum)."""
+    from pipeline_etl_ecommerce_spark.operators.imagecodec import encode_png_palette
+
+    w, h = 5, 4
+    rgb = bytes((i * 11 + 2) % 256 for i in range(w * h * 3))
+    alpha = bytes((i * 37) % 256 for i in range(w * h))
+    st = decode_png(encode_png_palette(w, h, rgb, alpha=alpha))
+    assert (st["width"], st["height"], st["channels"]) == (w, h, 4)
+    assert st["sum_r"] == sum(rgb[0::3])
+    assert st["sum_g"] == sum(rgb[1::3])
+    assert st["sum_b"] == sum(rgb[2::3])
+    rgba_row0 = sum(rgb[: w * 3]) + sum(alpha[:w])
+    assert st["row0_sum"] == rgba_row0
+    # identical to a direct RGBA encoding of the same pixels
+    rgba = bytearray()
+    for i in range(w * h):
+        rgba += rgb[3 * i : 3 * i + 3] + bytes([alpha[i]])
+    assert st == decode_png(encode_png(w, h, bytes(rgba), channels=4))
