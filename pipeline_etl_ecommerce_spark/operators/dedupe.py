@@ -498,12 +498,24 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFr
         )
 
     fp = _fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         new_fp = _fingerprint(edges)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # A non-fixed-point edge set can leave a node as src with multiple
+        # dsts → duplicate (doc_id, component_id) rows with conflicting
+        # labels. Fail loudly instead of returning them (advice r7) — the
+        # same latent pattern label-prop guards with its own max_iter check.
+        raise RuntimeError(
+            f"connected_components_star: no fixed point after {max_iter} "
+            "rounds; raise max_iter (the star contraction needs "
+            "O(log^2 n) rounds worst case)"
+        )
     # fixed point: every remaining edge is (node, component_min); roots and
     # isolated-within-pairs nodes map to themselves
     assigned = edges.select(

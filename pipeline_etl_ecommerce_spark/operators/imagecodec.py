@@ -33,7 +33,9 @@ payload column is projected away immediately after this stage.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
+from array import array
 
 __all__ = [
     "DecodeError",
@@ -300,17 +302,20 @@ def decode_bmp(payload: bytes) -> dict:
 
 # --------------------------------------------------------------------------
 # PNG (RFC 2083 / W3C spec): 8-byte signature, then CRC-protected chunks.
-# Scope: 8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette —
-# PLTE-indexed, the ubiquitous web form), 4 (gray+alpha), 6 (RGBA),
-# sequential AND Adam7-interlaced layouts — the DEFLATE layer is stdlib
-# zlib, the scanline FILTER layer (all five types: None/Sub/Up/Average/
-# Paeth) is implemented here, and interlaced streams unfilter each of the
-# 7 pass sub-images independently before the deinterlace scatter; 16-bit
-# depth and COLOR-KEY tRNS (gray/truecolor) raise NotImplementedError.
-# CRCs are VERIFIED (a decoder that skips them accepts silently corrupted
-# chunks). Palette rasters expand to RGB at decode — or RGBA when a tRNS
-# chunk supplies per-entry alpha; filtering for type 3 operates on INDEX
-# bytes (bpp=1) per spec.
+# Scope: 8- AND 16-bit depths, color types 0 (grayscale), 2 (RGB), 3
+# (palette — PLTE-indexed, the ubiquitous web form; 8-bit only per spec),
+# 4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced layouts — the
+# DEFLATE layer is stdlib zlib, the scanline FILTER layer (all five types:
+# None/Sub/Up/Average/Paeth) is implemented here over BYTES (the 16-bit
+# left-neighbor distance is channels*2 bytes per spec), and interlaced
+# streams unfilter each of the 7 pass sub-images independently before the
+# deinterlace scatter; sub-byte depths (1/2/4, bit-packed scanlines) raise
+# NotImplementedError. CRCs are VERIFIED (a decoder that skips them accepts
+# silently corrupted chunks). Palette rasters expand to RGB at decode — or
+# RGBA when a tRNS chunk supplies per-entry alpha; filtering for type 3
+# operates on INDEX bytes (bpp=1) per spec. COLOR-KEY tRNS (types 0/2:
+# one 2-byte-per-sample transparent color) widens decode to gray+alpha /
+# RGBA with alpha = 0 exactly where the pixel equals the key.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -438,11 +443,14 @@ def _adam7_deinterlace(
     return bytes(out)
 
 
-def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse an 8-bit non-interlaced PNG to its reconstructed top-down
-    raster: ``(width, height, channels, bytes)``. ``channels`` is 1 (gray),
-    2 (gray+alpha), 3 (RGB — truecolor OR palette expanded through PLTE),
-    or 4 (RGBA)."""
+def _png_raster(payload: bytes) -> tuple[int, int, int, "bytes | array", int]:
+    """Parse an 8- or 16-bit PNG to its reconstructed top-down raster:
+    ``(width, height, channels, samples, maxval)``. ``channels`` is 1
+    (gray), 2 (gray+alpha), 3 (RGB — truecolor OR palette expanded through
+    PLTE), or 4 (RGBA); a color-key tRNS on types 0/2 widens 1→2 / 3→4.
+    ``samples`` is interleaved per-sample values — ``bytes`` at depth 8,
+    ``array('H')`` at depth 16 (big-endian pairs decoded to ints);
+    ``maxval`` is 255 or 65535."""
     if payload[:8] != _PNG_SIG:
         raise DecodeError("png: bad signature")
     ihdr = None
@@ -468,10 +476,16 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise DecodeError("png: bad PLTE length")
             plte = body
         elif ctype == b"tRNS":
+            if ihdr is None:
+                raise DecodeError("png: tRNS before IHDR")
             if trns is not None:
                 raise DecodeError("png: duplicate tRNS")
             if idat:
                 raise DecodeError("png: tRNS after IDAT")
+            if ihdr[3] == 3 and plte is None:
+                # spec orders PLTE before tRNS for palette images — reject
+                # at chunk time with the same strictness as PLTE-after-IDAT
+                raise DecodeError("png: tRNS before PLTE")
             trns = body
         elif ctype == b"IDAT":
             if ihdr is None:
@@ -493,34 +507,41 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecodeError("png: bad interlace flag")
     if color_type not in _PNG_SAMPLES:
         raise DecodeError("png: bad color type")
-    if depth != 8:
-        raise NotImplementedError("png: only 8-bit depth decodes in this environment")
+    if depth not in (8, 16):
+        # sub-byte depths (1/2/4) bit-pack scanlines — honest gap
+        raise NotImplementedError("png: sub-byte depths not supported")
+    if depth == 16 and color_type == 3:
+        raise DecodeError("png: 16-bit depth is illegal for palette images")
     if color_type == 3 and plte is None:
         raise DecodeError("png: palette image missing PLTE")
     if color_type != 3 and plte is not None:
         raise DecodeError("png: PLTE on a non-palette color type")
     if trns is not None:
-        if color_type != 3:
-            # gray/truecolor tRNS is a transparent-COLOR key, a different
-            # mechanism from the per-entry palette alpha implemented here
-            raise NotImplementedError(
-                "png: tRNS color-key transparency (non-palette) not supported"
-            )
-        if len(trns) > len(plte) // 3:
+        if color_type in (4, 6):
+            # spec prohibits tRNS when the color type already carries alpha
+            raise DecodeError("png: tRNS on an alpha-carrying color type")
+        if color_type == 0 and len(trns) != 2:
+            raise DecodeError("png: gray color-key tRNS must be 2 bytes")
+        if color_type == 2 and len(trns) != 6:
+            raise DecodeError("png: truecolor color-key tRNS must be 6 bytes")
+        if color_type == 3 and len(trns) > len(plte) // 3:
             raise DecodeError("png: tRNS longer than the palette")
     if not idat:
         raise DecodeError("png: missing IDAT")
     samples = _PNG_SAMPLES[color_type]
+    sample_bytes = depth // 8
+    bpp = samples * sample_bytes  # filter left-neighbor distance, in BYTES
+    maxval = (1 << depth) - 1
     # Bound the inflate BEFORE allocating: a crafted stream with valid CRCs
     # could otherwise force a multi-GB allocation (zlib amplifies ~1000x)
     # ahead of _unfilter's size check. Expected bytes are fixed by IHDR:
-    # (width*samples + 1 filter byte) per row for the sequential layout;
+    # (width*bpp + 1 filter byte) per row for the sequential layout;
     # for Adam7, the sum of the 7 filtered pass sub-images.
     if interlace == 0:
-        expected = (width * samples + 1) * height
+        expected = (width * bpp + 1) * height
     else:
         expected = sum(
-            (pw * samples + 1) * ph
+            (pw * bpp + 1) * ph
             for _x0, _y0, _xs, _ys, pw, ph in _adam7_pass_dims(width, height)
             if pw and ph
         )
@@ -536,9 +557,9 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     if not dec.eof and not dec.unused_data and dec.decompress(b"", 1):
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
     if interlace == 1:
-        recon = _adam7_deinterlace(raw, width, height, samples)
+        recon = _adam7_deinterlace(raw, width, height, bpp)
     else:
-        recon = _unfilter(raw, width, height, samples)
+        recon = _unfilter(raw, width, height, bpp)
     if color_type == 3:
         # expand indices through the palette (filtering already ran on the
         # INDEX bytes — the spec's bpp for type 3); a tRNS chunk adds a
@@ -553,32 +574,59 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
             out[o : o + 3] = plte[3 * idx : 3 * idx + 3]
             if out_ch == 4:
                 out[o + 3] = trns[idx] if idx < len(trns) else 255
-        return width, height, out_ch, bytes(out)
-    return width, height, samples, recon
+        return width, height, out_ch, bytes(out), 255
+    if depth == 16:
+        # big-endian 2-byte samples → ints
+        vals = array("H")
+        vals.frombytes(recon)
+        if sys.byteorder == "little":
+            vals.byteswap()
+        recon = vals
+    if trns is not None and color_type in (0, 2):
+        # color-key transparency: alpha = 0 exactly where the pixel equals
+        # the key (2 bytes per sample in tRNS regardless of depth; at depth
+        # 8 a key sample > 255 can never match, per spec)
+        key = tuple(
+            (trns[2 * s] << 8) | trns[2 * s + 1] for s in range(samples)
+        )
+        out_ch = samples + 1
+        n_px = width * height
+        expanded = [0] * (n_px * out_ch)
+        for p in range(n_px):
+            s0 = p * samples
+            d0 = p * out_ch
+            px = tuple(recon[s0 + c] for c in range(samples))
+            for c in range(samples):
+                expanded[d0 + c] = px[c]
+            expanded[d0 + samples] = 0 if px == key else maxval
+        if depth == 16:
+            return width, height, out_ch, array("H", expanded), maxval
+        return width, height, out_ch, bytes(expanded), maxval
+    return width, height, samples, recon, maxval
 
 
 def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit non-interlaced PNG and return the same stat dict
-    shape as :func:`decode_ppm`. ``channels``: 1 = grayscale, 2 =
-    gray+alpha, 3 = RGB (truecolor or palette-expanded), 4 = RGBA. For
-    gray forms the three channel sums and top-left values replicate the
-    gray channel (alpha excluded from sums); ``row0_sum`` always covers
-    ALL stored samples of row 0 including alpha — every definition is
-    replayed exactly by the SQL oracles."""
-    width, height, channels, recon = _png_raster(payload)
-    mv = memoryview(recon)
+    """Parse an 8- or 16-bit PNG and return the same stat dict shape as
+    :func:`decode_ppm`. ``channels``: 1 = grayscale, 2 = gray+alpha
+    (native OR color-key-widened), 3 = RGB (truecolor or palette-expanded),
+    4 = RGBA (native, palette+tRNS, or truecolor+color-key). For gray
+    forms the three channel sums and top-left values replicate the gray
+    channel (alpha excluded from sums); ``row0_sum`` always covers ALL
+    decoded samples of row 0 including alpha — every definition is
+    replayed exactly by the SQL oracles. ``maxval`` is 255 or 65535."""
+    width, height, channels, recon, maxval = _png_raster(payload)
     if channels <= 2:
-        gray_sum = sum(mv[0::channels])
+        gray_sum = sum(recon[0::channels])
         sums = (gray_sum, gray_sum, gray_sum)
         top = (recon[0], recon[0], recon[0])
     else:
-        sums = (sum(mv[0::channels]), sum(mv[1::channels]), sum(mv[2::channels]))
+        sums = (sum(recon[0::channels]), sum(recon[1::channels]), sum(recon[2::channels]))
         top = (recon[0], recon[1], recon[2])
     return {
         "width": width,
         "height": height,
         "channels": channels,
-        "maxval": 255,
+        "maxval": maxval,
         "sum_r": sums[0],
         "sum_g": sums[1],
         "sum_b": sums[2],
@@ -596,8 +644,10 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
     SQL oracle replays resized pixels exactly."""
     if width <= 0 or height <= 0:
         raise ValueError("resize: target dimensions must be positive")
-    src_w, src_h, channels, raster = _png_raster(payload)
-    out = bytearray(width * height * channels)
+    src_w, src_h, channels, raster, maxval = _png_raster(payload)
+    depth = 16 if maxval == 65535 else 8
+    n_samples = width * height * channels
+    out = array("H", bytes(2 * n_samples)) if depth == 16 else bytearray(n_samples)
     row_stride = src_w * channels
     for dy in range(height):
         src_row = (dy * src_h // height) * row_stride
@@ -606,16 +656,20 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
             s = src_row + (dx * src_w // width) * channels
             d = drow + dx * channels
             out[d : d + channels] = raster[s : s + channels]
+    if depth == 16:
+        return encode_png(width, height, out.tolist(), channels=channels, depth=16)
     return encode_png(width, height, bytes(out), channels=channels)
 
 
 def encode_png(
     width: int,
     height: int,
-    raster: bytes,
+    raster: "bytes | Sequence[int]",
     *,
     channels: int = 3,
     interlace: bool = False,
+    depth: int = 8,
+    color_key: "tuple[int, ...] | int | None" = None,
 ) -> bytes:
     """Encode top-down interleaved samples as a valid PNG whose row
     filters CYCLE through all five types (row y uses filter y % 5), so a
@@ -624,32 +678,64 @@ def encode_png(
     bottom-up/BGR/padding transforms. ``channels`` picks the color type:
     1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor (2), 4 → RGBA (6).
     ``interlace=True`` stores the Adam7 layout: seven independently
-    filtered pass sub-images in pass order (empty passes store nothing)."""
+    filtered pass sub-images in pass order (empty passes store nothing).
+    ``depth=16`` packs each sample as a big-endian pair (``raster`` is then
+    a sequence of ints 0..65535); the filters still run over BYTES with the
+    spec's left distance of channels*2. ``color_key`` (gray int or RGB
+    tuple, channels 1/3 only) emits the tRNS transparent-color chunk."""
     if channels not in (1, 2, 3, 4):
         raise ValueError("png: channels must be 1, 2, 3 (RGB) or 4 (RGBA)")
+    if depth not in (8, 16):
+        raise ValueError("png: encode depth must be 8 or 16")
     if len(raster) != width * height * channels:
         raise ValueError("raster size mismatch")
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
+    trns = b""
+    if color_key is not None:
+        if channels not in (1, 3):
+            raise ValueError("png: color_key is only legal for gray/truecolor")
+        key = (color_key,) if isinstance(color_key, int) else tuple(color_key)
+        if len(key) != channels or any(not 0 <= k < (1 << depth) for k in key):
+            raise ValueError("png: color_key sample out of range")
+        trns = b"".join(struct.pack(">H", k) for k in key)
+    if depth == 16:
+        try:
+            packed = array("H", raster)
+        except OverflowError as e:
+            raise ValueError("png: 16-bit sample out of range") from e
+        if sys.byteorder == "little":
+            packed.byteswap()
+        raster = packed.tobytes()
+    elif not isinstance(raster, (bytes, bytearray)):
+        raster = bytes(raster)
+    bpp = channels * (depth // 8)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     if not interlace:
         return _png_container(
-            width, height, color_type, _png_filter_rows(raster, width, height, channels)
+            width,
+            height,
+            color_type,
+            _png_filter_rows(raster, width, height, bpp),
+            trns=trns,
+            depth=depth,
         )
     parts = []
     for x0, y0, xs, ys, pw, ph in _adam7_pass_dims(width, height):
         if pw == 0 or ph == 0:
             continue
-        sub = bytearray(pw * ph * channels)
+        sub = bytearray(pw * ph * bpp)
         for j in range(ph):
             y = y0 + j * ys
             for i in range(pw):
                 x = x0 + i * xs
-                s = (y * width + x) * channels
-                d = (j * pw + i) * channels
-                sub[d : d + channels] = raster[s : s + channels]
-        parts.append(_png_filter_rows(bytes(sub), pw, ph, channels))
-    return _png_container(width, height, color_type, b"".join(parts), interlace=1)
+                s = (y * width + x) * bpp
+                d = (j * pw + i) * bpp
+                sub[d : d + bpp] = raster[s : s + bpp]
+        parts.append(_png_filter_rows(bytes(sub), pw, ph, bpp))
+    return _png_container(
+        width, height, color_type, b"".join(parts), trns=trns, interlace=1, depth=depth
+    )
 
 
 def _png_filter_rows(raster: bytes, width: int, height: int, bpp: int) -> bytes:
@@ -703,6 +789,7 @@ def _png_container(
     plte: bytes = b"",
     trns: bytes = b"",
     interlace: int = 0,
+    depth: int = 8,
 ) -> bytes:
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -712,7 +799,7 @@ def _png_container(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
     # split IDAT in two so multi-chunk reassembly is exercised by round-trips
     z = zlib.compress(filtered, 6)
     mid = max(1, len(z) // 2) if len(z) > 1 else len(z)

@@ -573,8 +573,9 @@ def decode_jpeg(payload: bytes) -> dict:
     ``subsampling``) and the raster under ``"raster"``.
 
     Raises :class:`DecodeError` on malformed input and
-    ``NotImplementedError`` for progressive/arithmetic/12-bit/restart-
-    interval streams — honest guards, fuzz-tested for totality."""
+    ``NotImplementedError`` for progressive/arithmetic/12-bit streams —
+    honest guards, fuzz-tested for totality. Restart intervals (DRI/RSTn)
+    ARE decoded (see ``test_restart_interval_roundtrip``)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise DecodeError("jpeg: bad SOI")
     pos = 2

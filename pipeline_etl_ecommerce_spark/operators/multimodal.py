@@ -346,6 +346,26 @@ def synth_raster_gray(media_id: int) -> tuple[int, int, bytes]:
     return w, h, bytes((base + i * 13) % 256 for i in range(w * h))
 
 
+def synth_raster_mod32(media_id: int) -> tuple[int, int, bytes]:
+    """Low-cardinality twin of :func:`synth_raster` for the COLOR-KEY PNG
+    row: same dims, byte ``i`` is ``(id*31 + i*7) % 32``. The % 32 period
+    makes the key (pixel 0's triple) recur every 32 pixels — images larger
+    than 32 px carry MULTIPLE transparent pixels, so the alpha compare is
+    exercised beyond the trivial top-left match."""
+    w, h = 8 + media_id % 5, 4 + media_id % 3
+    base = media_id * 31
+    return w, h, bytes((base + i * 7) % 32 for i in range(w * h * 3))
+
+
+def synth_raster_16bit(media_id: int) -> tuple[int, int, list[int]]:
+    """16-bit-sample twin for the depth-16 PNG row: same dims, sample
+    ``i`` over ``w*h*3`` is ``(id*97 + i*101) % 65536`` — values above 255
+    in every image, so a decoder that truncates to bytes fails the hash."""
+    w, h = 8 + media_id % 5, 4 + media_id % 3
+    base = media_id * 97
+    return w, h, [(base + i * 101) % 65536 for i in range(w * h * 3)]
+
+
 def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
     """SMOOTH deterministic RGB raster for the lossy-codec (JPEG) row: dims
     ``w = 16 + id%9``, ``h = 16 + id%5`` (multiple MCUs each way, incl.
@@ -372,6 +392,26 @@ def jpeg_subsampling_for(media_id: int) -> str:
     return "4:4:4" if media_id % 2 == 0 else "4:2:0"
 
 
+# Relative per-BYTE Python-kernel cost by format, used to decide whether
+# synthesize_images pays one repartition exchange to escape the 1-split
+# cliff. Calibrated from the r7 bench: ppm/bmp are header+slice work (~1x);
+# png adds zlib DEFLATE + five per-byte filter loops both directions
+# (~40x); jpeg adds per-block DCT/IDCT + Huffman entropy coding (~200x).
+# 16-bit png doubles the bytes per sample on the same loops.
+_KERNEL_WEIGHT = {
+    "ppm": 1,
+    "bmp": 1,
+    "png": 40,
+    "png_rgba": 40,
+    "png_palette": 40,
+    "png_gray": 40,
+    "png_colorkey": 40,
+    "png_16bit": 80,
+    "jpeg": 200,
+}
+_WIDEN_WEIGHT_MIN = 40
+
+
 def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
     """mapInPandas encode stage: one valid PPM/BMP/PNG/JPEG payload per id.
     The encoder is separate from the decoder on purpose — the decode stage
@@ -388,6 +428,8 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
         "png_palette": encode_png_palette,
         "png_gray": lambda w, h, r: encode_png(w, h, r, channels=1),
+        "png_colorkey": None,  # key derives from the raster, handled below
+        "png_16bit": None,  # id-dependent Adam7 interlacing, handled below
         "jpeg": None,  # id-dependent subsampling, handled below
     }[fmt]
     mime = {
@@ -397,24 +439,38 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_rgba": "image/png",
         "png_palette": "image/png",
         "png_gray": "image/png",
+        "png_colorkey": "image/png",
+        "png_16bit": "image/png",
         "jpeg": "image/jpeg",
     }[fmt]
     raster_fn = {
         "png_rgba": synth_raster_rgba,
         "png_gray": synth_raster_gray,
+        "png_colorkey": synth_raster_mod32,
+        "png_16bit": synth_raster_16bit,
         "jpeg": synth_raster_smooth,
     }.get(fmt, synth_raster)
 
     # The id frame usually comes off a one-split parquet scan (split sizing
-    # is BYTE-based), but the encode kernel's cost per BYTE is enormous —
-    # the measured 1-split cliff: the 2000-image JPEG row ran its whole
-    # encode+decode on ONE core (30.4 s) until this widen (the
-    # importance._widen lesson applied to the media path). No-op when the
-    # input already has enough splits; the synth/decode outputs are
-    # per-row, so redistribution cannot move any result.
+    # is BYTE-based), but for COMPRESSED formats the kernel's cost per BYTE
+    # is enormous — the measured 1-split cliff: the 2000-image JPEG row ran
+    # its whole encode+decode on ONE core (30.4 s) until this widen (the
+    # importance._widen lesson applied to the media path; 2.24 s after).
+    # COST-BASED (r7 verdict item 5): the widen's one exchange is only paid
+    # when the per-byte kernel weight clears _WIDEN_WEIGHT_MIN — png*/jpeg
+    # run zlib/DCT/per-byte-filter Python loops (measured 10-100x the ppm/
+    # bmp constants), while ppm/bmp encode+decode are memcpy-grade slicing
+    # that a single core finishes faster than the shuffle costs (r7 bench:
+    # unconditional widen bought jpeg 13.6x but taxed ppm 2.7x / bmp 2.0x).
+    # No-op either way when the input already has enough splits; the
+    # synth/decode outputs are per-row, so redistribution cannot move any
+    # result. At real scale the id frame arrives multi-split and neither
+    # branch changes the plan.
     from .importance import _widen
 
-    media_ids = _widen(media_ids.select("media_id"))
+    media_ids = media_ids.select("media_id")
+    if _KERNEL_WEIGHT[fmt] >= _WIDEN_WEIGHT_MIN:
+        media_ids = _widen(media_ids)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -440,6 +496,19 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
                     # oracle — are unchanged)
                     payload = encode_png(
                         w, h, raster, interlace=int(media_id) % 7 == 0
+                    )
+                elif fmt == "png_colorkey":
+                    # key = pixel 0's triple: every image carries at least
+                    # one transparent pixel, the % 32 raster period adds
+                    # more at p = 32, 64 where the image is large enough
+                    payload = encode_png(
+                        w, h, raster, color_key=(raster[0], raster[1], raster[2])
+                    )
+                elif fmt == "png_16bit":
+                    # same interlace rotation as the truecolor row: the
+                    # depth-16 Adam7 path runs at every SF
+                    payload = encode_png(
+                        w, h, raster, depth=16, interlace=int(media_id) % 7 == 0
                     )
                 else:
                     payload = encode(w, h, raster)

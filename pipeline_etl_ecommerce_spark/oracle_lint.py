@@ -99,9 +99,21 @@ def round_sites(sql: str) -> list[str]:
     for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
         i, depth = m.end(), 1
         while depth and i < len(sql):
-            if sql[i] == "(":
+            c = sql[i]
+            if c == "'":
+                # skip single-quoted SQL literals ('' = escaped quote) so a
+                # quoted '(' / ')' can't unbalance the walk (advice r7)
+                i += 1
+                while i < len(sql):
+                    if sql[i] == "'":
+                        if i + 1 < len(sql) and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
                 depth += 1
-            elif sql[i] == ")":
+            elif c == ")":
                 depth -= 1
             i += 1
         if depth == 0:

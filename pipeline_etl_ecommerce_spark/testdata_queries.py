@@ -18,6 +18,7 @@ Mapping of reference tables → testdata (FIXTURES.md §2):
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -1388,6 +1389,80 @@ def png_gray_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "png_gray")
 
 
+# COLOR-KEY tRNS PNG (NEW r8): truecolor + a tRNS transparent-color chunk
+# (key = pixel 0's triple) — decode widens to RGBA with alpha 0 exactly
+# where the pixel equals the key. The raster formula's % 32 period makes
+# the key recur every 32 pixels, so larger images carry multiple
+# transparent pixels. The oracle replays the compare: pixel p matches iff
+# (id*31 + 21p) % 32 = (id*31) % 32 ⟺ (21p) % 32 = 0 — written literally
+# as ((i//3)*21) % 32 = 0. Channel sums exclude alpha, row0_sum includes
+# it (the decode_png definitions).
+_PNG_COLORKEY_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i.i, (doc_id * 31 + i.i * 7) % 32 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS channels, CAST(255 AS BIGINT) AS maxval,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 1 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 2 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w * 3 THEN v END)
+            + SUM(CASE WHEN i % 3 = 0 AND i < w * 3 THEN
+                    CASE WHEN ((i // 3) * 21) % 32 = 0 THEN 0 ELSE 255 END
+                  END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register("png_colorkey_decode_stats", _PNG_COLORKEY_SQL)
+def png_colorkey_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_colorkey")
+
+
+# 16-BIT PNG (NEW r8): depth 16 — big-endian sample pairs, filter
+# left-neighbor distance 6 BYTES (channels*2), ids % 7 == 0 interlaced.
+# Every image has samples above 255 (formula % 65536), so a decoder that
+# truncates to bytes, swaps endianness, or keeps the 8-bit filter distance
+# fails the hash; maxval hashes as 65535.
+_PNG_16BIT_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i.i, (doc_id * 97 + i.i * 101) % 65536 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(65535 AS BIGINT) AS maxval,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 1 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 2 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w * 3 THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register("png_16bit_decode_stats", _PNG_16BIT_SQL)
+def png_16bit_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_16bit")
+
+
 # Baseline JPEG (NEW r7, verdict item 4): REAL lossy decode — markers,
 # in-file DHT Huffman, dequant/zigzag/IDCT, YCbCr, 4:4:4 AND 4:2:0 MCU
 # interleave (odd ids subsample, so both layouts run every round). Lossy ⇒
@@ -1845,14 +1920,27 @@ WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
 # materialized table. This is the signatures-as-a-mart design: at scale these
 # are persisted tables keyed by corpus version, not recomputed per query.
 _SIDE_TABLES: dict[tuple[str, str, str], DataFrame] = {}
+_SIDE_LOCKS: dict[tuple[str, str, str], "threading.Lock"] = {}
+_SIDE_LOCKS_GUARD = threading.Lock()
+
+
+def _side_lock(key: tuple[str, str, str]) -> "threading.Lock":
+    with _SIDE_LOCKS_GUARD:
+        return _SIDE_LOCKS.setdefault(key, threading.Lock())
 
 
 def _side_table(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _SIDE_TABLES:
-        df = build().persist()
-        df.count()  # materialize eagerly so callers never re-run the lineage
-        _SIDE_TABLES[key] = df
+        # per-key lock: warm_side_tables builds marts from a thread pool and
+        # several wave-mates read the same upstream mart (all three centroid
+        # trainings consume embeddings_dvec) — without the lock each racer
+        # would persist its own copy of the build
+        with _side_lock(key):
+            if key not in _SIDE_TABLES:
+                df = build().persist()
+                df.count()  # materialize eagerly so callers never re-run the lineage
+                _SIDE_TABLES[key] = df
     return _SIDE_TABLES[key]
 
 
@@ -3703,6 +3791,26 @@ FROM a{_KMEANS_ITERS}
 """
 
 
+# ONE parsed (vec_id, double-vec) frame per (session, sf_dir): kmeans, the
+# search quantizer, the delta quantizer, and the assignment layers all
+# train/assign from this shared mart instead of each re-scanning and
+# re-casting embeddings.parquet (r7 verdict item 4: side_table_build ran
+# three separate trainings whose scan+parse prefixes were redundant). At
+# scale this is the ingest-time "vectors" table every ANN artifact derives
+# from; the trainings themselves stay distinct because their (k-policy,
+# corpus-slice) contracts differ — kmeans k=n/64 on 100%, search quantizer
+# k=sqrt(n) on 100%, delta quantizer k=sqrt(0.8n) on the 80% base slice.
+def _emb_dvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _side_table(
+        spark,
+        sf_dir,
+        "embeddings_dvec",
+        lambda: _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("_vid"), _dvec(F.col("embedding")).alias("_v")
+        ),
+    )
+
+
 # Centroid mart, shared per (session, sf_dir) exactly like the MinHash
 # signature mart: Lloyd's runs ONCE, then kmeans_clusters /
 # semantic_dedup_keep / ivf_ann_top3 all read the persisted centroids +
@@ -3714,7 +3822,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"kmeans_centroids_adaptive{_KMEANS_TARGET}_i{_KMEANS_ITERS}",
         lambda: centroids_table(
-            _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+            _emb_dvec(spark, sf_dir), "_v", "_vid",
             k=None, iters=_KMEANS_ITERS,  # adaptive: k = max(8, ceil(n/64))
         ),
     )
@@ -3722,9 +3830,9 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        emb = _t(spark, sf_dir, "embeddings")
-        v = emb.select(F.col("vec_id").alias("_vid"), _dvec(F.col("embedding")).alias("_v"))
-        return _kmeans_assign_step(v, _kmeans_centroids(spark, sf_dir))
+        return _kmeans_assign_step(
+            _emb_dvec(spark, sf_dir), _kmeans_centroids(spark, sf_dir)
+        )
 
     return _side_table(
         spark, sf_dir, f"kmeans_assignment_adaptive{_KMEANS_TARGET}_i{_KMEANS_ITERS}", build
@@ -3957,10 +4065,8 @@ def _ivf_search_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import sublinear_k
 
     def build() -> DataFrame:
-        emb = _t(spark, sf_dir, "embeddings")
-        return _ct(
-            emb, "embedding", "vec_id", k=sublinear_k(emb.count()), iters=_KMEANS_ITERS
-        )
+        dv = _emb_dvec(spark, sf_dir)
+        return _ct(dv, "_v", "_vid", k=sublinear_k(dv.count()), iters=_KMEANS_ITERS)
 
     return _side_table(spark, sf_dir, f"ivf_search_centroids_sqrt_i{_KMEANS_ITERS}", build)
 
@@ -3973,8 +4079,10 @@ def _ivf_search_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"ivf_search_lists_sqrt_sp{_IVF_SUB_SPILL}_i{_KMEANS_ITERS}",
         lambda: spilled_assignment(
-            _t(spark, sf_dir, "embeddings"),
+            _emb_dvec(spark, sf_dir),
             _ivf_search_centroids(spark, sf_dir),
+            vec_col="_v",
+            id_col="_vid",
             spill=_IVF_SUB_SPILL,
         ),
     )
@@ -6906,10 +7014,8 @@ def _ivf_delta_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import sublinear_k
 
     def build() -> DataFrame:
-        base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 < 8)
-        return _ct(
-            base, "embedding", "vec_id", k=sublinear_k(base.count()), iters=_KMEANS_ITERS
-        )
+        base = _emb_dvec(spark, sf_dir).filter(F.col("_vid") % 10 < 8)
+        return _ct(base, "_v", "_vid", k=sublinear_k(base.count()), iters=_KMEANS_ITERS)
 
     return _side_table(spark, sf_dir, f"ivf_delta_centroids_sqrt_i{_KMEANS_ITERS}", build)
 
@@ -11003,6 +11109,11 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     waves: list[list[tuple[str, Callable[[], object]]]] = [
         [
+            # the shared parsed-vector frame: the three centroid trainings
+            # and PQ all consume it; _side_table's per-key lock makes the
+            # first consumer build it and the rest wait (no duplicate work,
+            # no extra wave serializing the session warmup)
+            ("embeddings_dvec", lambda: _emb_dvec(spark, sf_dir)),
             ("winnow_fingerprints", lambda: _winnow_fps(spark, sf_dir)),
             ("minhash_band_keys", lambda: _band_keys(spark, sf_dir)),
             ("simhash32", lambda: _simhash_sigs(spark, sf_dir)),

@@ -95,6 +95,8 @@ ALLOWED_PYTHON = {
     "jpeg_decode_stats",  # REAL baseline-JPEG encode + decode + band check (r7)
     "png_palette_decode_stats",  # REAL palette-PNG decode (PLTE expansion, r7)
     "png_gray_decode_stats",     # REAL grayscale-PNG decode (r7)
+    "png_colorkey_decode_stats",  # REAL color-key tRNS decode -> RGBA (r8)
+    "png_16bit_decode_stats",     # REAL depth-16 decode (BE pairs, bpp=6) (r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
@@ -105,56 +107,16 @@ ALLOWED_PYTHON = {
 # Per-query intentional plan-shape changes vs the committed baseline, with
 # the reason growth is acceptable. Clear entries once the new baseline is
 # committed (they only suppress the delta against the OLD file).
-_DSIR_WIDEN = (
-    "importance._widen: CPU-dense per-token md5 inherited ONE byte-sized "
-    "input split; repartition to defaultParallelism before the tokenize "
-    "(10x-scale stress measured 20x wall single-core; 0.64x after). "
-    "No-op on inputs whose split count already covers the cluster."
-)
-
-_KMEANS_WIDEN = (
-    "clustering._assign widens its input to cluster parallelism before the "
-    "O(n*k) distance crossjoin (same 1-split cliff class as DSIR; measured "
-    "interleaved A/B at the 10x corpus: 9-14s widened vs 31-69s not). One "
-    "repartition exchange per assignment layer; no-op when splits already "
-    "cover the cluster."
-)
-
-_MEDIA_WIDEN = (
-    "multimodal.synthesize_images widens the media-id frame to cluster "
-    "parallelism before the encode/decode kernels (same 1-split cliff "
-    "class as DSIR — parquet splits are byte-sized, the codec cost per "
-    "byte is enormous; measured r7: the JPEG row ran 30.4s on ONE core, "
-    "2.24s widened). One repartition exchange; no-op on multi-split inputs."
-)
-
-EXPLAINED_GROWTH: dict[str, str] = {
-    "ppm_decode_stats": _MEDIA_WIDEN,
-    "bmp_decode_stats": _MEDIA_WIDEN,
-    "png_decode_stats": _MEDIA_WIDEN,
-    "png_rgba_decode_stats": _MEDIA_WIDEN,
-    "ppm_resize_stats": _MEDIA_WIDEN,
-    "png_resize_stats": _MEDIA_WIDEN,
-    "dsir_importance_weights": _DSIR_WIDEN,
-    "dsir_selected_corpus": _DSIR_WIDEN,
-    "kmeans_clusters": _KMEANS_WIDEN,
-    "semantic_dedup_keep": _KMEANS_WIDEN,
-    "ivf_ann_top3": _KMEANS_WIDEN,
-    "ivf_recall_at3": _KMEANS_WIDEN,
-    "pq_adc_top3": _KMEANS_WIDEN,
-    "sketch_profile_lineitem": (
-        "r6 gave the sketch row a tolerance-banded oracle: the exact "
-        "count-distinct + percentile band-check aggregation and its join "
-        "add 3 exchanges at TEST SF by design; the production path remains "
-        "the single-pass sketch aggregate."
-    ),
-    "peak_concurrent_orders": (
-        "switched to the two-level parallel prefix scan (cell_width): the "
-        "single-window plan capped the running sum at one task per group "
-        "(5 groups). The offsets branch re-derives the local scan "
-        "(exchanges 2->7); every added exchange moves groups*cells rows."
-    ),
-}
+#
+# Cleared r8 (verdict item 8): the committed r7 baseline includes every
+# previously-explained plan (media/DSIR/kmeans widens, the banded sketch
+# oracle, the prefix-scan peak query), so all prior entries were dead
+# weight that would have masked a future REAL growth on those queries.
+# The widen adjudications themselves now live at their definitions
+# (importance._widen, clustering._assign, multimodal.synthesize_images —
+# the latter cost-BASED since r8: ppm/bmp skip the exchange, png*/jpeg
+# keep it).
+EXPLAINED_GROWTH: dict[str, str] = {}
 
 
 def diff_against_baseline(

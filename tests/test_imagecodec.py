@@ -367,8 +367,18 @@ def test_png_interlace_and_exotic_types_not_implemented():
     # fails the pass-layout size check, a malformed-file error
     with pytest.raises(DecodeError):
         decode_png(make(8, 2, 1))
+    # 16-bit is IMPLEMENTED since r8 — the bogus stream fails the size
+    # check, a malformed-file error, not a format gap
+    with pytest.raises(DecodeError):
+        decode_png(make(16, 2, 0))
+    # sub-byte depths remain honest gaps (bit-packed scanlines)
     with pytest.raises(NotImplementedError):
-        decode_png(make(16, 2, 0))  # 16-bit
+        decode_png(make(4, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_png(make(1, 0, 0))
+    # 16-bit palette is illegal per spec, not a gap
+    with pytest.raises(DecodeError, match="illegal for palette"):
+        decode_png(make(16, 3, 0))
     # palette is IMPLEMENTED since r7 — this crafted file lacks its PLTE,
     # which is a malformed-file error, not a format gap
     with pytest.raises(DecodeError, match="missing PLTE"):
@@ -592,7 +602,7 @@ def test_png_palette_structure_rejections():
             with_trns.append((b"tRNS", b"\x00"))
     st = decode_png(rebuild(with_trns))
     assert st["channels"] == 4
-    # color-key tRNS on truecolor remains an honest gap
+    # color-key tRNS on truecolor is IMPLEMENTED since r8: widens to RGBA
     w3, h3, r3 = synth_raster(3)
     tc3 = chunks(encode_png(w3, h3, r3))
     with_key = []
@@ -600,8 +610,32 @@ def test_png_palette_structure_rejections():
         with_key.append((t, b))
         if t == b"IHDR":
             with_key.append((b"tRNS", b"\x00\x01\x00\x02\x00\x03"))
-    with pytest.raises(NotImplementedError):
-        decode_png(rebuild(with_key))
+    assert decode_png(rebuild(with_key))["channels"] == 4
+    # ...but a malformed key length is rejected
+    bad_key = [
+        (t, b) if t != b"tRNS" else (t, b"\x00\x01\x00") for t, b in with_key
+    ]
+    with pytest.raises(DecodeError, match="must be 6 bytes"):
+        decode_png(rebuild(bad_key))
+    # tRNS BEFORE PLTE violates chunk ordering for palette images
+    trns_first = []
+    for t, b in cs:
+        if t == b"PLTE":
+            trns_first.append((b"tRNS", b"\x00"))
+        trns_first.append((t, b))
+    with pytest.raises(DecodeError, match="tRNS before PLTE"):
+        decode_png(rebuild(trns_first))
+    # tRNS on an alpha-carrying color type (RGBA) is spec-prohibited
+    w4, h4 = 3, 3
+    rgba_r = bytes((i * 5) % 256 for i in range(w4 * h4 * 4))
+    qa = chunks(encode_png(w4, h4, rgba_r, channels=4))
+    with_trns4 = []
+    for t, b in qa:
+        with_trns4.append((t, b))
+        if t == b"IHDR":
+            with_trns4.append((b"tRNS", b"\x00\x01"))
+    with pytest.raises(DecodeError, match="alpha-carrying"):
+        decode_png(rebuild(with_trns4))
     # tRNS longer than the palette is malformed
     too_long = []
     for t, b in cs:
@@ -644,3 +678,121 @@ def test_png_palette_trns_alpha_roundtrip():
     for i in range(w * h):
         rgba += rgb[3 * i : 3 * i + 3] + bytes([alpha[i]])
     assert st == decode_png(encode_png(w, h, bytes(rgba), channels=4))
+
+
+def test_png_16bit_roundtrip_all_color_types():
+    """Depth-16 decode: big-endian sample pairs, filter left-distance
+    channels*2 bytes, cycling filters (h >= 5 exercises all five),
+    sequential AND Adam7 — stats replay the integer sample formula."""
+    w, h = 7, 6
+    for ch in (1, 2, 3, 4):
+        raster = [(i * 101 + 97) % 65536 for i in range(w * h * ch)]
+        for interlace in (False, True):
+            st = decode_png(
+                encode_png(w, h, raster, channels=ch, depth=16, interlace=interlace)
+            )
+            assert (st["width"], st["height"], st["channels"]) == (w, h, ch)
+            assert st["maxval"] == 65535
+            if ch <= 2:
+                assert st["sum_r"] == sum(raster[0::ch])
+                assert st["top_left_r"] == raster[0]
+            else:
+                assert st["sum_r"] == sum(raster[0::ch])
+                assert st["sum_g"] == sum(raster[1::ch])
+                assert st["sum_b"] == sum(raster[2::ch])
+            assert st["row0_sum"] == sum(raster[: w * ch])
+
+
+def test_png_16bit_resize_floor_map():
+    """16-bit resize keeps the depth and replays the floor index map."""
+    from pipeline_etl_ecommerce_spark.operators.imagecodec import resize_png_nearest
+
+    sw, sh, dw, dh = 8, 6, 4, 3
+    raster = [(i * 257 + 13) % 65536 for i in range(sw * sh * 3)]
+    out = decode_png(resize_png_nearest(encode_png(sw, sh, raster, depth=16), dw, dh))
+    assert (out["width"], out["height"], out["maxval"]) == (dw, dh, 65535)
+    expect = []
+    for dy in range(dh):
+        sy = dy * sh // dh
+        for dx in range(dw):
+            sx = dx * sw // dw
+            expect.extend(raster[(sy * sw + sx) * 3 : (sy * sw + sx) * 3 + 3])
+    assert out["sum_r"] == sum(expect[0::3])
+    assert out["row0_sum"] == sum(expect[: dw * 3])
+
+
+def test_png_colorkey_truecolor_and_gray():
+    """Color-key tRNS: alpha 0 exactly where the pixel equals the key,
+    maxval elsewhere; channels widen 3->4 / 1->2; sums exclude alpha,
+    row0_sum includes it — the exact definitions the oracle replays."""
+    w, h = 6, 5
+    r8 = bytes((i * 7 + 3) % 32 for i in range(w * h * 3))
+    key = (r8[0], r8[1], r8[2])
+    st = decode_png(encode_png(w, h, r8, channels=3, color_key=key))
+    assert st["channels"] == 4 and st["maxval"] == 255
+    assert st["sum_r"] == sum(r8[0::3])
+
+    def a(p):
+        return 0 if (r8[3 * p], r8[3 * p + 1], r8[3 * p + 2]) == key else 255
+
+    assert st["row0_sum"] == sum(r8[: w * 3]) + sum(a(p) for p in range(w))
+    assert sum(1 for p in range(w * h) if a(p) == 0) >= 1
+
+    g = bytes((i * 3 + 1) % 16 for i in range(w * h))
+    stg = decode_png(encode_png(w, h, g, channels=1, color_key=g[0]))
+    assert stg["channels"] == 2
+    assert stg["sum_r"] == sum(g)
+    ga = [0 if v == g[0] else 255 for v in g[:w]]
+    assert stg["row0_sum"] == sum(g[:w]) + sum(ga)
+
+    # 16-bit color key: the key is compared at full sample width
+    r16 = [(i * 301 + 5) % 65536 for i in range(w * h * 3)]
+    key16 = (r16[0], r16[1], r16[2])
+    st16 = decode_png(encode_png(w, h, r16, channels=3, depth=16, color_key=key16))
+    assert st16["channels"] == 4 and st16["maxval"] == 65535
+    alpha0 = 0 if (r16[0], r16[1], r16[2]) == key16 else 65535
+    assert alpha0 == 0  # top-left always matches its own key
+    # interlaced storage decodes to identical stats (pure re-layout)
+    st16i = decode_png(
+        encode_png(w, h, r16, channels=3, depth=16, color_key=key16, interlace=True)
+    )
+    assert st16 == st16i
+
+
+def test_png_colorkey_encoder_validation():
+    w, h = 3, 3
+    r = bytes(w * h * 3)
+    with pytest.raises(ValueError, match="gray/truecolor"):
+        encode_png(w, h, bytes(w * h * 4), channels=4, color_key=(1, 2, 3))
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(w, h, r, channels=3, color_key=(0, 0, 256))
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(w, h, [0] * (w * h), channels=1, depth=16, color_key=70000)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(w, h, [70000] * (w * h), channels=1, depth=16)
+
+
+def test_png_16bit_key_above_255_never_matches_8bit():
+    """Spec: at depth 8 a tRNS sample value > 255 matches nothing — the
+    image stays fully opaque but still widens to the alpha form."""
+    import struct as _s
+
+    w, h = 4, 5
+    r = bytes((i * 7) % 256 for i in range(w * h * 3))
+    good = encode_png(w, h, r, channels=3, color_key=(r[0], r[1], r[2]))
+    # patch the tRNS body to carry a high-byte value (512, 0, 0)
+    out, i = bytearray(good[:8]), 8
+    while i < len(good):
+        (ln,) = _s.unpack(">I", good[i : i + 4])
+        t = good[i + 4 : i + 8]
+        body = good[i + 8 : i + 8 + ln]
+        if t == b"tRNS":
+            body = b"\x02\x00\x00\x00\x00\x00"
+        out += _s.pack(">I", len(body)) + t + body + _s.pack(
+            ">I", _zlib.crc32(t + body) & 0xFFFFFFFF
+        )
+        i += 12 + ln
+    st = decode_png(bytes(out))
+    assert st["channels"] == 4
+    # all alphas are 255: row0_sum = rgb row + w*255
+    assert st["row0_sum"] == sum(r[: w * 3]) + w * 255

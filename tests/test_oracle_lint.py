@@ -53,3 +53,21 @@ def test_allowlist_reasons_are_written():
     for k, reason in ROUND_TIE_ALLOWLIST.items():
         assert reason.startswith(("monitored:", "structural:")), k
         assert len(reason) > 30, k
+
+
+def test_round_site_extraction_skips_quoted_parens():
+    """A string literal containing an unbalanced paren must not derail the
+    paren walk (advice r7): the site still extracts completely and the
+    division inside is still flagged."""
+    sql = "SELECT ROUND(length(regexp_replace(x, '(', 'y')) / n, 4) FROM t"
+    sites = round_sites(sql)
+    assert len(sites) == 1
+    assert sites[0].endswith("/ n, 4)")
+    assert len(round_tie_findings({"q": sql})) == 1
+    # escaped quote inside a literal ('' = one quote) also survives
+    sql2 = "SELECT ROUND(length(replace(x, '''(', ')')) / n, 4) FROM t"
+    assert len(round_sites(sql2)) == 1
+    # a closing paren inside a literal must not terminate the site early
+    sql3 = "SELECT ROUND(coalesce(nullif(x, ')'), 0) / n, 4) FROM t"
+    (site3,) = round_sites(sql3)
+    assert site3.endswith("/ n, 4)")
