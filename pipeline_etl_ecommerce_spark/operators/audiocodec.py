@@ -68,15 +68,12 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM-16 payload into exact-integer stats.
-
-    Returns ``sample_rate``, ``channels``, ``bits``, ``n_frames``,
-    ``sum_all`` (every sample), ``sum_ch0``/``sum_ch1`` (per-channel sums;
-    ``sum_ch1`` is None for mono), ``peak_abs`` (max |sample|), and
-    ``first_sample``. Raises :class:`DecodeError` on malformed input and
-    NotImplementedError for non-PCM or non-16-bit streams (those genuinely
-    need a decoder library)."""
+def decode_wav_samples(payload: bytes) -> tuple[int, int, "array"]:
+    """Parse a RIFF/WAVE PCM-16 payload to ``(sample_rate, channels,
+    interleaved int16 samples)`` — the raster-level twin of
+    :func:`decode_wav` for feature-extraction stages that need the
+    waveform itself (energy, zero-crossing rate), sharing the same strict
+    chunk walk. Same error contract as :func:`decode_wav`."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise DecodeError("wav: not a RIFF/WAVE payload")
     riff_size = struct.unpack("<I", payload[4:8])[0]
@@ -121,11 +118,24 @@ def decode_wav(payload: bytes) -> dict:
     pcm.frombytes(data)
     if sys.byteorder == "big":
         pcm.byteswap()
+    return sample_rate, channels, pcm
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM-16 payload into exact-integer stats.
+
+    Returns ``sample_rate``, ``channels``, ``bits``, ``n_frames``,
+    ``sum_all`` (every sample), ``sum_ch0``/``sum_ch1`` (per-channel sums;
+    ``sum_ch1`` is None for mono), ``peak_abs`` (max |sample|), and
+    ``first_sample``. Raises :class:`DecodeError` on malformed input and
+    NotImplementedError for non-PCM or non-16-bit streams (those genuinely
+    need a decoder library)."""
+    sample_rate, channels, pcm = decode_wav_samples(payload)
     n = len(pcm)
     return {
         "sample_rate": sample_rate,
         "channels": channels,
-        "bits": bits,
+        "bits": 16,
         "n_frames": n // channels,
         "sum_all": sum(pcm),
         "sum_ch0": sum(pcm[0::channels]) if n else 0,

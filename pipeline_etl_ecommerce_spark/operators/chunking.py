@@ -56,3 +56,99 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (the Rabin rolling-hash scheme storage and
+# dataset dedup systems use): a chunk boundary falls wherever the hash of
+# the trailing ``window`` characters is divisible by ``divisor``, so
+# boundaries RESYNCHRONIZE after an insertion or deletion — two near-
+# identical documents share every chunk outside the edited region, which a
+# fixed-offset chunker never does (one shifted byte re-offsets every later
+# chunk). Chunk-level dedup over the chunk hashes is then an exact
+# hash-groupBy, the scale-correct primitive at 100 TB.
+#
+# Everything is native expressions (transform/filter/aggregate over the
+# character positions, posexplode per chunk) — map-only, no Python, no
+# shuffle until the cross-corpus dedup aggregate. The rolling hash is an
+# EXACT int64 polynomial: sum ascii(c[p-w+1+k]) * B^k for k in 0..w-1 with
+# B=31, w=8 — max value ~127 * 31^7 * 8 < 2^45, no modulus needed, so
+# DuckDB replays it bit-exactly with the same list pipeline.
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_DIVISOR = 64
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per content-defined chunk: ``(doc_id, chunk_index,
+    chunk_start, chunk_len, chunk_hash)`` — start is 1-based, hash is the
+    md5 of the chunk text. Documents shorter than the hash window are one
+    whole-document chunk."""
+    w, b, d = CDC_WINDOW, CDC_BASE, CDC_DIVISOR
+    pows = ", ".join(f"{b**k}L" for k in range(w))
+    cuts = (
+        f"filter(sequence({w}, greatest(length(txt), {w})),"
+        f" p -> p <= length(txt)"
+        f" AND aggregate(sequence(0, {w - 1}), 0L,"
+        f" (acc, k) -> acc + ascii(substr(txt, p - {w - 1} + k, 1))"
+        f" * element_at(array({pows}), k + 1)) % {d} = 0)"
+    )
+    ends = (
+        f"CASE WHEN size(__cuts) > 0 AND element_at(__cuts, -1) = length(txt)"
+        f" THEN __cuts ELSE concat(__cuts, array(length(txt))) END"
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
+        .filter(F.length("txt") > 0)
+        .withColumn("__cuts", F.expr(cuts))
+        .withColumn("__ends", F.expr(ends))
+        .select(
+            "doc_id",
+            "txt",
+            F.posexplode(
+                F.expr(
+                    "transform(__ends, (e, i) ->"
+                    " struct(CASE WHEN i = 0 THEN 1"
+                    "             ELSE element_at(__ends, i) + 1 END AS s,"
+                    "        e AS e))"
+                )
+            ).alias("chunk_index", "span"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            F.col("span.s").cast("long").alias("chunk_start"),
+            (F.col("span.e") - F.col("span.s") + 1).cast("long").alias("chunk_len"),
+            F.expr("md5(substr(txt, span.s, CAST(span.e - span.s + 1 AS INT)))").alias(
+                "chunk_hash"
+            ),
+        )
+    )
+    return out
+
+
+def cdc_chunk_dedup(chunks: DataFrame) -> DataFrame:
+    """Cross-corpus chunk-level dedup over :func:`cdc_chunks` output:
+    per distinct chunk hash, the copy count, the canonical (minimum)
+    (doc_id, chunk_index) owner, and the bytes a dedup store would save
+    (= (copies - 1) * chunk_len). One hash-groupBy — map-side combined,
+    the same shape as exact document dedup but at sub-document grain."""
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_index")).alias("_owner"),
+            F.max("chunk_len").alias("_len"),
+        )
+        .select(
+            "chunk_hash",
+            "n_copies",
+            F.col("_owner.doc_id").alias("canonical_doc_id"),
+            F.col("_owner.chunk_index").cast("long").alias("canonical_chunk_index"),
+            ((F.col("n_copies") - 1) * F.col("_len")).cast("long").alias("dedup_savings_bytes"),
+        )
+    )

@@ -746,6 +746,67 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType()),
+        StructField("energy_ch0", LongType()),
+        StructField("zero_crossings_ch0", LongType()),
+        StructField("sum_abs_delta_ch0", LongType()),
+        StructField("peak_abs_ch0", LongType()),
+        StructField("feature_status", StringType()),
+    ]
+)
+
+_AUDIO_FEATURE_COLS = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Waveform FEATURE extraction over decoded PCM (channel 0): energy
+    (sum of squared samples — int16² × reasonable clip lengths stays well
+    inside int64), zero crossings (sign flips between consecutive frames;
+    0 counts as non-negative, the pinned convention the oracle replays),
+    total variation (sum |Δ| between consecutive frames), and peak |v|.
+    All exact integers, so the SQL oracle replays them through LAG over the
+    synth formula — no float summation order to diverge on. This is the
+    audio twin of the image stats stage: a curation pipeline gates clips on
+    exactly these (silence ⇒ energy ≈ 0, clipping ⇒ peak at full scale,
+    noise ⇒ high ZCR)."""
+    from .audiocodec import DecodeError, decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, nch, pcm = decode_wav_samples(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    ch0 = pcm[0::nch]
+                    feats = {
+                        "n_frames": len(ch0),
+                        "energy_ch0": sum(v * v for v in ch0),
+                        "zero_crossings_ch0": sum(
+                            1
+                            for a, b in zip(ch0, ch0[1:])
+                            if (a < 0) != (b < 0)
+                        ),
+                        "sum_abs_delta_ch0": sum(
+                            abs(b - a) for a, b in zip(ch0, ch0[1:])
+                        ),
+                        "peak_abs_ch0": max((abs(v) for v in ch0), default=0),
+                        "feature_status": "ok",
+                    }
+                except (DecodeError, NotImplementedError) as e:
+                    feats = dict.fromkeys(_AUDIO_FEATURE_COLS[1:-1])
+                    feats["feature_status"] = f"error: {type(e).__name__}"
+                feats["media_id"] = media_id
+                rows.append(feats)
+            yield pd.DataFrame(rows, columns=_AUDIO_FEATURE_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for tests/benchmarks: treat document text bytes as an opaque
     payload so the multimodal path has real data to chew on."""

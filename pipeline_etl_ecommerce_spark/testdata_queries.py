@@ -726,75 +726,22 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-7 rotation (the r6 verdict's #2 ask): strict
-# oldest-last-green order. First the 2 NEW never-driver-checked rows (the
-# r7 sublinear-IVF family), then ALL 20 rows whose latest driver evidence
-# is r01, then 28 of the 29 r02 rows (corpus_training_sequences defers one
-# round — it carries the heaviest pytest e2e coverage of the group). The
-# 50 r03-evidence rows queue at position 51+ in the same oldest-first
-# order for the r8 window. Every row here is hostile-selfcheck green at
-# sf0.001/0.01/0.1 this round; rotated-out greens stay protected by
-# selfcheck+pytest.
+# queries() emits). Round-8 rotation (the r7 verdict's #2 ask): strict
+# oldest-driver-evidence-first order. First the NEW never-driver-checked
+# r8 rows, then the 10 r02-evidence rows the r7 window displaced, then the
+# 50 r03-evidence rows oldest-first — the window covers the first 50, the
+# remainder queue for r9. Every row here is selfcheck-green at
+# sf0.001/0.01 this round (SELFCHECK_r8.json is the standing full-catalog
+# record); rotated-out greens stay protected by selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked: the r7 additions (sublinear search index,
-    # baseline-JPEG banded decode, star-CC cross-algorithm row).
-    "ivf_ann_sublinear_top3",
-    "ivf_sublinear_recall_at3",
-    "ivfadc_top3",
-    "ivfadc_refined_top3",
-    "ivfadc_recall_at3",
-    "ivf_delta_list_ingest",
-    "streaming_ann_ingest_executed",
-    "jpeg_decode_stats",
-    "png_palette_decode_stats",
-    "png_gray_decode_stats",
-    "near_dup_components_star",
-    # (b) latest driver evidence r01 (20 rows).
-    "assembled_packs",
-    "curated_documents",
-    "curated_documents_multimodal",
-    "doc_token_stats",
-    "embedding_near_dup_pairs",
-    "embedding_norms",
-    "minhash_band_buckets",
-    "minhash_incremental_pairs",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "near_dup_canonical_ids",
-    "ngram_jaccard_pairs",
-    "packed_sequences",
-    "salted_join_flag_counts",
-    "salted_returnflag_totals",
-    "simhash_near_pairs",
-    "stratified_doc_sample",
-    "winnow_containment_pairs",
-    "winnow_fingerprints",
-    # (c) latest driver evidence r02 (28 of 29 rows).
-    "customer_order_distribution",
-    "disjunctive_predicate_revenue",
-    "doc_chunks",
-    "dup_ngram_stats",
-    "forecast_revenue_change",
-    "fuzzy_text_pairs",
-    "large_order_customers",
-    "late_shipment_priority",
-    "local_supplier_volume",
-    "mixture_sampled_docs",
-    "nation_market_share",
-    "nation_pair_volume",
-    "order_price_histogram",
-    "parts_sold_both_years",
-    "price_percentiles",
-    "promo_revenue_share",
-    "quality_gate_p25",
-    "returned_item_top_customers",
-    "returnflag_price_stats",
-    # ---- position 51+: the ten r02 rows displaced by the never-checked
-    # r7 additions (a window is 50; these lead the r8 window), then the 50
-    # r03-evidence rows; rotated-out greens keep catalog order (appended
-    # by _driver_order).
+    # (a) never driver-checked: the r8 additions.
+    "png_colorkey_decode_stats",
+    "png_16bit_decode_stats",
+    "wav_audio_features",
+    "cdc_chunks_docs",
+    "cdc_chunk_dedup",
+    # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
     "streaming_chunk_replace",
@@ -805,6 +752,8 @@ _DRIVER_PRIORITY = [
     "user_event_deltas",
     "user_rolling_value",
     "corpus_training_sequences",
+    # (c) latest driver evidence r03 (50 rows, catalog order). The tail
+    # that falls past position 50 queues first for the r9 window.
     "backfill_daily_rollup",
     "boilerplate_pruned_documents",
     "bpe_merge_table",
@@ -10094,6 +10043,155 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return extract_audio_stats(synthesize_wavs(ids))
+
+
+# Audio FEATURE extraction (NEW r8): the decode leg's second stage — energy
+# (sum v²), zero crossings (sign flips; 0 counts non-negative), total
+# variation (sum |Δ|), peak |v|, all over CHANNEL 0 of the decoded PCM.
+# Exact integers end-to-end, so the oracle replays them via LAG over the
+# same sample formula (ch0 frame f = interleaved index f*nch) — stereo rows
+# fail if the kernel forgets to de-interleave before differencing.
+_WAV_FEATURES_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 1 + doc_id % 2 AS nch, 12 + doc_id % 7 AS nfr FROM documents
+),
+c0 AS (
+  SELECT doc_id, nfr, f.f AS f,
+         (doc_id * 37 + (f.f * nch) * 11) % 4096 - 2048 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, nfr - 1)) AS f) f
+),
+lagged AS (
+  SELECT doc_id, nfr, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+  FROM c0
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(nfr) AS BIGINT) AS n_frames,
+       CAST(SUM(v * v) AS BIGINT) AS energy_ch0,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings_ch0,
+       CAST(SUM(CASE WHEN pv IS NOT NULL THEN ABS(v - pv) ELSE 0 END)
+            AS BIGINT) AS sum_abs_delta_ch0,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs_ch0,
+       'ok' AS feature_status
+FROM lagged
+GROUP BY doc_id
+"""
+
+
+@register("wav_audio_features", _WAV_FEATURES_SQL)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_audio_features, synthesize_wavs
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return extract_audio_features(synthesize_wavs(ids))
+
+
+# Content-defined chunking (NEW r8, operators/chunking.py cdc_chunks): the
+# Rabin rolling-hash boundary scheme — a cut wherever the EXACT int64
+# polynomial of the trailing 8 chars (base 31, no modulus: max < 2^45)
+# divides by 64, so boundaries resynchronize across edits and near-dup
+# documents share chunks a fixed-offset splitter would mis-align. Pure
+# native array expressions (map-only, zero Python/shuffle); DuckDB replays
+# the identical list pipeline.
+_CDC_POWS = "[1,31,961,29791,923521,28629151,887503681,27512614111]"
+_CDC_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text AS txt, length(text) AS n FROM documents WHERE length(text) > 0
+),
+cut AS (
+  SELECT doc_id, txt, n,
+         list_filter(generate_series(8, greatest(n, 8)),
+           p -> p <= n AND
+                list_sum(list_transform(generate_series(0, 7),
+                  k -> ascii(substr(txt, CAST(p - 7 + k AS INT), 1))
+                       * ({_CDC_POWS})[k + 1])) % 64 = 0) AS cuts
+  FROM base
+),
+e AS (
+  SELECT doc_id, txt, n,
+         CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+              ELSE list_append(cuts, n) END AS ends
+  FROM cut
+)
+SELECT doc_id,
+       CAST(i.i - 1 AS BIGINT) AS chunk_index,
+       CAST(CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END AS BIGINT) AS chunk_start,
+       CAST(ends[i.i] - (CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END) + 1
+            AS BIGINT) AS chunk_len,
+       md5(substr(txt, CAST(CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END AS INT),
+                  CAST(ends[i.i] - (CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END) + 1
+                       AS INT))) AS chunk_hash
+FROM e, LATERAL (SELECT unnest(generate_series(1, len(ends))) AS i) i
+"""
+
+
+@register("cdc_chunks_docs", _CDC_CHUNKS_SQL)
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# Chunk-level dedup over the CDC chunks: one hash-groupBy (map-side
+# combined) — exact dedup at sub-document grain, the storage/dataset-dedup
+# payoff of content-defined boundaries. Canonical owner = lexicographic
+# min (doc_id, chunk_index); savings = (copies-1) * chunk bytes.
+_CDC_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text AS txt, length(text) AS n FROM documents WHERE length(text) > 0
+),
+cut AS (
+  SELECT doc_id, txt, n,
+         list_filter(generate_series(8, greatest(n, 8)),
+           p -> p <= n AND
+                list_sum(list_transform(generate_series(0, 7),
+                  k -> ascii(substr(txt, CAST(p - 7 + k AS INT), 1))
+                       * ({_CDC_POWS})[k + 1])) % 64 = 0) AS cuts
+  FROM base
+),
+e AS (
+  SELECT doc_id, txt, n,
+         CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+              ELSE list_append(cuts, n) END AS ends
+  FROM cut
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i.i - 1 AS BIGINT) AS chunk_index,
+         CAST(ends[i.i] - (CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END) + 1
+              AS BIGINT) AS chunk_len,
+         md5(substr(txt, CAST(CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END AS INT),
+                    CAST(ends[i.i] - (CASE WHEN i.i = 1 THEN 1 ELSE ends[i.i - 1] + 1 END) + 1
+                         AS INT))) AS chunk_hash
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(ends))) AS i) i
+),
+ranked AS (
+  SELECT chunk_hash, doc_id, chunk_index, chunk_len,
+         ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_index) AS rn,
+         COUNT(*) OVER (PARTITION BY chunk_hash) AS c,
+         MAX(chunk_len) OVER (PARTITION BY chunk_hash) AS ml
+  FROM chunks
+)
+SELECT chunk_hash,
+       CAST(c AS BIGINT) AS n_copies,
+       doc_id AS canonical_doc_id,
+       CAST(chunk_index AS BIGINT) AS canonical_chunk_index,
+       CAST((c - 1) * ml AS BIGINT) AS dedup_savings_bytes
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_DEDUP_SQL)
+def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import cdc_chunk_dedup, cdc_chunks
+
+    return cdc_chunk_dedup(cdc_chunks(_t(spark, sf_dir, "documents"), "text", "doc_id"))
+
+
+
+
+
 
 
 # Sweep-line peak concurrency (operators/intervals.py): per priority class,

@@ -144,6 +144,11 @@ def main() -> int:
     if "--hostile" in argv:
         hostile = True
         argv = [a for a in argv if a != "--hostile"]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -187,6 +192,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -195,9 +201,11 @@ def main() -> int:
             sdf = sdf_spark.toPandas()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"match": False, "rows": None, "problems": [f"spark error: {str(ex)[:200]}"]}
             print(f"[FAIL] {name}: spark error: {str(ex)[:300]}")
             continue
         if name not in oracles:
+            record[name] = {"match": len(sdf) >= 0, "rows": len(sdf), "problems": [], "rows_only": True}
             print(f"[rows-only] {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
@@ -205,10 +213,12 @@ def main() -> int:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"match": False, "rows": len(sdf), "problems": [f"duckdb error: {str(ex)[:200]}"]}
             print(f"[FAIL] {name}: duckdb error: {str(ex)[:300]}")
             continue
         problems = type_parity_problems(sdf_spark, describe_rows)
         problems += compare(name, sdf, ddf)
+        record[name] = {"match": not problems, "rows": len(sdf), "problems": [str(p)[:200] for p in problems]}
         if problems:
             failures.append(name)
             print(f"[FAIL] {name}: rows={len(sdf)}")
@@ -218,6 +228,22 @@ def main() -> int:
             print(f"[ok] {name}: {len(sdf)} rows, {len(sdf.columns)} cols match exactly")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    if json_out:
+        # the standing full-catalog artifact (r7 verdict item 1): per-query
+        # match booleans at this sf_dir — CORRECTNESS_r*.json's 50-row
+        # window rotates, this records every row every round
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "hostile": hostile,
+            "n_checked": len(record),
+            "n_match": sum(1 for r in record.values() if r["match"]),
+            "queries": record,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

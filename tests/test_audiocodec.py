@@ -181,3 +181,26 @@ def test_single_byte_mutation_never_crashes(pos, val):
         decode_wav(bytes(payload))
     except (DecodeError, NotImplementedError):
         pass
+
+
+def test_decode_wav_samples_and_features_match_decode_wav():
+    """decode_wav_samples is the raster twin: same parse, exposes PCM; the
+    feature definitions (energy / ZCR / total variation over channel 0)
+    recompute exactly from it."""
+    from pipeline_etl_ecommerce_spark.operators.audiocodec import (
+        decode_wav,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    samples = [(i * 523) % 4096 - 2048 for i in range(24)]  # 12 stereo frames
+    payload = encode_wav(8000, 2, samples)
+    rate, nch, pcm = decode_wav_samples(payload)
+    assert (rate, nch) == (8000, 2)
+    assert list(pcm) == samples
+    st = decode_wav(payload)
+    assert st["sum_all"] == sum(samples) and st["n_frames"] == 12
+    ch0 = samples[0::2]
+    assert sum(v * v for v in ch0) == sum(v * v for v in pcm[0::nch])
+    zcr = sum(1 for a, b in zip(ch0, ch0[1:]) if (a < 0) != (b < 0))
+    assert zcr >= 1  # this waveform genuinely alternates sign
