@@ -304,10 +304,14 @@ def _plane_blocks(plane: list[list[int]], bx: int, by: int) -> list[float]:
     return out
 
 
-def _pad_plane(plane: list[list[int]], w: int, h: int, mult: int) -> list[list[int]]:
-    """Edge-replicate to multiples of ``mult`` in both dims."""
+def _pad_plane(
+    plane: list[list[int]], w: int, h: int, mult: int, vmult: int | None = None
+) -> list[list[int]]:
+    """Edge-replicate to multiples of ``mult`` horizontally and ``vmult``
+    (default ``mult``) vertically — they differ for 4:2:2 luma (16×8)."""
+    vmult = mult if vmult is None else vmult
     pw = (w + mult - 1) // mult * mult
-    ph = (h + mult - 1) // mult * mult
+    ph = (h + vmult - 1) // vmult * vmult
     rows = []
     for y in range(ph):
         src = plane[min(y, h - 1)]
@@ -370,15 +374,16 @@ def encode_jpeg(
     Default quant tables are ALL ONES ("quality 100") so the only loss is
     transform/color rounding — that keeps the decode band tight enough to
     verify the full pipeline against the synthesis formula. ``subsampling``
-    is ``"4:4:4"`` (one 8×8 MCU) or ``"4:2:0"`` (16×16 MCUs, 2×2-averaged
-    chroma) — the adversarial-encoder discipline: a decoder that ignores
-    sampling factors fails every odd media id in the catalog row."""
+    is ``"4:4:4"`` (one 8×8 MCU), ``"4:2:2"`` (16×8 MCUs, horizontally
+    2×1-averaged chroma) or ``"4:2:0"`` (16×16 MCUs, 2×2-averaged chroma)
+    — the adversarial-encoder discipline: a decoder that ignores sampling
+    factors fails the subsampled ids in the catalog row."""
     if len(raster) != width * height * 3:
         raise ValueError("raster size mismatch")
     if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
         raise ValueError("jpeg: bad dimensions")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("jpeg: subsampling must be 4:4:4 or 4:2:0")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("jpeg: subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     ql = quant_luma or [1] * 64
     qc = quant_chroma or [1] * 64
 
@@ -412,11 +417,24 @@ def encode_jpeg(
             return out
 
         cbp, crp = down(cbp), down(crp)
+    elif subsampling == "4:2:2":
+        h1, v1 = 2, 1
+        cw, ch = (width + 1) // 2, height
+        # horizontal 2×1 average with rounding; edge pixel replicates
+        def down(p: list[list[int]]) -> list[list[int]]:
+            out = [[0] * cw for _ in range(ch)]
+            for y in range(ch):
+                for x in range(cw):
+                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
+                    out[y][x] = (p[y][x0] + p[y][x1] + 1) // 2
+            return out
+
+        cbp, crp = down(cbp), down(crp)
     else:
         h1, v1 = 1, 1
         cw, ch = width, height
 
-    ypad = _pad_plane(yp, width, height, 8 * h1)
+    ypad = _pad_plane(yp, width, height, 8 * h1, 8 * v1)
     cbpad = _pad_plane(cbp, cw, ch, 8)
     crpad = _pad_plane(crp, cw, ch, 8)
 
@@ -759,7 +777,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 raster[o], raster[o + 1], raster[o + 2] = r, g, b
         channels = 3
 
-    sub = "4:2:0" if (hmax, vmax) == (2, 2) else ("4:4:4" if (hmax, vmax) == (1, 1) else f"{hmax}x{vmax}")
+    sub = {
+        (2, 2): "4:2:0",
+        (2, 1): "4:2:2",
+        (1, 2): "4:4:0",
+        (1, 1): "4:4:4",
+    }.get((hmax, vmax), f"{hmax}x{vmax}")
     rb = bytes(raster)
     return {
         "width": width,

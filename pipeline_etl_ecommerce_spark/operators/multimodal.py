@@ -386,10 +386,13 @@ def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
 
 
 def jpeg_subsampling_for(media_id: int) -> str:
-    """Catalog contract: even ids encode 4:4:4, odd ids 4:2:0 — every run
-    of the row exercises both component layouts and the oracle replays the
-    choice from the id."""
-    return "4:4:4" if media_id % 2 == 0 else "4:2:0"
+    """Catalog contract: ids rotate through all three common component
+    layouts — id%3 = 0 → 4:4:4 (one 8×8 MCU), 1 → 4:2:0 (16×16 MCUs,
+    2×2-averaged chroma), 2 → 4:2:2 (16×8 MCUs, 2×1-averaged chroma) —
+    and the oracle replays the choice from the id. DRI rotates on id%4
+    independently, so restart markers co-occur with every layout across
+    the table (ids 0, 4, 8 mod 12)."""
+    return ("4:4:4", "4:2:0", "4:2:2")[media_id % 3]
 
 
 # Relative per-BYTE Python-kernel cost by format, used to decide whether
@@ -478,16 +481,18 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
             for media_id in pdf["media_id"]:
                 w, h, raster = raster_fn(int(media_id))
                 if fmt == "jpeg":
-                    # ids % 3 == 0 carry a DRI restart interval: the decoder
+                    # ids % 4 == 0 carry a DRI restart interval: the decoder
                     # must handle byte-aligned RSTn + predictor resets every
                     # round (coefficients are identical, so the decoded
-                    # pixels — and the band oracle — are unchanged)
+                    # pixels — and the band oracle — are unchanged).
+                    # Independent of the id%3 subsampling rotation, so DRI
+                    # runs against every component layout.
                     payload = encode_jpeg(
                         w,
                         h,
                         raster,
                         subsampling=jpeg_subsampling_for(int(media_id)),
-                        restart_interval=2 if int(media_id) % 3 == 0 else 0,
+                        restart_interval=2 if int(media_id) % 4 == 0 else 0,
                     )
                 elif fmt == "png":
                     # ids % 7 == 0 store the Adam7 interlaced layout — the

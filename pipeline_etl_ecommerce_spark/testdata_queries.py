@@ -741,6 +741,7 @@ _DRIVER_PRIORITY = [
     "wav_audio_features",
     "cdc_chunks_docs",
     "cdc_chunk_dedup",
+    "warc_record_parse",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -1425,7 +1426,8 @@ SELECT doc_id AS media_id,
        CAST(16 + doc_id % 9 AS BIGINT) AS width,
        CAST(16 + doc_id % 5 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,
-       CASE WHEN doc_id % 2 = 0 THEN '4:4:4' ELSE '4:2:0' END AS subsampling,
+       CASE doc_id % 3 WHEN 0 THEN '4:4:4' WHEN 1 THEN '4:2:0'
+            ELSE '4:2:2' END AS subsampling,
        TRUE AS pixels_in_band, TRUE AS sums_in_band,
        'ok' AS decode_status
 FROM documents
@@ -10187,6 +10189,44 @@ def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.chunking import cdc_chunk_dedup, cdc_chunks
 
     return cdc_chunk_dedup(cdc_chunks(_t(spark, sf_dir, "documents"), "text", "doc_id"))
+
+
+# WARC record source (NEW r8, sources/warc.py): the on-disk format of
+# web-scale corpora (Common Crawl). Synth stage emits valid multi-record
+# WARC/1.0 streams — EVEN ids as concatenated per-record GZIP MEMBERS (the
+# Common Crawl layout, inflated member-by-member with strict eof checks),
+# odd ids plain — and the parse stage walks headers by NAME, enforces
+# Content-Length framing and the record separator, and hashes each
+# payload. The oracle replays record counts, URIs, lengths, and payload
+# md5s from the generating formula; the `compressed` column proves the
+# gzip leg executed for every even id.
+_WARC_SQL = """
+WITH r AS (
+  SELECT d.doc_id, j.j AS record_index,
+         20 + (d.doc_id + j.j) % 15 AS L
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 1 + d.doc_id % 3)) AS j) j
+)
+SELECT doc_id AS media_id,
+       CAST(record_index AS BIGINT) AS record_index,
+       CASE WHEN record_index % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+       'http://example.com/' || doc_id || '/' || record_index AS target_uri,
+       CAST(L AS BIGINT) AS content_length,
+       md5(array_to_string(list_transform(generate_series(0, L - 1),
+            i -> chr(97 + CAST((doc_id * 43 + record_index * 17 + i * 7) % 26 AS INT))), ''))
+           AS payload_hash,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS compressed,
+       'ok' AS parse_status
+FROM r
+"""
+
+
+@register("warc_record_parse", _WARC_SQL)
+def warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warc import parse_warc_streams, synthesize_warc_streams
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return parse_warc_streams(synthesize_warc_streams(ids))
 
 
 

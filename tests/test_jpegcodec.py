@@ -185,3 +185,23 @@ def test_resize_dispatch_roundtrip():
     resized = _resize_payload(encode_jpeg(w, h, raster), 8, 6)
     st_ = decode_jpeg(resized)
     assert (st_["width"], st_["height"]) == (8, 6)
+
+
+def test_422_subsampling_roundtrip_in_band():
+    """4:2:2 (h2v1): 16x8 MCUs, horizontally averaged chroma — decoded
+    pixels stay inside the same fidelity band as 4:4:4/4:2:0, the header
+    reports the layout, and DRI restart markers compose with it."""
+    from pipeline_etl_ecommerce_spark.operators.multimodal import (
+        JPEG_MAX_ABS_PIXEL_ERR,
+        synth_raster_smooth,
+    )
+
+    for mid in (2, 5, 8, 11):
+        w, h, r = synth_raster_smooth(mid)
+        for dri in (0, 2):
+            st = decode_jpeg(encode_jpeg(w, h, r, subsampling="4:2:2", restart_interval=dri))
+            assert st["subsampling"] == "4:2:2"
+            assert (st["width"], st["height"]) == (w, h)
+            assert max(abs(a - b) for a, b in zip(st["raster"], r)) <= JPEG_MAX_ABS_PIXEL_ERR
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, bytes(192), subsampling="4:1:1")
