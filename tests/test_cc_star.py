@@ -62,3 +62,19 @@ def test_star_self_loops_and_duplicates(spark):
 def test_star_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components_star(pairs).count() == 0
+
+
+def test_star_raises_on_max_iter_exhaustion(spark):
+    """Advice r7: a non-fixed-point edge set must FAIL LOUDLY, not return
+    conflicting (doc_id, component_id) labels. A 64-node chain cannot
+    contract in one round, so max_iter=1 must raise."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components_star(chain, max_iter=1)
+    # ...and with enough rounds the same graph converges to one component
+    ok = _components(connected_components_star(chain, max_iter=12))
+    assert set(ok.values()) == {0}
