@@ -157,6 +157,13 @@ ADJUDICATIONS = {
     "jpeg_decode_stats": "map-only Arrow kernel over id-widened splits: wall "
     "tracks image count linearly, parallelism absorbs locally (the r7 widen "
     "removed the 1-split cliff this row shipped with)",
+    "cdc_chunk_dedup": "map-only boundary detection + one map-side-combined "
+    "hash-groupBy over chunk hashes: cut work is linear in corpus bytes; the "
+    "synthesizer's planted near-dups make the duplicate groups DEEPER (copies "
+    "x45 per identity), which the combine absorbs — expect ~linear wall",
+    "warc_record_parse": "map-only Arrow kernel (gzip-member inflate + header "
+    "walk per record): linear in total stream bytes, record fan-out inside "
+    "the kernel",
 }
 
 
@@ -195,6 +202,8 @@ def main() -> int:
         "ivf_ann_sublinear_top3",
         "near_dup_components_star",
         "jpeg_decode_stats",
+        "cdc_chunk_dedup",
+        "warc_record_parse",
     ]
     # Pre-build the shared marts at BOTH SFs outside the per-query timers
     # (the ingest-time contract; bench.py bills the same way), recording the
