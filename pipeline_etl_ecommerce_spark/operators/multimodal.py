@@ -224,9 +224,35 @@ def sample_video_frames(payload: bytes, n_frames: int) -> list[dict]:
     from .imagecodec import iter_ppm_stream
 
     if payload[:2] != b"P6":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # REAL demux (r8): MJPEG-in-AVI samples without decoding the
+            # skipped frames; rows carry the compressed frame bytes' hash.
+            from .videocodec import demux_avi
+
+            info = demux_avi(payload)
+            total = info["n_frames"]
+            keep = (
+                range(total)
+                if n_frames >= total
+                else sorted({j * total // n_frames for j in range(n_frames)})
+            )
+            return [
+                {
+                    "frame_index": i,
+                    "n_bytes": info["frame_spans"][i][1],
+                    "frame_hash": hashlib.md5(
+                        payload[
+                            info["frame_spans"][i][0] : info["frame_spans"][i][0]
+                            + info["frame_spans"][i][1]
+                        ]
+                    ).hexdigest(),
+                    "sample_status": "ok",
+                }
+                for i in keep
+            ]
         raise NotImplementedError(
-            "frame sampling of compressed containers requires a video "
-            "library; only concatenated-P6 streams parse in this environment"
+            "frame sampling of H.264-class compressed containers requires a "
+            "video library; concatenated-P6 streams and MJPEG AVI parse here"
         )
     frames = [frame for _off, frame in iter_ppm_stream(payload)]
     total = len(frames)
@@ -906,3 +932,143 @@ def jpeg_decode_band_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_JPEG_BAND_COLS)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=JPEG_BAND_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL video: AVI/MJPEG (NEW r8, operators/videocodec.py). Same adversarial
+# encode→opaque-bytes→decode discipline as the image rows, and the same
+# tolerance-band oracle convention as JPEG (MJPEG frames ARE baseline
+# JPEGs): container facts (dims, frame count, fps, sampled indices) hash
+# exactly; per-frame pixel fidelity is a kernel-computed band boolean vs
+# the regenerated per-frame raster.
+# --------------------------------------------------------------------------
+
+
+def synth_video_raster(media_id: int, frame_index: int) -> tuple[int, int, bytes]:
+    """Per-frame smooth raster: dims ``w = 16 + id%5``, ``h = 16 + id%3``
+    (constant across a clip — AVI streams are fixed-dimension), pixel
+    ``(x, y, c)`` of frame ``f`` = ``(id*7 + f*53) % 29 + x*3 + y*2 + c*17``
+    (max 169 < 255: smooth, band-tight — the JPEG-row design). The
+    ``f*53`` frame term guarantees any two frames a sampler could confuse
+    (Δf ∈ {1, 2}: 53 ≡ 24, 106 ≡ 19 mod 29) differ by ≥ 5 gray levels —
+    strictly outside the ±4 band, so a wrong sampled index always flips
+    ``pixels_in_band`` (a ``f*13`` term measured as close as 3)."""
+    w, h = 16 + media_id % 5, 16 + media_id % 3
+    base = (media_id * 7 + frame_index * 53) % 29
+    raster = bytearray(w * h * 3)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                raster[i] = base + x * 3 + y * 2 + c * 17
+                i += 1
+    return w, h, bytes(raster)
+
+
+def synthesize_avis(media_ids: DataFrame) -> DataFrame:
+    """mapInPandas encode stage: one valid single-stream MJPEG AVI per id
+    with ``2 + id%3`` frames; even ids encode frames 4:4:4, odd 4:2:0, so
+    both MCU layouts cross the container path every round; fps = 12 + id%5
+    exercises the dwRate/dwScale arithmetic."""
+    from .importance import _widen
+    from .jpegcodec import encode_jpeg
+    from .videocodec import encode_avi_mjpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                n = 2 + mid % 3
+                frames = []
+                w = h = 0
+                for f in range(n):
+                    w, h, raster = synth_video_raster(mid, f)
+                    frames.append(
+                        encode_jpeg(
+                            w, h, raster,
+                            subsampling="4:4:4" if mid % 2 == 0 else "4:2:0",
+                        )
+                    )
+                payload = encode_avi_mjpeg(w, h, frames, fps=12 + mid % 5)
+                rows.append(
+                    {"media_id": media_id, "mime_type": "video/x-msvideo", "payload": payload}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    # MJPEG = JPEG per frame: always above the cost-based widen threshold.
+    return _widen(media_ids.select("media_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AVI_BAND_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType()),
+        StructField("n_frames_total", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("fps", LongType()),
+        StructField("pixels_in_band", BooleanType()),
+        StructField("sample_status", StringType()),
+    ]
+)
+
+_AVI_BAND_COLS = [f.name for f in AVI_BAND_SCHEMA.fields]
+
+
+def avi_frame_band_stats(media: DataFrame, *, n_frames: int = 2) -> DataFrame:
+    """mapInPandas REAL demux+decode stage: walk the RIFF container, verify
+    idx1 against the movi scan, decode ONLY the ``n_frames`` sampled frames
+    through the baseline JPEG codec, and band-check each against the
+    regenerated ``synth_video_raster``. One output row per sampled frame;
+    malformed payloads degrade to a status row (dead-letter semantics)."""
+    from .imagecodec import DecodeError
+    from .videocodec import sample_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    info_rows = sample_avi_frames(
+                        bytes(payload) if payload is not None else b"", n_frames
+                    )
+                    from .videocodec import demux_avi
+
+                    fps = demux_avi(bytes(payload))["fps"]
+                    for fr in info_rows:
+                        w, h, orig = synth_video_raster(mid, fr["frame_index"])
+                        got = fr["raster"]
+                        dims_ok = (
+                            fr["width"] == w and fr["height"] == h and len(got) == len(orig)
+                        )
+                        max_err = (
+                            max((abs(a - b) for a, b in zip(got, orig)), default=0)
+                            if dims_ok
+                            else None
+                        )
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": fr["frame_index"],
+                                "n_frames_total": fr["n_frames_total"],
+                                "width": fr["width"],
+                                "height": fr["height"],
+                                "fps": fps,
+                                "pixels_in_band": bool(
+                                    dims_ok
+                                    and max_err is not None
+                                    and max_err <= JPEG_MAX_ABS_PIXEL_ERR
+                                ),
+                                "sample_status": "ok",
+                            }
+                        )
+                except (DecodeError, NotImplementedError, ValueError) as e:
+                    row = dict.fromkeys(_AVI_BAND_COLS[1:-1])
+                    row["media_id"] = media_id
+                    row["sample_status"] = f"error: {type(e).__name__}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=_AVI_BAND_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AVI_BAND_SCHEMA)

@@ -742,6 +742,10 @@ _DRIVER_PRIORITY = [
     "cdc_chunks_docs",
     "cdc_chunk_dedup",
     "warc_record_parse",
+    "html_text_extract",
+    "canonical_url_dedup",
+    "c4_line_dedup",
+    "avi_frame_stats",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -11218,6 +11222,221 @@ def streaming_cdc_apply_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Web-corpus stage (NEW r8, operators/webtext.py): HTML → text extraction
+# and URL canonicalization — the post-WARC steps of a Common-Crawl-style
+# pipeline. Both are pure native regex/string expression chains (map-only,
+# zero Python, zero shuffle except the dedup groupBy); the SAME ordered
+# pattern table drives the Spark plan and the oracle (html_extract_sql /
+# canonical_url_ctes), so the hash match proves the chain end to end.
+# Patterns live in the Java-regex ∩ RE2 common subset (\A/\z anchors, no
+# lookaround — see the module docstring for the contract).
+# --------------------------------------------------------------------------
+
+_HTML_SYNTH_PARTS: list[tuple[str, str]] = [
+    # (literal, following-int-expr) pairs; the int expr is a SQL fragment
+    # over doc_id replayed identically Spark-side in _html_synth_col.
+    ("<html><head><title>Doc ", "doc_id"),
+    ('</title><style>p {color: red}</style><script>if (1<2) { x="</b>"; }</script>'
+     '</head><body><h1 class="t">Doc &amp; ', "doc_id"),
+    ("</h1><!-- hidden ", "doc_id"),
+    (" --><p>", ""),  # text goes here (empty int expr = splice text col)
+    ("</p><ul><li>item one</li><li>item ", "doc_id % 7"),
+    ('</li></ul>&quot;tail ', "doc_id % 5"),
+    ('&quot; &lt;end&gt;</body></html>', ""),
+]
+
+
+def _html_synth_sql() -> str:
+    out = []
+    for lit, iexpr in _HTML_SYNTH_PARTS:
+        out.append("'" + lit.replace("'", "''") + "'")
+        if iexpr:
+            out.append(f"CAST({iexpr} AS VARCHAR)")
+        elif lit == " --><p>":
+            out.append("text")
+    return " || ".join(out)
+
+
+def _webtext_mod():
+    from .operators import webtext
+
+    return webtext
+
+
+def _html_extract_oracle() -> str:
+    wt = _webtext_mod()
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_html_synth_sql()} AS html FROM documents
+),
+x AS (
+  SELECT doc_id, {wt.html_extract_sql("html")} AS text FROM h
+)
+SELECT doc_id, text,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, chr(10), '')) + 1
+            END AS BIGINT) AS n_lines
+FROM x
+"""
+
+
+def _register_webtext_rows() -> None:
+    wt = _webtext_mod()
+
+    @register("html_text_extract", _html_extract_oracle())
+    def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        parts: list = []
+        for lit, iexpr in _HTML_SYNTH_PARTS:
+            parts.append(F.lit(lit))
+            if iexpr == "doc_id":
+                parts.append(F.col("doc_id").cast("string"))
+            elif iexpr:
+                mod = 7 if iexpr.endswith("7") else 5
+                parts.append((F.col("doc_id") % mod).cast("string"))
+            elif lit == " --><p>":
+                parts.append(F.col("text"))
+        pages = d.select("doc_id", F.concat(*parts).alias("html"))
+        return wt.extract_web_documents(pages, html_col="html", id_col="doc_id")
+
+    _URL_SYNTH_SQL = """
+raws AS (
+  SELECT doc_id AS page_id, u.url AS url FROM documents,
+  LATERAL (SELECT unnest(list_filter([
+    'HTTP://EXAMPLE' || CAST(doc_id % 5 AS VARCHAR) || '.COM:80/p/' ||
+      CAST(doc_id % 7 AS VARCHAR) || '?b=2&utm_source=x&a=1#f' ||
+      CAST(doc_id AS VARCHAR),
+    'http://Example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' ||
+      CAST(doc_id % 7 AS VARCHAR) || '?a=1&gclid=g' || CAST(doc_id AS VARCHAR) ||
+      '&b=2',
+    CASE WHEN doc_id % 2 = 1 THEN
+      'https://CDN' || CAST(doc_id % 3 AS VARCHAR) || '.Example.com:443/asset/' ||
+      CAST(doc_id AS VARCHAR) || '?v=' || CAST(doc_id % 11 AS VARCHAR)
+    END], x -> x IS NOT NULL)) AS url) u
+)"""
+
+    @register(
+        "canonical_url_dedup",
+        f"""
+WITH {_URL_SYNTH_SQL.strip()},
+{wt.canonical_url_ctes("raws")}
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_pages,
+       CAST(MIN(page_id) AS BIGINT) AS canonical_page_id
+FROM _cu4
+WHERE canonical_url IS NOT NULL
+GROUP BY canonical_url
+""",
+    )
+    def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        sid = F.col("doc_id").cast("string")
+        v0 = F.concat(
+            F.lit("HTTP://EXAMPLE"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".COM:80/p/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("?b=2&utm_source=x&a=1#f"), sid,
+        )
+        v1 = F.concat(
+            F.lit("http://Example"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("?a=1&gclid=g"), sid, F.lit("&b=2"),
+        )
+        v2 = F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("https://CDN"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".Example.com:443/asset/"), sid,
+                F.lit("?v="), (F.col("doc_id") % 11).cast("string"),
+            ),
+        )
+        pages = d.select(
+            F.col("doc_id").alias("page_id"),
+            F.explode(F.filter(F.array(v0, v1, v2), lambda x: x.isNotNull())).alias("url"),
+        )
+        return wt.dedup_by_canonical_url(pages)
+
+
+_register_webtext_rows()
+
+
+# C4-style corpus-level line dedup (operators/dedupe.py dedup_lines,
+# Raffel 2020 §2.2): discard any 8-word "line" occurring >= 3 times across
+# the corpus, reassemble docs. Three shuffles (line build, corpus line
+# count, doc reassembly) — the line-frequency pass is the exact-dedup
+# hash-groupBy shape, linear at 100 TB.
+_C4_LINE_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(ln.ln AS BIGINT) AS line_no,
+         array_to_string(words[ln.ln * 8 + 1 : least(len(words), (ln.ln + 1) * 8)], ' ') AS line
+  FROM w, LATERAL (SELECT unnest(generate_series(0,
+         CAST(ceil(len(words) / 8.0) AS INT) - 1)) AS ln) ln
+),
+counted AS (
+  SELECT doc_id, line_no, line, COUNT(*) OVER (PARTITION BY line) AS n_occ
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                FILTER (WHERE n_occ < 3), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE n_occ < 3) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE n_occ >= 3) AS BIGINT) AS n_lines_removed
+FROM counted
+GROUP BY doc_id
+"""
+
+
+@register("c4_line_dedup", _C4_LINE_DEDUP_SQL)
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedupe import dedup_lines
+
+    return dedup_lines(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", words_per_line=8, min_count=3
+    )
+
+
+# REAL video (NEW r8, operators/videocodec.py): MJPEG-in-AVI — RIFF demux
+# (avih/strh/strf headers, movi chunk walk, idx1 cross-check) + per-frame
+# baseline-JPEG decode of ONLY the 2 sampled frames (floor map, the shared
+# sampling convention). Container facts (dims, frame count, fps, sampled
+# indices) hash exactly; per-frame pixel fidelity is the kernel-computed
+# band boolean vs the regenerated synth_video_raster (JPEG-row convention;
+# the f*53 frame term makes a wrong sampled index land far out of band..
+# Even ids carry 4:4:4 frames, odd 4:2:0, so both MCU layouts cross the
+# container path every round.
+_AVI_FRAME_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT doc_id, 2 + doc_id % 3 AS total FROM documents
+),
+kept AS (
+  SELECT doc_id, total, (j.i * total) // 2 AS frame_index
+  FROM f, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) j
+)
+SELECT doc_id AS media_id,
+       CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(total AS BIGINT) AS n_frames_total,
+       CAST(16 + doc_id % 5 AS BIGINT) AS width,
+       CAST(16 + doc_id % 3 AS BIGINT) AS height,
+       CAST(12 + doc_id % 5 AS BIGINT) AS fps,
+       TRUE AS pixels_in_band,
+       'ok' AS sample_status
+FROM kept
+"""
+
+
+@register("avi_frame_stats", _AVI_FRAME_SQL)
+def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import avi_frame_band_stats, synthesize_avis
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return avi_frame_band_stats(synthesize_avis(ids), n_frames=2)
 
 
 # ---------------------------------------------------------------------------

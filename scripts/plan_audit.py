@@ -99,6 +99,7 @@ ALLOWED_PYTHON = {
     "png_16bit_decode_stats",     # REAL depth-16 decode (BE pairs, bpp=6) (r8)
     "wav_audio_features",         # REAL PCM feature extraction (energy/ZCR) (r8)
     "warc_record_parse",          # REAL WARC/gzip-member record parse (r8)
+    "avi_frame_stats",            # REAL AVI/MJPEG demux + sampled-frame decode (r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
