@@ -945,15 +945,19 @@ def jpeg_decode_band_stats(media: DataFrame) -> DataFrame:
 
 
 def synth_video_raster(media_id: int, frame_index: int) -> tuple[int, int, bytes]:
-    """Per-frame smooth raster: dims ``w = 16 + id%5``, ``h = 16 + id%3``
-    (constant across a clip — AVI streams are fixed-dimension), pixel
+    """Per-frame smooth raster: dims ``w = 8 + id%5``, ``h = 8 + id%3``
+    (constant across a clip — AVI streams are fixed-dimension; smaller than
+    the JPEG row's frames on purpose — the clip runs ~5 JPEG kernel passes
+    per id and the NEW surface under test is the container, while MCU
+    interleave is already exercised by jpeg_decode_stats: 16+ dims measured
+    10.5 s at sf0.1, these 2.5-3x less), pixel
     ``(x, y, c)`` of frame ``f`` = ``(id*7 + f*53) % 29 + x*3 + y*2 + c*17``
     (max 169 < 255: smooth, band-tight — the JPEG-row design). The
     ``f*53`` frame term guarantees any two frames a sampler could confuse
     (Δf ∈ {1, 2}: 53 ≡ 24, 106 ≡ 19 mod 29) differ by ≥ 5 gray levels —
     strictly outside the ±4 band, so a wrong sampled index always flips
     ``pixels_in_band`` (a ``f*13`` term measured as close as 3)."""
-    w, h = 16 + media_id % 5, 16 + media_id % 3
+    w, h = 8 + media_id % 5, 8 + media_id % 3
     base = (media_id * 7 + frame_index * 53) % 29
     raster = bytearray(w * h * 3)
     i = 0

@@ -193,6 +193,54 @@ def canonical_url_sql(expr: str) -> str:
         (CASE WHEN q = '' THEN '' ELSE '?' || q END) END FROM _cu_q)"""
 
 
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """``df`` plus a ``canonical_url`` column, built through STAGED
+    projections instead of one nested Column tree. :func:`canonical_url`
+    inlines each stage into every consumer (scheme feeds the port strip,
+    the NULL guard and the concat; the fragment-strip feeds all three
+    extracts), which compounded into a generated-code blob measured at
+    ~6 s of first-run codegen compile at sf0.1. Materializing the stages
+    as named columns keeps each expression evaluated once — Catalyst's
+    CollapseProject leaves non-cheap expressions referenced more than once
+    in their own Project. Warm-run plan and results are identical."""
+    u = F.regexp_replace(F.col(url_col), r"(?s)#.*", "")
+    staged = df.withColumn("_cu_u", u).withColumns(
+        {
+            "_cu_scheme": F.lower(F.regexp_extract(F.col("_cu_u"), r"\A([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+            "_cu_hostport": F.lower(F.regexp_extract(F.col("_cu_u"), r"\A[^:/?#]+://([^/?#]*)", 1)),
+            "_cu_rest": F.regexp_extract(F.col("_cu_u"), r"(?s)\A[^:/?#]+://[^/?#]*(.*)", 1),
+        }
+    )
+    path = F.regexp_extract(F.col("_cu_rest"), r"\A([^?]*)", 1)
+    query = F.regexp_extract(F.col("_cu_rest"), r"(?s)\A[^?]*\?(.*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != F.lit("")) & ~F.lower(x).rlike(_TRACKING_PARAM_RE),
+    )
+    staged = staged.withColumns(
+        {
+            "_cu_host": (
+                F.when(F.col("_cu_scheme") == "http", F.regexp_replace(F.col("_cu_hostport"), r":80\z", ""))
+                .when(F.col("_cu_scheme") == "https", F.regexp_replace(F.col("_cu_hostport"), r":443\z", ""))
+                .otherwise(F.col("_cu_hostport"))
+            ),
+            "_cu_path": F.when(path == "", F.lit("/")).otherwise(path),
+            "_cu_q": F.array_join(F.array_sort(params), "&"),
+        }
+    )
+    out = F.concat(
+        F.col("_cu_scheme"),
+        F.lit("://"),
+        F.col("_cu_host"),
+        F.col("_cu_path"),
+        F.when(F.col("_cu_q") == "", F.lit("")).otherwise(F.concat(F.lit("?"), F.col("_cu_q"))),
+    )
+    return staged.withColumn(
+        "canonical_url",
+        F.when(F.col("_cu_scheme") == "", F.lit(None).cast("string")).otherwise(out),
+    ).drop("_cu_u", "_cu_scheme", "_cu_hostport", "_cu_rest", "_cu_host", "_cu_path", "_cu_q")
+
+
 def canonical_url_ctes(src: str, url_col: str = "url") -> str:
     """CTE-chain text mirroring :func:`canonical_url` stage for stage as
     SET-BASED SQL (a correlated scalar subquery per row would force DuckDB
@@ -235,8 +283,8 @@ def dedup_by_canonical_url(pages: DataFrame, *, url_col: str = "url", id_col: st
     representative. One hash-shuffle on the canonical key — the standard
     first-pass web dedup, orders of magnitude cheaper than content dedup
     because it runs before fetch/extract at crawl time."""
-    canon = pages.select(F.col(id_col).alias("_pid"), F.col(url_col).alias("_raw")).withColumn(
-        "canonical_url", canonical_url(F.col("_raw"))
+    canon = with_canonical_url(
+        pages.select(F.col(id_col).alias("_pid"), F.col(url_col).alias("_raw")), "_raw"
     )
     return (
         canon.where(F.col("canonical_url").isNotNull())

@@ -11422,8 +11422,8 @@ kept AS (
 SELECT doc_id AS media_id,
        CAST(frame_index AS BIGINT) AS frame_index,
        CAST(total AS BIGINT) AS n_frames_total,
-       CAST(16 + doc_id % 5 AS BIGINT) AS width,
-       CAST(16 + doc_id % 3 AS BIGINT) AS height,
+       CAST(8 + doc_id % 5 AS BIGINT) AS width,
+       CAST(8 + doc_id % 3 AS BIGINT) AS height,
        CAST(12 + doc_id % 5 AS BIGINT) AS fps,
        TRUE AS pixels_in_band,
        'ok' AS sample_status
