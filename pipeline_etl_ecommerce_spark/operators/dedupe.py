@@ -791,3 +791,131 @@ def dedup_lines(
         F.size(kept).cast("long").alias("n_lines_kept"),
         (F.count("*") - F.size(kept)).cast("long").alias("n_lines_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered O(delta) exact-dedup ingest (r8). At 100 TB the mart of
+# already-ingested content hashes is enormous; joining every delta batch
+# against it makes ingest cost scale with CORPUS size. A Bloom filter over
+# the mart routes the delta instead: "definitely new" hashes skip the join
+# entirely, and only the maybe-seen sliver (true dups + the filter's false
+# positives) pays the anti-join. The bitmap is engine-native int64 words
+# (md5-derived bit positions, bit_or aggregate) — mergeable (OR two bitmaps
+# = bitmap of the union, so delta ingests maintain it in O(delta)),
+# broadcastable (n_bits/32 rows), zero UDFs, and bit-exact cross-engine, so
+# the oracle replays even the false-positive routing.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS_DEFAULT = 1 << 20
+BLOOM_HASHES_DEFAULT = 3
+
+
+def _bloom_pos(hash_col: Column, i: int, n_bits: int) -> Column:
+    """Bit position i: first 8 hex chars of md5(hash ":" i) mod n_bits —
+    the repo's pinned cross-engine hash family (md5, like MinHash)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(hash_col, F.lit(f":{i}")).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+
+
+def bloom_bitmap(
+    hashes: DataFrame,
+    hash_col: str = "text_hash",
+    *,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES_DEFAULT,
+) -> DataFrame:
+    """(word_idx, bits) bitmap rows packing 32 positions per BIGINT word.
+
+    32, not 64: shifting into bit 63 overflows signed-int64 shift on some
+    engines (DuckDB rejects ``1::BIGINT << 63``), and the doubled row count
+    is irrelevant next to broadcastability. One explode + one map-side-
+    combinable bit_or groupBy; absent words are implicit zeros."""
+    pos = hashes.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(hash_col), i, n_bits) for i in range(n_hashes)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos DIV 32").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_route_ingest(
+    mart_hashes: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_bits: int = BLOOM_BITS_DEFAULT,
+    n_hashes: int = BLOOM_HASHES_DEFAULT,
+) -> DataFrame:
+    """Route a delta batch against the ingested-hash mart: one row per
+    DISTINCT delta content hash with ``bloom_route`` ∈ {'new' (bloom miss —
+    never joined the mart), 'dup_in_mart' (bloom hit, confirmed), 'fp_new'
+    (bloom hit, anti-join cleared it — the false-positive path)}. The
+    result is EXACT regardless of n_bits (the bloom only routes; candidates
+    are always verified), so callers keep rows with route != 'dup_in_mart'.
+
+    Plan: delta groupBy hash (the only full-delta shuffle) → 3 positions →
+    broadcast-join the bitmap → bool_and per hash → only the maybe slice
+    joins the mart. The mart-side bitmap build is one linear pass that at
+    scale lives as a persisted mergeable mart (bit_or of bitmaps == bitmap
+    of unioned hash sets, asserted by test_bloom_dedup)."""
+    dh = (
+        delta.withColumn("text_hash", content_hash(text_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_delta_copies"),
+        )
+    )
+    bitmap = bloom_bitmap(mart_hashes, n_bits=n_bits, n_hashes=n_hashes)
+    pos = dh.select(
+        "text_hash",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("text_hash"), i, n_bits) for i in range(n_hashes)])
+        ).alias("pos"),
+    )
+    probed = (
+        pos.join(F.broadcast(bitmap), F.expr("pos DIV 32") == F.col("word_idx"), "left")
+        .select(
+            "text_hash",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+                    )
+                    != 0
+                )
+            ).alias("hit"),
+        )
+        .groupBy("text_hash")
+        .agg(F.bool_and("hit").alias("maybe"))
+    )
+    routed = dh.join(probed, "text_hash")
+    definite = routed.filter(~F.col("maybe")).withColumn("bloom_route", F.lit("new"))
+    mart_set = mart_hashes.select("text_hash").distinct().withColumn("_in_mart", F.lit(True))
+    candidates = (
+        routed.filter(F.col("maybe"))
+        .join(mart_set, "text_hash", "left")
+        .withColumn(
+            "bloom_route",
+            F.when(F.col("_in_mart"), F.lit("dup_in_mart")).otherwise(F.lit("fp_new")),
+        )
+        .drop("_in_mart")
+    )
+    return definite.unionByName(candidates).select(
+        "text_hash", "canonical_doc_id", "n_delta_copies", "bloom_route"
+    )

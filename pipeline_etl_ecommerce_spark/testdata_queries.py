@@ -746,6 +746,7 @@ _DRIVER_PRIORITY = [
     "canonical_url_dedup",
     "c4_line_dedup",
     "avi_frame_stats",
+    "bloom_dedup_ingest",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -11437,6 +11438,73 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return avi_frame_band_stats(synthesize_avis(ids), n_frames=2)
+
+
+# Bloom-prefiltered O(delta) exact-dedup ingest (NEW r8, operators/dedupe.py
+# bloom_route_ingest): at 100 TB the ingested-hash mart is enormous — a
+# mergeable int64-bitmap Bloom filter (md5 positions, bit_or words, zero
+# UDFs) routes each delta hash so only the maybe-seen sliver pays the
+# anti-join. The result is EXACT at any filter size (the bloom only
+# routes), and because the bitmap arithmetic is bit-exact cross-engine the
+# oracle replays even the false-positive routing: mart = even docs plus the
+# re-delivered id%10==1 odd slice (so 'dup_in_mart' fires at every SF),
+# delta = odd docs, n_bits=4096 sized to leave the filter honest-but-loaded
+# (the 'fp_new' path fires as the corpus grows).
+_BLOOM_DEDUP_SQL = """
+WITH mart AS (
+  SELECT md5(text) AS text_hash FROM documents
+  WHERE doc_id % 2 = 0 OR doc_id % 10 = 1
+),
+delta AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1
+),
+dh AS (
+  SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_delta_copies
+  FROM delta GROUP BY text_hash
+),
+mpos AS (
+  SELECT (CAST(('0x' || substr(md5(m.text_hash || ':' || k.k), 1, 8)) AS BIGINT)
+          % 4096) AS pos
+  FROM mart m, LATERAL (SELECT unnest(generate_series(0, 2)) AS k) k
+),
+bitmap AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM mpos GROUP BY 1
+),
+dpos AS (
+  SELECT d.text_hash,
+         (CAST(('0x' || substr(md5(d.text_hash || ':' || k.k), 1, 8)) AS BIGINT)
+          % 4096) AS pos
+  FROM dh d, LATERAL (SELECT unnest(generate_series(0, 2)) AS k) k
+),
+probed AS (
+  SELECT p.text_hash,
+         bool_and(b.bits IS NOT NULL AND
+                  (b.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0) AS maybe
+  FROM dpos p LEFT JOIN bitmap b ON b.word_idx = p.pos // 32
+  GROUP BY p.text_hash
+)
+SELECT dh.text_hash, dh.canonical_doc_id, dh.n_delta_copies,
+       CASE WHEN NOT probed.maybe THEN 'new'
+            WHEN EXISTS (SELECT 1 FROM mart m WHERE m.text_hash = dh.text_hash)
+              THEN 'dup_in_mart'
+            ELSE 'fp_new' END AS bloom_route
+FROM dh JOIN probed USING (text_hash)
+"""
+
+
+@register("bloom_dedup_ingest", _BLOOM_DEDUP_SQL)
+def bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedupe import bloom_route_ingest, content_hash
+
+    d = _t(spark, sf_dir, "documents")
+    mart = d.filter((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 10 == 1)).select(
+        content_hash("text").alias("text_hash")
+    )
+    delta = d.filter(F.col("doc_id") % 2 == 1)
+    return bloom_route_ingest(mart, delta, "text", "doc_id", n_bits=4096, n_hashes=3)
 
 
 # ---------------------------------------------------------------------------
