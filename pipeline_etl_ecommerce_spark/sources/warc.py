@@ -229,3 +229,105 @@ def synthesize_warc_streams(media_ids: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media_ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Web-ingest composition (r8): WARC response records carrying HTML bodies,
+# parsed to page grain for operators/webtext.py — the full Common-Crawl
+# ingest path (WARC framing → record walk → HTML body → text extraction →
+# URL canonicalization) as one composed, oracle-checkable pipeline.
+# --------------------------------------------------------------------------
+
+WARC_PAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("record_index", LongType()),
+        StructField("target_uri", StringType()),
+        StructField("html", StringType()),
+        StructField("parse_status", StringType()),
+    ]
+)
+
+_WARC_PAGE_COLS = [f.name for f in WARC_PAGE_SCHEMA.fields]
+
+
+def parse_warc_pages(media: DataFrame) -> DataFrame:
+    """mapInPandas page-grain parse: one row per RESPONSE record with the
+    decoded HTML body (UTF-8, replacement on invalid bytes — dead-letter
+    stays row-level like the other media parsers)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    for idx, (headers, body) in enumerate(iter_warc_records(raw)):
+                        if headers.get("WARC-Type") != "response":
+                            continue
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "record_index": idx,
+                                "target_uri": headers.get("WARC-Target-URI"),
+                                "html": body.decode("utf-8", errors="replace"),
+                                "parse_status": "ok",
+                            }
+                        )
+                except WarcError as e:
+                    rows.append(
+                        dict.fromkeys(_WARC_PAGE_COLS)
+                        | {"media_id": media_id, "parse_status": f"error: {e}"[:120]}
+                    )
+            yield pd.DataFrame(rows, columns=_WARC_PAGE_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=WARC_PAGE_SCHEMA)
+
+
+def synthesize_warc_html_streams(media_ids: DataFrame) -> DataFrame:
+    """Synth stage: per id, ``2 + id%3`` RESPONSE records whose bodies are
+    small HTML pages built from the SQL-replayable formula — body text
+    ``chr(97 + (id*43 + j*17 + i*7) % 26)`` over ``20 + (id+j)%15`` chars
+    wrapped in h1/p/script markup, URI carrying an uppercase host, a :80
+    default port and a utm param (so the canonicalizer has real work).
+    Even ids arrive as per-record gzip members, odd plain."""
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                gz = mid % 2 == 0
+                parts = []
+                for j in range(2 + mid % 3):
+                    length = 20 + (mid + j) % 15
+                    text = "".join(
+                        chr(97 + (mid * 43 + j * 17 + i * 7) % 26) for i in range(length)
+                    )
+                    html = (
+                        f"<html><body><h1>Page {mid}/{j}</h1><p>{text}</p>"
+                        "<script>var hidden = 1;</script></body></html>"
+                    )
+                    parts.append(
+                        encode_warc_record(
+                            f"{mid:08d}-{j:04d}",
+                            "response",
+                            f"http://Example.com:80/p/{mid}?id={j}&utm_x=1",
+                            html.encode("utf-8"),
+                            gzip_member=gz,
+                        )
+                    )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "mime_type": "application/warc",
+                        "payload": b"".join(parts),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media_ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -747,6 +747,7 @@ _DRIVER_PRIORITY = [
     "c4_line_dedup",
     "avi_frame_stats",
     "bloom_dedup_ingest",
+    "warc_html_pipeline",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -11493,6 +11494,56 @@ SELECT dh.text_hash, dh.canonical_doc_id, dh.n_delta_copies,
             ELSE 'fp_new' END AS bloom_route
 FROM dh JOIN probed USING (text_hash)
 """
+
+
+# Web-ingest e2e composition (NEW r8): the full Common-Crawl path in one
+# row — WARC framing (even ids gzip members) → response-record walk → HTML
+# body decode → regex-chain text extraction → URI canonicalization. A
+# framing bug, a wrong body boundary, a chain drift or a canonicalizer
+# change each lands in a different column; the oracle replays the synth
+# formula plus BOTH shared chains (html_extract_sql + canonical_url_ctes).
+def _warc_html_pipeline_oracle() -> str:
+    wt = _webtext_mod()
+    return f"""
+WITH recs AS (
+  SELECT doc_id AS media_id, j.j AS record_index,
+         'http://Example.com:80/p/' || CAST(doc_id AS VARCHAR) ||
+           '?id=' || CAST(j.j AS VARCHAR) || '&utm_x=1' AS url,
+         '<html><body><h1>Page ' || CAST(doc_id AS VARCHAR) || '/' ||
+           CAST(j.j AS VARCHAR) || '</h1><p>' ||
+           array_to_string(list_transform(
+             generate_series(0, CAST(20 + (doc_id + j.j) % 15 AS INT) - 1),
+             i -> chr(CAST(97 + (doc_id * 43 + j.j * 17 + i * 7) % 26 AS INT))), '') ||
+           '</p><script>var hidden = 1;</script></body></html>' AS html
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, CAST(1 + doc_id % 3 AS INT))) AS j) j
+),
+x AS (
+  SELECT media_id, record_index, url,
+         {wt.html_extract_sql("html")} AS text
+  FROM recs
+),
+{wt.canonical_url_ctes("x", "url")}
+SELECT media_id, CAST(record_index AS BIGINT) AS record_index, canonical_url,
+       text, CAST(length(text) AS BIGINT) AS n_chars
+FROM _cu4
+"""
+
+
+@register("warc_html_pipeline", _warc_html_pipeline_oracle())
+def warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webtext import extract_html_text, with_canonical_url
+    from .sources.warc import parse_warc_pages, synthesize_warc_html_streams
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    pages = parse_warc_pages(synthesize_warc_html_streams(ids))
+    return with_canonical_url(pages, "target_uri").select(
+        "media_id",
+        F.col("record_index").cast("long").alias("record_index"),
+        "canonical_url",
+        extract_html_text(F.col("html")).alias("text"),
+        F.length(extract_html_text(F.col("html"))).cast("long").alias("n_chars"),
+    )
 
 
 @register("bloom_dedup_ingest", _BLOOM_DEDUP_SQL)

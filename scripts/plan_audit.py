@@ -100,6 +100,7 @@ ALLOWED_PYTHON = {
     "wav_audio_features",         # REAL PCM feature extraction (energy/ZCR) (r8)
     "warc_record_parse",          # REAL WARC/gzip-member record parse (r8)
     "avi_frame_stats",            # REAL AVI/MJPEG demux + sampled-frame decode (r8)
+    "warc_html_pipeline",         # REAL WARC walk + HTML body decode (e2e, r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
