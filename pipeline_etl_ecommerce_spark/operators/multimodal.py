@@ -63,6 +63,7 @@ def decode_image(payload: bytes) -> dict:
     (:mod:`.imagecodec`, :mod:`.jpegcodec`; PNG's DEFLATE layer is stdlib
     zlib, JPEG's Huffman/DCT layers are implemented in full). H.264-class
     video and progressive/arithmetic JPEG still require a codec library."""
+    from .gifcodec import decode_gif
     from .imagecodec import decode_bmp, decode_png, decode_ppm
     from .jpegcodec import decode_jpeg
 
@@ -72,13 +73,18 @@ def decode_image(payload: bytes) -> dict:
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        stats = decode_gif(payload)
+        stats.pop("raster", None)
+        stats.pop("interlaced", None)
+        return stats
     if payload[:2] == b"\xff\xd8":
         stats = decode_jpeg(payload)
         stats.pop("raster", None)  # feature rows carry stats, not pixels
         return stats
     raise NotImplementedError(
         "H.264-class formats require a codec library; PPM, uncompressed BMP, "
-        "8-bit RGB/RGBA PNG, and baseline JPEG decode in this environment"
+        "8-bit RGB/RGBA PNG, GIF, and baseline JPEG decode in this environment"
     )
 
 
@@ -436,6 +442,7 @@ _KERNEL_WEIGHT = {
     "png_gray": 40,
     "png_colorkey": 40,
     "png_16bit": 80,
+    "gif": 40,  # LZW is a per-byte Python loop both directions — PNG class
     "jpeg": 200,
 }
 _WIDEN_WEIGHT_MIN = 40
@@ -456,6 +463,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png": None,  # id-dependent Adam7 interlacing, handled below
         "png_rgba": lambda w, h, r: encode_png(w, h, r, channels=4),
         "png_palette": encode_png_palette,
+        "gif": None,  # id-dependent interlacing, handled below
         "png_gray": lambda w, h, r: encode_png(w, h, r, channels=1),
         "png_colorkey": None,  # key derives from the raster, handled below
         "png_16bit": None,  # id-dependent Adam7 interlacing, handled below
@@ -470,6 +478,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_gray": "image/png",
         "png_colorkey": "image/png",
         "png_16bit": "image/png",
+        "gif": "image/gif",
         "jpeg": "image/jpeg",
     }[fmt]
     raster_fn = {
@@ -541,6 +550,13 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
                     payload = encode_png(
                         w, h, raster, depth=16, interlace=int(media_id) % 7 == 0
                     )
+                elif fmt == "gif":
+                    # ids % 5 == 0 store the 4-pass GIF interlace — the
+                    # decoder reassembles the row order every round (pure
+                    # re-layout; the formula oracle is unchanged)
+                    from .gifcodec import encode_gif
+
+                    payload = encode_gif(w, h, raster, interlace=int(media_id) % 5 == 0)
                 else:
                     payload = encode(w, h, raster)
                 rows.append(

@@ -748,6 +748,7 @@ _DRIVER_PRIORITY = [
     "avi_frame_stats",
     "bloom_dedup_ingest",
     "warc_html_pipeline",
+    "gif_decode_stats",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -1311,6 +1312,17 @@ def png_rgba_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("png_palette_decode_stats", _IMAGE_DECODE_SQL_TMPL)
 def png_palette_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "png_palette")
+
+
+# GIF (NEW r8, operators/gifcodec.py): full LZW both directions (variable
+# 3..12-bit codes, LSB packing, CLEAR/EOI, 4096-entry dictionary resets),
+# first-appearance global color table, 4-pass interlace on ids % 5 == 0,
+# extension skipping, strict sub-block/trailer checks. Exactly lossless at
+# <= 256 colors, so the oracle is the SAME pixel formula as the truecolor
+# row — the cross-representation equality proof, like palette PNG.
+@register("gif_decode_stats", _IMAGE_DECODE_SQL_TMPL)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "gif")
 
 
 # GRAYSCALE PNG (NEW r7): color type 0 — 1 byte/pixel scanlines under the

@@ -101,6 +101,7 @@ ALLOWED_PYTHON = {
     "warc_record_parse",          # REAL WARC/gzip-member record parse (r8)
     "avi_frame_stats",            # REAL AVI/MJPEG demux + sampled-frame decode (r8)
     "warc_html_pipeline",         # REAL WARC walk + HTML body decode (e2e, r8)
+    "gif_decode_stats",           # REAL GIF/LZW decode (r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
