@@ -156,26 +156,40 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return resize_ppm_nearest(payload, width, height)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return resize_png_nearest(payload, width, height)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif, encode_gif
+
+        st = decode_gif(payload)
+        return encode_gif(
+            width, height, _nearest_rgb(st["raster"], st["width"], st["height"], width, height)
+        )
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg, encode_jpeg
 
         st = decode_jpeg(payload)
-        src, sw, sh = st["raster"], st["width"], st["height"]
-        if width <= 0 or height <= 0:
-            raise ValueError("resize: target dimensions must be positive")
-        out = bytearray(width * height * 3)
-        for dy in range(height):
-            srow = (dy * sh // height) * sw * 3
-            drow = dy * width * 3
-            for dx in range(width):
-                s = srow + (dx * sw // width) * 3
-                d = drow + dx * 3
-                out[d : d + 3] = src[s : s + 3]
-        return encode_jpeg(width, height, bytes(out))
+        return encode_jpeg(
+            width, height, _nearest_rgb(st["raster"], st["width"], st["height"], width, height)
+        )
     raise NotImplementedError(
         "resize of H.264-class formats requires a codec library; "
-        "PPM, PNG, and baseline JPEG resize in this environment"
+        "PPM, PNG, GIF, and baseline JPEG resize in this environment"
     )
+
+
+def _nearest_rgb(src: bytes, sw: int, sh: int, width: int, height: int) -> bytes:
+    """Floor-map nearest-neighbor resample of a top-down RGB raster (the
+    shared ``src = dst * src_dim // dst_dim`` convention the oracles replay)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize: target dimensions must be positive")
+    out = bytearray(width * height * 3)
+    for dy in range(height):
+        srow = (dy * sh // height) * sw * 3
+        drow = dy * width * 3
+        for dx in range(width):
+            s = srow + (dx * sw // width) * 3
+            d = drow + dx * 3
+            out[d : d + 3] = src[s : s + 3]
+    return bytes(out)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> dict:
@@ -1092,3 +1106,59 @@ def avi_frame_band_stats(media: DataFrame, *, n_frames: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=_AVI_BAND_COLS)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=AVI_BAND_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType()),
+        StructField("frame_energy", LongType()),
+        StructField("frame_peak", LongType()),
+        StructField("frame_status", StringType()),
+    ]
+)
+
+_AUDIO_FRAME_COLS = [f.name for f in AUDIO_FRAME_SCHEMA.fields]
+
+
+def extract_audio_frames(media: DataFrame, *, window: int = 8, hop: int = 4) -> DataFrame:
+    """Framed (short-time) audio features over decoded channel 0: the
+    hop/window framing every speech/audio curation pipeline uses (VAD,
+    silence trimming, loudness gating run per FRAME, not per clip — a clip
+    whose average energy passes can still hide silent halves). One row per
+    frame with exact-integer energy and peak, so the SQL oracle replays the
+    framing arithmetic (frame f covers ch0 samples [f*hop, f*hop+window));
+    clips shorter than one window emit zero rows. Scale: map-only kernel,
+    one output row per frame — the 100 TB shape is identical to the image
+    band rows."""
+    from .audiocodec import DecodeError, decode_wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, nch, pcm = decode_wav_samples(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    ch0 = pcm[0::nch]
+                    n = len(ch0)
+                    for f in range((n - window) // hop + 1 if n >= window else 0):
+                        fr = ch0[f * hop : f * hop + window]
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": f,
+                                "frame_energy": sum(v * v for v in fr),
+                                "frame_peak": max(abs(v) for v in fr),
+                                "frame_status": "ok",
+                            }
+                        )
+                except (DecodeError, NotImplementedError) as e:
+                    row = dict.fromkeys(_AUDIO_FRAME_COLS[1:-1])
+                    row["media_id"] = media_id
+                    row["frame_status"] = f"error: {type(e).__name__}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=_AUDIO_FRAME_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

@@ -749,6 +749,8 @@ _DRIVER_PRIORITY = [
     "bloom_dedup_ingest",
     "warc_html_pipeline",
     "gif_decode_stats",
+    "gif_resize_stats",
+    "wav_frame_features",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -1515,6 +1517,18 @@ def png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return resize_image_stats(synthesize_images(ids, fmt="png"), width=4, height=3)
+
+
+# same oracle again for GIF (NEW r8): decode through LZW (+ de-interlace on
+# ids % 5 == 0), resample, re-encode as GIF (palette rebuilt from the
+# sampled colors), decode once more — lossless format, so the stats must be
+# pixel-identical to the formula replay.
+@register("gif_resize_stats", _RESIZE_STATS_SQL)
+def gif_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_image_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return resize_image_stats(synthesize_images(ids, fmt="gif"), width=4, height=3)
 
 
 # REAL video-frame sampling, end-to-end: per-id concatenated-P6 stream of
@@ -10105,6 +10119,43 @@ def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return extract_audio_features(synthesize_wavs(ids))
+
+
+# Framed (short-time) audio features (NEW r8): the hop/window framing VAD /
+# silence-trim / loudness gates run on — frame f covers ch0 samples
+# [f*4, f*4 + 8); clips shorter than one window emit zero rows. Exact
+# integers; the oracle replays the framing arithmetic over the interleaved
+# synth formula (ch0 sample k = interleaved index k*nch).
+_WAV_FRAMES_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 1 + doc_id % 2 AS nch, 12 + doc_id % 7 AS nfr FROM documents
+),
+fr AS (
+  SELECT doc_id, nch, f.f AS frame_index
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, (nfr - 8) // 4)) AS f) f
+  WHERE nfr >= 8
+),
+s AS (
+  SELECT doc_id, frame_index, i.i AS i,
+         (doc_id * 37 + ((frame_index * 4 + i.i) * nch) * 11) % 4096 - 2048 AS v
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(SUM(v * v) AS BIGINT) AS frame_energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS frame_peak,
+       'ok' AS frame_status
+FROM s
+GROUP BY doc_id, frame_index
+"""
+
+
+@register("wav_frame_features", _WAV_FRAMES_SQL)
+def wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_audio_frames, synthesize_wavs
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return extract_audio_frames(synthesize_wavs(ids), window=8, hop=4)
 
 
 # Content-defined chunking (NEW r8, operators/chunking.py cdc_chunks): the

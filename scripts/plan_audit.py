@@ -102,6 +102,8 @@ ALLOWED_PYTHON = {
     "avi_frame_stats",            # REAL AVI/MJPEG demux + sampled-frame decode (r8)
     "warc_html_pipeline",         # REAL WARC walk + HTML body decode (e2e, r8)
     "gif_decode_stats",           # REAL GIF/LZW decode (r8)
+    "gif_resize_stats",           # REAL GIF decode+resample+re-encode (r8)
+    "wav_frame_features",         # REAL framed audio features (hop/window, r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",
