@@ -212,15 +212,19 @@ def encode_gif(width: int, height: int, raster: bytes, *, interlace: bool = Fals
     )
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Parse a GIF and return the decoded-RGB stats dict (same shape as
-    ``imagecodec.decode_ppm``) with the raster under ``"raster"`` — first
-    image of the stream (frame SAMPLING is the AVI path's job); extension
-    blocks are skipped per spec. Raises :class:`DecodeError` on malformed
-    input — totality is fuzz-tested."""
+def iter_gif_frames(payload: bytes):
+    """Yield every frame of a (possibly animated) GIF as a full-canvas
+    top-down RGB raster ``(canvas_w, canvas_h, raster, interlaced)``.
+
+    Sub-rectangle frames composite onto the running canvas ("do not
+    dispose" semantics — each frame paints over the previous; the synth
+    path emits full frames, and compositing keeps real-world animations
+    decodable). The canvas starts as the logical-screen background color.
+    Extension blocks (GCE/NETSCAPE/comment) are skipped per spec. Raises
+    :class:`DecodeError` on malformed input — totality is fuzz-tested."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise DecodeError("gif: bad signature")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -229,11 +233,18 @@ def decode_gif(payload: bytes) -> dict:
             raise DecodeError("gif: truncated global color table")
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
+    if sw <= 0 or sh <= 0:
+        raise DecodeError("gif: empty logical screen")
+    bg_rgb = gct[3 * bg : 3 * bg + 3] if gct and 3 * bg + 3 <= len(gct) else b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (sw * sh))
+    saw_image = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise DecodeError("gif: no image data before trailer")
+            if not saw_image:
+                raise DecodeError("gif: no image data before trailer")
+            return
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
                 raise DecodeError("gif: truncated extension")
@@ -288,12 +299,22 @@ def decode_gif(payload: bytes) -> dict:
             for src_row, y in enumerate(_interlaced_row_order(h)):
                 rows[y * w : (y + 1) * w] = indices[src_row * w : (src_row + 1) * w]
             indices = bytes(rows)
-        raster = bytearray(w * h * 3)
-        for i, idx in enumerate(indices):
-            raster[3 * i : 3 * i + 3] = ct[3 * idx : 3 * idx + 3]
-        sums = [0, 0, 0]
-        for c in range(3):
-            sums[c] = sum(raster[c::3])
+        for y in range(h):
+            crow = ((top + y) * sw + left) * 3
+            for x in range(w):
+                idx = indices[y * w + x]
+                canvas[crow + 3 * x : crow + 3 * x + 3] = ct[3 * idx : 3 * idx + 3]
+        saw_image = True
+        yield sw, sh, bytes(canvas), bool(ipacked & 0x40)
+    raise DecodeError("gif: stream ended without trailer")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First frame of a GIF as the decoded-RGB stats dict (same shape as
+    ``imagecodec.decode_ppm``) with the raster under ``"raster"`` — frame
+    SAMPLING over animations is :func:`sample_gif_frames`."""
+    for w, h, raster, interlaced in iter_gif_frames(payload):
+        sums = [sum(raster[c::3]) for c in range(3)]
         return {
             "width": w,
             "height": h,
@@ -306,7 +327,74 @@ def decode_gif(payload: bytes) -> dict:
             "top_left_g": raster[1],
             "top_left_b": raster[2],
             "row0_sum": sum(raster[: w * 3]),
-            "interlaced": bool(ipacked & 0x40),
-            "raster": bytes(raster),
+            "interlaced": interlaced,
+            "raster": raster,
         }
-    raise DecodeError("gif: stream ended without image or trailer")
+    raise DecodeError("gif: no frames")  # pragma: no cover — iter raises first
+
+
+def encode_gif_animation(
+    width: int, height: int, frames: list[bytes], *, delay_cs: int = 10
+) -> bytes:
+    """Encode full-frame RGB rasters as an animated GIF89a: one shared
+    first-appearance global color table over the UNION of frame colors
+    (<= 256 across the whole clip), a NETSCAPE2.0 loop extension, and a
+    Graphic Control Extension (delay in centiseconds) before each frame."""
+    if not frames:
+        raise ValueError("gif: at least one frame required")
+    if any(len(f) != width * height * 3 for f in frames):
+        raise ValueError("raster size mismatch")
+    colors: dict[bytes, int] = {}
+    frame_indices = []
+    for raster in frames:
+        idx = bytearray(width * height)
+        for i in range(width * height):
+            c = bytes(raster[3 * i : 3 * i + 3])
+            j = colors.get(c)
+            if j is None:
+                j = len(colors)
+                if j >= 256:
+                    raise ValueError("gif: animation needs <= 256 distinct colors overall")
+                colors[c] = j
+            idx[i] = j
+        frame_indices.append(bytes(idx))
+    gct_bits = 1
+    while (1 << gct_bits) < len(colors):
+        gct_bits += 1
+    gct = b"".join(colors) + b"\x00" * ((1 << gct_bits) * 3 - len(colors) * 3)
+    mcs = max(2, gct_bits)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0) + gct
+    # NETSCAPE2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in frame_indices:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([mcs]) + _sub_blocks(_lzw_encode(idx, mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def sample_gif_frames(payload: bytes, n_frames: int) -> list[dict]:
+    """Evenly-spaced frame sample of an animated GIF (floor map
+    ``j*total//n``, the shared sampling convention). The LZW stream of
+    every frame must be decoded to composite the running canvas (GIF
+    frames are deltas, unlike AVI's independent MJPEG frames), so the
+    demux cost is linear in clip length — the honest format tradeoff."""
+    frames = [(w, h, raster) for w, h, raster, _il in iter_gif_frames(payload)]
+    total = len(frames)
+    keep = (
+        range(total)
+        if n_frames >= total
+        else sorted({j * total // n_frames for j in range(n_frames)})
+    )
+    return [
+        {
+            "frame_index": i,
+            "n_frames_total": total,
+            "width": frames[i][0],
+            "height": frames[i][1],
+            "raster": frames[i][2],
+        }
+        for i in keep
+    ]

@@ -270,9 +270,25 @@ def sample_video_frames(payload: bytes, n_frames: int) -> list[dict]:
                 }
                 for i in keep
             ]
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL animated-GIF sampling (r8): every frame's LZW stream must
+            # be decoded to composite the canvas (GIF frames are deltas), so
+            # the rows hash the composited raster, not a byte span.
+            from .gifcodec import sample_gif_frames
+
+            return [
+                {
+                    "frame_index": fr["frame_index"],
+                    "n_bytes": len(fr["raster"]),
+                    "frame_hash": hashlib.md5(fr["raster"]).hexdigest(),
+                    "sample_status": "ok",
+                }
+                for fr in sample_gif_frames(payload, n_frames)
+            ]
         raise NotImplementedError(
             "frame sampling of H.264-class compressed containers requires a "
-            "video library; concatenated-P6 streams and MJPEG AVI parse here"
+            "video library; concatenated-P6 streams, MJPEG AVI, and animated "
+            "GIF parse here"
         )
     frames = [frame for _off, frame in iter_ppm_stream(payload)]
     total = len(frames)
@@ -1162,3 +1178,88 @@ def extract_audio_frames(media: DataFrame, *, window: int = 8, hop: int = 4) -> 
             yield pd.DataFrame(rows, columns=_AUDIO_FRAME_COLS)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+
+
+def synthesize_gif_animations(media_ids: DataFrame) -> DataFrame:
+    """mapInPandas encode stage: one animated GIF per id with ``2 + id%3``
+    full frames from ``synth_video_raster`` (the AVI row's formula — the
+    same clip in a lossless format, so this row's oracle is EXACT where
+    AVI's is banded), NETSCAPE loop extension, per-frame GCE delays."""
+    from .gifcodec import encode_gif_animation
+    from .importance import _widen
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                n = 2 + mid % 3
+                frames = [synth_video_raster(mid, f)[2] for f in range(n)]
+                w, h, _ = synth_video_raster(mid, 0)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "mime_type": "image/gif",
+                        "payload": encode_gif_animation(w, h, frames, delay_cs=4 + mid % 7),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return _widen(media_ids.select("media_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType()),
+        StructField("n_frames_total", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sample_status", StringType()),
+    ]
+)
+
+_GIF_ANIM_COLS = [f.name for f in GIF_ANIM_SCHEMA.fields]
+
+
+def gif_anim_frame_stats(media: DataFrame, *, n_frames: int = 2) -> DataFrame:
+    """mapInPandas REAL animated-GIF sampling: iterate the LZW frames
+    (compositing canvases — GIF frames are deltas), keep the evenly-spaced
+    sample, and emit EXACT per-frame channel sums the formula oracle
+    replays (lossless codec ⇒ exact hash, no band needed)."""
+    from .gifcodec import sample_gif_frames
+    from .imagecodec import DecodeError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for fr in sample_gif_frames(
+                        bytes(payload) if payload is not None else b"", n_frames
+                    ):
+                        raster = fr["raster"]
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_index": fr["frame_index"],
+                                "n_frames_total": fr["n_frames_total"],
+                                "width": fr["width"],
+                                "height": fr["height"],
+                                "sum_r": sum(raster[0::3]),
+                                "sum_g": sum(raster[1::3]),
+                                "sum_b": sum(raster[2::3]),
+                                "sample_status": "ok",
+                            }
+                        )
+                except (DecodeError, NotImplementedError) as e:
+                    row = dict.fromkeys(_GIF_ANIM_COLS[1:-1])
+                    row["media_id"] = media_id
+                    row["sample_status"] = f"error: {type(e).__name__}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=_GIF_ANIM_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=GIF_ANIM_SCHEMA)

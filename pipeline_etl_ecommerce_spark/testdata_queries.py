@@ -751,6 +751,7 @@ _DRIVER_PRIORITY = [
     "gif_decode_stats",
     "gif_resize_stats",
     "wav_frame_features",
+    "gif_anim_frame_stats",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -11502,6 +11503,49 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return avi_frame_band_stats(synthesize_avis(ids), n_frames=2)
+
+
+# Animated GIF frame sampling (NEW r8): the same synthetic clip as the AVI
+# row (synth_video_raster, 2+id%3 frames) in a LOSSLESS container, so the
+# oracle is EXACT per-frame channel sums where AVI's is banded. Every
+# frame's LZW stream is decoded to composite the canvas (GIF frames are
+# deltas — the honest format tradeoff vs AVI's independently-seekable
+# MJPEG chunks, called out in sample_gif_frames' docstring).
+_GIF_ANIM_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+         2 + doc_id % 3 AS total
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, w, h, total, (j.i * total) // 2 AS frame_index
+  FROM f, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) j
+),
+px AS (
+  SELECT doc_id, w, h, total, frame_index,
+         (doc_id * 7 + frame_index * 53) % 29
+           + (p.p % w) * 3 + (p.p // w) * 2 AS v0
+  FROM kept, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS p) p
+)
+SELECT doc_id AS media_id,
+       CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(total AS BIGINT) AS n_frames_total,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(v0) AS BIGINT) AS sum_r,
+       CAST(SUM(v0 + 17) AS BIGINT) AS sum_g,
+       CAST(SUM(v0 + 34) AS BIGINT) AS sum_b,
+       'ok' AS sample_status
+FROM px
+GROUP BY doc_id, w, h, total, frame_index
+"""
+
+
+@register("gif_anim_frame_stats", _GIF_ANIM_SQL)
+def gif_anim_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import gif_anim_frame_stats, synthesize_gif_animations
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return gif_anim_frame_stats(synthesize_gif_animations(ids), n_frames=2)
 
 
 # Bloom-prefiltered O(delta) exact-dedup ingest (NEW r8, operators/dedupe.py

@@ -164,6 +164,22 @@ ADJUDICATIONS = {
     "warc_record_parse": "map-only Arrow kernel (gzip-member inflate + header "
     "walk per record): linear in total stream bytes, record fan-out inside "
     "the kernel",
+    "c4_line_dedup": "three hash shuffles (line build, corpus line count, doc "
+    "reassembly), all on keys linear in corpus; the synthesizer's planted "
+    "near-dups multiply repeated-line groups, which the map-side combine "
+    "absorbs — expect ~linear wall",
+    "canonical_url_dedup": "map-only regex chain + one groupBy on the canonical "
+    "key: linear in synthesized URLs (3 per doc)",
+    "bloom_dedup_ingest": "bitmap build is one linear pass (fixed 4096-bit "
+    "filter saturates at 10x — EVERY delta hash routes through the verify "
+    "anti-join, the documented degradation: exactness holds, the prefilter "
+    "saving vanishes; production sizes n_bits to corpus)",
+    "warc_html_pipeline": "map-only Arrow kernel + regex chains: linear in "
+    "records; canonicalization groupBy on page grain",
+    "gif_decode_stats": "map-only Arrow LZW kernel over id-widened splits: "
+    "linear in image count, parallelism absorbs locally",
+    "avi_frame_stats": "map-only Arrow kernel, ~5 JPEG passes per clip: linear "
+    "in clip count, parallelism absorbs locally",
 }
 
 
@@ -204,6 +220,12 @@ def main() -> int:
         "jpeg_decode_stats",
         "cdc_chunk_dedup",
         "warc_record_parse",
+        "c4_line_dedup",
+        "canonical_url_dedup",
+        "bloom_dedup_ingest",
+        "warc_html_pipeline",
+        "gif_decode_stats",
+        "avi_frame_stats",
     ]
     # Pre-build the shared marts at BOTH SFs outside the per-query timers
     # (the ingest-time contract; bench.py bills the same way), recording the

@@ -136,3 +136,69 @@ class TestLzwUnit:
         enc = _lzw_encode(b"\x00\x01\x02", 2)
         with pytest.raises(DecodeError):
             _lzw_decode(enc, 2, 5)
+
+
+from pipeline_etl_ecommerce_spark.operators.gifcodec import (  # noqa: E402
+    encode_gif_animation,
+    iter_gif_frames,
+    sample_gif_frames,
+)
+from pipeline_etl_ecommerce_spark.operators.multimodal import synth_video_raster  # noqa: E402
+
+
+class TestAnimation:
+    def test_roundtrip_every_frame(self):
+        for mid in range(12):
+            n = 2 + mid % 3
+            frames = [synth_video_raster(mid, f)[2] for f in range(n)]
+            w, h, _ = synth_video_raster(mid, 0)
+            g = encode_gif_animation(w, h, frames, delay_cs=7)
+            got = [r for _w, _h, r, _il in iter_gif_frames(g)]
+            assert got == frames
+
+    def test_sampling_floor_map(self):
+        frames = [synth_video_raster(4, f)[2] for f in range(4)]
+        w, h, _ = synth_video_raster(4, 0)
+        g = encode_gif_animation(w, h, frames)
+        rows = sample_gif_frames(g, 2)
+        assert [r["frame_index"] for r in rows] == [0, 2]
+        assert rows[1]["raster"] == frames[2]
+
+    def test_subrectangle_composites_onto_canvas(self):
+        # hand-build: full 4x2 red frame, then a 2x1 green patch at (1,1) —
+        # the second yielded canvas must be red with the patch applied
+        import struct as _s
+
+        red, green = b"\xff\x00\x00", b"\x00\xff\x00"
+        gct = red + green + b"\x00" * 6  # 4-entry table (bits=2)
+        full = bytes([0] * 8)
+        patch = bytes([1] * 2)
+        out = b"GIF89a" + _s.pack("<HHBBB", 4, 2, 0x81, 0, 0) + gct
+        out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 2, 0) + bytes([2]) + _sub(full, 2)
+        out += b"\x2c" + _s.pack("<HHHHB", 1, 1, 2, 1, 0) + bytes([2]) + _sub(patch, 2)
+        out += b"\x3b"
+        canvases = [r for _w, _h, r, _il in iter_gif_frames(out)]
+        assert canvases[0] == red * 8
+        want = bytearray(red * 8)
+        want[(1 * 4 + 1) * 3 : (1 * 4 + 3) * 3] = green * 2
+        assert canvases[1] == bytes(want)
+
+    def test_animation_truncation_totality(self):
+        frames = [synth_video_raster(3, f)[2] for f in range(3)]
+        w, h, _ = synth_video_raster(3, 0)
+        g = encode_gif_animation(w, h, frames)
+        for cut in range(0, len(g), 11):
+            try:
+                list(iter_gif_frames(g[:cut]))
+            except DecodeError:
+                pass
+
+    def test_empty_animation_rejected(self):
+        with pytest.raises(ValueError):
+            encode_gif_animation(2, 2, [])
+
+
+def _sub(indices: bytes, mcs: int) -> bytes:
+    from pipeline_etl_ecommerce_spark.operators.gifcodec import _lzw_encode, _sub_blocks
+
+    return _sub_blocks(_lzw_encode(indices, mcs))
