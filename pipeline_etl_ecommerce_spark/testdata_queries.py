@@ -727,12 +727,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
 # queries() emits). Round-8 rotation (the r7 verdict's #2 ask): strict
-# oldest-driver-evidence-first order. First the NEW never-driver-checked
-# r8 rows, then the 10 r02-evidence rows the r7 window displaced, then the
-# 50 r03-evidence rows oldest-first — the window covers the first 50, the
-# remainder queue for r9. Every row here is selfcheck-green at
-# sf0.001/0.01 this round (SELFCHECK_r8.json is the standing full-catalog
-# record); rotated-out greens stay protected by selfcheck+pytest.
+# oldest-driver-evidence-first order. First the 16 NEW never-driver-checked
+# r8 rows (6 early-session + 10 continuation: webtext/c4/bloom/warc-html/
+# gif/avi/audio-frames), then the 10 r02-evidence rows the r7 window
+# displaced, then the 50 r03-evidence rows oldest-first — the window covers
+# the first 50 (16 + 10 + 24 of the r03 tail), the remainder queue for r9.
+# Every row here is selfcheck-green at sf0.001/0.01 this round
+# (SELFCHECK_r8.json is the standing full-catalog record, 259/259 hostile);
+# rotated-out greens stay protected by selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # (a) never driver-checked: the r8 additions.
