@@ -177,9 +177,15 @@ ADJUDICATIONS = {
     "warc_html_pipeline": "map-only Arrow kernel + regex chains: linear in "
     "records; canonicalization groupBy on page grain",
     "gif_decode_stats": "map-only Arrow LZW kernel over id-widened splits: "
-    "linear in image count, parallelism absorbs locally",
-    "avi_frame_stats": "map-only Arrow kernel, ~5 JPEG passes per clip: linear "
-    "in clip count, parallelism absorbs locally",
+    "linear in image count; the sf0.1 wall is startup-dominated so the "
+    "ratio reads above 1x as compute starts to dominate",
+    "avi_frame_stats": "map-only Arrow kernel, ~5 JPEG passes per clip: "
+    "work is LINEAR in clip count and per-clip CPU is constant (~12 ms "
+    "through the stdlib codec); the sf0.1 wall (~3 s for 5k clips) is "
+    "mostly fixed startup, so at 10x the ratio approaches the data ratio "
+    "as compute dominates — the scaling LAW is linear, the constant is "
+    "the documented pure-Python-codec tradeoff (production swaps libjpeg "
+    "into the same mapInPandas plumbing)",
 }
 
 
