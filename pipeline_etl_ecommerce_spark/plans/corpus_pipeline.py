@@ -359,3 +359,53 @@ def detect_drift(
             )
         ).alias("flagged"),
     )
+
+
+def web_ingest_batch(
+    spark: SparkSession,
+    warc_media: DataFrame,
+    marts: str,
+    **ingest_kwargs,
+) -> dict[str, int]:
+    """Web front-end for :func:`ingest_batch`: raw WARC streams →
+    response-record pages → canonical-URL dedup → extracted documents →
+    the full mart pipeline. The Common-Crawl-shaped path end to end.
+
+    Stage order matters and mirrors production crawls: URL-level dedup
+    runs BEFORE text extraction pays for nothing (one representative page
+    per canonical URL — min (media_id, record_index), deterministic), and
+    content-level dedup (MinHash → components, inside ``ingest_batch``)
+    then catches same-text-different-URL mirrors the URL pass cannot see.
+
+    ``doc_id`` is ``xxhash64(canonical_url)`` — stable across re-crawls
+    (re-ingesting a page UPSERTS its document instead of duplicating it),
+    partition-independent, and collision-odds ~n²/2⁶⁴ (negligible below
+    ~10⁹ pages; a 100 TB deployment would widen to a 128-bit digest).
+    The ``web_pages`` audit mart records (canonical_url, doc_id,
+    media_id, record_index) for provenance joins back to the crawl."""
+    from ..operators.webtext import extract_html_text, with_canonical_url
+    from ..sources.warc import parse_warc_pages
+    from pyspark.sql import Window
+
+    pages = parse_warc_pages(warc_media).filter(F.col("parse_status") == "ok")
+    pages = with_canonical_url(pages, "target_uri").filter(
+        F.col("canonical_url").isNotNull()
+    )
+    w = Window.partitionBy("canonical_url").orderBy("media_id", "record_index")
+    first = pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    docs = first.select(
+        F.xxhash64("canonical_url").alias("doc_id"),
+        extract_html_text(F.col("html")).alias("text"),
+        "canonical_url",
+        "media_id",
+        "record_index",
+    )
+    pages_path = _mart(marts, "web_pages")
+    upsert_to_path(
+        docs.select("canonical_url", "doc_id", "media_id", "record_index"),
+        pages_path,
+        keys=["canonical_url"],
+    )
+    stats = ingest_batch(spark, docs.select("doc_id", "text"), marts, **ingest_kwargs)
+    stats["web_pages"] = spark.read.parquet(pages_path).count()
+    return stats
