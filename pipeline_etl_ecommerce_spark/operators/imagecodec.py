@@ -302,15 +302,16 @@ def decode_bmp(payload: bytes) -> dict:
 
 # --------------------------------------------------------------------------
 # PNG (RFC 2083 / W3C spec): 8-byte signature, then CRC-protected chunks.
-# Scope: 8- AND 16-bit depths, color types 0 (grayscale), 2 (RGB), 3
-# (palette — PLTE-indexed, the ubiquitous web form; 8-bit only per spec),
-# 4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced layouts — the
+# Scope: EVERY legal depth (1/2/4/8/16), color types 0 (grayscale), 2
+# (RGB), 3 (palette — PLTE-indexed, the ubiquitous web form), 4
+# (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced layouts — the
 # DEFLATE layer is stdlib zlib, the scanline FILTER layer (all five types:
 # None/Sub/Up/Average/Paeth) is implemented here over BYTES (the 16-bit
-# left-neighbor distance is channels*2 bytes per spec), and interlaced
+# left-neighbor distance is channels*2 bytes per spec; sub-byte depths
+# filter the bit-PACKED row bytes at distance 1 and unpack MSB-first per
+# spec §7.2, including per-pass packing under Adam7), and interlaced
 # streams unfilter each of the 7 pass sub-images independently before the
-# deinterlace scatter; sub-byte depths (1/2/4, bit-packed scanlines) raise
-# NotImplementedError. CRCs are VERIFIED (a decoder that skips them accepts
+# deinterlace scatter. CRCs are VERIFIED (a decoder that skips them accepts
 # silently corrupted chunks). Palette rasters expand to RGB at decode — or
 # RGBA when a tRNS chunk supplies per-entry alpha; filtering for type 3
 # operates on INDEX bytes (bpp=1) per spec. COLOR-KEY tRNS (types 0/2:
@@ -443,8 +444,51 @@ def _adam7_deinterlace(
     return bytes(out)
 
 
+def _unpack_row(row: bytes, width: int, depth: int) -> bytes:
+    """MSB-first bit-packed scanline → one sample value per byte (spec
+    §7.2: pixels pack left-to-right from the high bits; padding bits at
+    the row end are discarded)."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return bytes(
+        (row[i // per] >> (8 - depth * (i % per + 1))) & mask for i in range(width)
+    )
+
+
+def _subbyte_samples(raw: bytes, width: int, height: int, depth: int, interlace: int) -> bytes:
+    """Reconstruct a sub-byte-depth (1/2/4) single-sample image: filters
+    run over the PACKED row bytes (bpp = 1 — the spec floors the left
+    distance at one byte), then each row unpacks to ``width`` samples.
+    Adam7 packs each pass's rows independently (per-pass row byte width),
+    exactly like the byte-depth pass layout."""
+    if interlace == 0:
+        rb = (width * depth + 7) // 8
+        rows = _unfilter(raw, rb, height, 1)
+        return b"".join(
+            _unpack_row(rows[y * rb : (y + 1) * rb], width, depth) for y in range(height)
+        )
+    out = bytearray(width * height)
+    pos = 0
+    for x0, y0, xs, ys, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        rb = (pw * depth + 7) // 8
+        size = (rb + 1) * ph
+        sub = _unfilter(raw[pos : pos + size], rb, ph, 1)
+        pos += size
+        for j in range(ph):
+            vals = _unpack_row(sub[j * rb : (j + 1) * rb], pw, depth)
+            y = y0 + j * ys
+            for i in range(pw):
+                out[y * width + x0 + i * xs] = vals[i]
+    if pos != len(raw):
+        raise DecodeError("png: interlaced stream size mismatch")
+    return bytes(out)
+
+
 def _png_raster(payload: bytes) -> tuple[int, int, int, "bytes | array", int]:
-    """Parse an 8- or 16-bit PNG to its reconstructed top-down raster:
+    """Parse a PNG at any legal depth (1/2/4/8/16) to its reconstructed
+    top-down raster:
     ``(width, height, channels, samples, maxval)``. ``channels`` is 1
     (gray), 2 (gray+alpha), 3 (RGB — truecolor OR palette expanded through
     PLTE), or 4 (RGBA); a color-key tRNS on types 0/2 widens 1→2 / 3→4.
@@ -507,9 +551,11 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, "bytes | array", int]:
         raise DecodeError("png: bad interlace flag")
     if color_type not in _PNG_SAMPLES:
         raise DecodeError("png: bad color type")
-    if depth not in (8, 16):
-        # sub-byte depths (1/2/4) bit-pack scanlines — honest gap
-        raise NotImplementedError("png: sub-byte depths not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise DecodeError("png: bad bit depth")
+    if depth < 8 and color_type not in (0, 3):
+        # spec: sub-byte depths are legal only for grayscale and palette
+        raise DecodeError("png: sub-byte depth illegal for this color type")
     if depth == 16 and color_type == 3:
         raise DecodeError("png: 16-bit depth is illegal for palette images")
     if color_type == 3 and plte is None:
@@ -529,19 +575,24 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, "bytes | array", int]:
     if not idat:
         raise DecodeError("png: missing IDAT")
     samples = _PNG_SAMPLES[color_type]
-    sample_bytes = depth // 8
-    bpp = samples * sample_bytes  # filter left-neighbor distance, in BYTES
+    # filter left-neighbor distance, in BYTES (spec: floor at 1 byte for
+    # bit-packed scanlines — sub-byte filters reference the previous BYTE)
+    bpp = max(1, samples * depth // 8)
+
+    def _row_bytes(w: int) -> int:
+        return (w * samples * depth + 7) // 8
+
     maxval = (1 << depth) - 1
     # Bound the inflate BEFORE allocating: a crafted stream with valid CRCs
     # could otherwise force a multi-GB allocation (zlib amplifies ~1000x)
     # ahead of _unfilter's size check. Expected bytes are fixed by IHDR:
-    # (width*bpp + 1 filter byte) per row for the sequential layout;
+    # (row bytes + 1 filter byte) per row for the sequential layout;
     # for Adam7, the sum of the 7 filtered pass sub-images.
     if interlace == 0:
-        expected = (width * bpp + 1) * height
+        expected = (_row_bytes(width) + 1) * height
     else:
         expected = sum(
-            (pw * bpp + 1) * ph
+            (_row_bytes(pw) + 1) * ph
             for _x0, _y0, _xs, _ys, pw, ph in _adam7_pass_dims(width, height)
             if pw and ph
         )
@@ -556,7 +607,9 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, "bytes | array", int]:
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
     if not dec.eof and not dec.unused_data and dec.decompress(b"", 1):
         raise DecodeError("png: IDAT inflates past the IHDR raster size")
-    if interlace == 1:
+    if depth < 8:
+        recon = _subbyte_samples(raw, width, height, depth, interlace)
+    elif interlace == 1:
         recon = _adam7_deinterlace(raw, width, height, bpp)
     else:
         recon = _unfilter(raw, width, height, bpp)
@@ -685,8 +738,10 @@ def encode_png(
     tuple, channels 1/3 only) emits the tRNS transparent-color chunk."""
     if channels not in (1, 2, 3, 4):
         raise ValueError("png: channels must be 1, 2, 3 (RGB) or 4 (RGBA)")
-    if depth not in (8, 16):
-        raise ValueError("png: encode depth must be 8 or 16")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("png: encode depth must be 1, 2, 4, 8 or 16")
+    if depth < 8 and channels != 1:
+        raise ValueError("png: sub-byte depth is only legal for grayscale")
     if len(raster) != width * height * channels:
         raise ValueError("raster size mismatch")
     if width <= 0 or height <= 0:
@@ -709,8 +764,44 @@ def encode_png(
         raster = packed.tobytes()
     elif not isinstance(raster, (bytes, bytearray)):
         raster = bytes(raster)
-    bpp = channels * (depth // 8)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if depth < 8:
+        # bit-packed grayscale: pack each (pass) row MSB-first, filters run
+        # over the packed bytes (bpp = 1) — the decoder's mirror image
+        if any(v >= (1 << depth) for v in raster):
+            raise ValueError("png: sample out of range for sub-byte depth")
+        if not interlace:
+            return _png_container(
+                width,
+                height,
+                color_type,
+                _png_filter_rows(
+                    _pack_rows(raster, width, height, depth),
+                    (width * depth + 7) // 8,
+                    height,
+                    1,
+                ),
+                trns=trns,
+                depth=depth,
+            )
+        parts = []
+        for x0, y0, xs, ys, pw, ph in _adam7_pass_dims(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytes(
+                raster[(y0 + j * ys) * width + (x0 + i * xs)]
+                for j in range(ph)
+                for i in range(pw)
+            )
+            parts.append(
+                _png_filter_rows(
+                    _pack_rows(sub, pw, ph, depth), (pw * depth + 7) // 8, ph, 1
+                )
+            )
+        return _png_container(
+            width, height, color_type, b"".join(parts), trns=trns, interlace=1, depth=depth
+        )
+    bpp = channels * (depth // 8)
     if not interlace:
         return _png_container(
             width,
@@ -736,6 +827,18 @@ def encode_png(
     return _png_container(
         width, height, color_type, b"".join(parts), trns=trns, interlace=1, depth=depth
     )
+
+
+def _pack_rows(samples: bytes, width: int, height: int, depth: int) -> bytes:
+    """One-sample-per-byte rows → MSB-first bit-packed scanlines (the
+    encoder mirror of :func:`_unpack_row`; row-end padding bits zero)."""
+    per = 8 // depth
+    rb = (width * depth + 7) // 8
+    out = bytearray(rb * height)
+    for y in range(height):
+        for i in range(width):
+            out[y * rb + i // per] |= samples[y * width + i] << (8 - depth * (i % per + 1))
+    return bytes(out)
 
 
 def _png_filter_rows(raster: bytes, width: int, height: int, bpp: int) -> bytes:
@@ -816,7 +919,7 @@ def _png_container(
 
 
 def encode_png_palette(
-    width: int, height: int, raster: bytes, *, alpha: bytes | None = None
+    width: int, height: int, raster: bytes, *, alpha: bytes | None = None, depth: int = 8
 ) -> bytes:
     """Encode top-down RGB(A) bytes as an 8-bit PALETTE PNG (color type 3,
     the ubiquitous web form): PLTE holds the distinct colors in
@@ -848,6 +951,29 @@ def encode_png_palette(
         indices[i] = idx
     plte = b"".join(c[:3] for c in colors)  # insertion order == index order
     trns = bytes(c[3] for c in colors) if alpha is not None else b""
+    if depth != 8:
+        # sub-byte palette: the stored image is the bit-packed INDEX plane
+        # (filters still run over the packed bytes, bpp = 1)
+        if depth not in (1, 2, 4):
+            raise ValueError("png: palette depth must be 1, 2, 4 or 8")
+        if len(colors) > (1 << depth):
+            raise ValueError(
+                f"png: {len(colors)} colors need more than {depth} bits per index"
+            )
+        return _png_container(
+            width,
+            height,
+            3,
+            _png_filter_rows(
+                _pack_rows(bytes(indices), width, height, depth),
+                (width * depth + 7) // 8,
+                height,
+                1,
+            ),
+            plte=plte,
+            trns=trns,
+            depth=depth,
+        )
     return _png_container(
         width,
         height,

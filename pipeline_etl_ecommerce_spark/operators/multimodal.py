@@ -428,6 +428,18 @@ def synth_raster_16bit(media_id: int) -> tuple[int, int, list[int]]:
     return w, h, [(base + i * 101) % 65536 for i in range(w * h * 3)]
 
 
+def synth_raster_lowdepth(media_id: int) -> tuple[int, int, int, bytes]:
+    """Sub-byte grayscale twin: ``(w, h, depth, samples)`` with depth
+    rotating 1/2/4 on id%3 (so every catalog round exercises all three
+    bit-packings), dims ``w = 8 + id%5``, ``h = 4 + id%3``, sample ``i`` =
+    ``(id*29 + i*7) % (maxval+1)`` — the full value range at every depth,
+    so a decoder that mis-shifts the MSB-first packing fails the sums."""
+    depth = (1, 2, 4)[media_id % 3]
+    w, h = 8 + media_id % 5, 4 + media_id % 3
+    mx = (1 << depth) - 1
+    return w, h, depth, bytes((media_id * 29 + i * 7) % (mx + 1) for i in range(w * h))
+
+
 def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
     """SMOOTH deterministic RGB raster for the lossy-codec (JPEG) row: dims
     ``w = 16 + id%9``, ``h = 16 + id%5`` (multiple MCUs each way, incl.
@@ -472,6 +484,7 @@ _KERNEL_WEIGHT = {
     "png_gray": 40,
     "png_colorkey": 40,
     "png_16bit": 80,
+    "png_lowdepth": 40,
     "gif": 40,  # LZW is a per-byte Python loop both directions — PNG class
     "jpeg": 200,
 }
@@ -497,6 +510,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_gray": lambda w, h, r: encode_png(w, h, r, channels=1),
         "png_colorkey": None,  # key derives from the raster, handled below
         "png_16bit": None,  # id-dependent Adam7 interlacing, handled below
+        "png_lowdepth": None,  # id-dependent depth + interlacing, handled below
         "jpeg": None,  # id-dependent subsampling, handled below
     }[fmt]
     mime = {
@@ -508,6 +522,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_gray": "image/png",
         "png_colorkey": "image/png",
         "png_16bit": "image/png",
+        "png_lowdepth": "image/png",
         "gif": "image/gif",
         "jpeg": "image/jpeg",
     }[fmt]
@@ -579,6 +594,16 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
                     # depth-16 Adam7 path runs at every SF
                     payload = encode_png(
                         w, h, raster, depth=16, interlace=int(media_id) % 7 == 0
+                    )
+                elif fmt == "png_lowdepth":
+                    # depth rotates 1/2/4 on id%3 inside the synth; the
+                    # same id%7 interlace rotation as the other PNG rows,
+                    # so sub-byte Adam7 (per-pass bit packing) runs every
+                    # round
+                    w, h, dep, raster = synth_raster_lowdepth(int(media_id))
+                    payload = encode_png(
+                        w, h, raster, channels=1, depth=dep,
+                        interlace=int(media_id) % 7 == 0,
                     )
                 elif fmt == "gif":
                     # ids % 5 == 0 store the 4-pass GIF interlace — the

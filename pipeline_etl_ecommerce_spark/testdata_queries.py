@@ -754,6 +754,7 @@ _DRIVER_PRIORITY = [
     "gif_resize_stats",
     "wav_frame_features",
     "gif_anim_frame_stats",
+    "png_lowdepth_decode_stats",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -1317,6 +1318,44 @@ def png_rgba_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("png_palette_decode_stats", _IMAGE_DECODE_SQL_TMPL)
 def png_palette_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "png_palette")
+
+
+# SUB-BYTE-DEPTH PNG (NEW r8): depths 1/2/4 rotating on id%3 — the LAST
+# honest PNG gap closed, so every legal depth/color-type combination now
+# decodes. Filters run over the bit-PACKED row bytes (left distance 1),
+# samples unpack MSB-first per spec §7.2, and ids % 7 == 0 arrive Adam7-
+# interlaced (each pass bit-packed independently — the layout a byte-depth
+# decoder cannot fake). Full value range at every depth, so a mis-shifted
+# unpack fails the sums.
+_PNG_LOWDEPTH_SQL = """
+WITH dims AS MATERIALIZED (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 15 END AS mx
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, mx, i.i, (doc_id * 29 + i.i * 7) % (mx + 1) AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels, CAST(mx AS BIGINT) AS maxval,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM(v) AS BIGINT) AS sum_g,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_r,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_g,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS BIGINT) AS top_left_b,
+       CAST(SUM(CASE WHEN i < w THEN v END) AS BIGINT) AS row0_sum,
+       'ok' AS decode_status
+FROM px
+GROUP BY doc_id, w, h, mx
+"""
+
+
+@register("png_lowdepth_decode_stats", _PNG_LOWDEPTH_SQL)
+def png_lowdepth_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_decode_stats(spark, sf_dir, "png_lowdepth")
 
 
 # GIF (NEW r8, operators/gifcodec.py): full LZW both directions (variable

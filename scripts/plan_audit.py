@@ -105,6 +105,7 @@ ALLOWED_PYTHON = {
     "gif_resize_stats",           # REAL GIF decode+resample+re-encode (r8)
     "wav_frame_features",         # REAL framed audio features (hop/window, r8)
     "gif_anim_frame_stats",       # REAL animated-GIF sampling (LZW composite, r8)
+    "png_lowdepth_decode_stats",  # REAL sub-byte-depth PNG decode (r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",

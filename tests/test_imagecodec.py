@@ -371,11 +371,17 @@ def test_png_interlace_and_exotic_types_not_implemented():
     # check, a malformed-file error, not a format gap
     with pytest.raises(DecodeError):
         decode_png(make(16, 2, 0))
-    # sub-byte depths remain honest gaps (bit-packed scanlines)
-    with pytest.raises(NotImplementedError):
+    # sub-byte depths are IMPLEMENTED since r8 — the bogus stream fails
+    # the size check, a malformed-file error, not a format gap
+    with pytest.raises(DecodeError):
         decode_png(make(4, 0, 0))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(DecodeError):
         decode_png(make(1, 0, 0))
+    # sub-byte depth on truecolor/alpha types is illegal per spec
+    with pytest.raises(DecodeError, match="sub-byte depth illegal"):
+        decode_png(make(4, 2, 0))
+    with pytest.raises(DecodeError, match="bad bit depth"):
+        decode_png(make(3, 0, 0))
     # 16-bit palette is illegal per spec, not a gap
     with pytest.raises(DecodeError, match="illegal for palette"):
         decode_png(make(16, 3, 0))
@@ -796,3 +802,82 @@ def test_png_16bit_key_above_255_never_matches_8bit():
     assert st["channels"] == 4
     # all alphas are 255: row0_sum = rgb row + w*255
     assert st["row0_sum"] == sum(r[: w * 3]) + w * 255
+
+
+class TestSubByteDepth:
+    """Depths 1/2/4 (r8): MSB-first bit packing, packed-byte filters,
+    per-pass packing under Adam7, palette indices, color-key, guards."""
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_gray_roundtrip_all_paddings(self, depth, interlace):
+        mx = (1 << depth) - 1
+        for w in (1, 3, 7, 8, 9, 13):
+            h = 6  # all five filters + one repeat
+            r = bytes((w * 13 + i * 3) % (mx + 1) for i in range(w * h))
+            from pipeline_etl_ecommerce_spark.operators.imagecodec import _png_raster
+
+            p = encode_png(w, h, r, channels=1, depth=depth, interlace=interlace)
+            gw, gh, ch, smp, gm = _png_raster(p)
+            assert (gw, gh, ch, gm) == (w, h, 1, mx)
+            assert bytes(smp) == r
+
+    def test_palette_subbyte_roundtrip(self):
+        from pipeline_etl_ecommerce_spark.operators.imagecodec import (
+            _png_raster,
+            encode_png_palette,
+        )
+
+        pal = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (9, 9, 9)]
+        for depth in (1, 2, 4):
+            nc = min(len(pal), 1 << depth)
+            w, h = 7, 5
+            idx = [(x * 3 + y) % nc for y in range(h) for x in range(w)]
+            raster = bytes(b for i in idx for b in pal[i])
+            p = encode_png_palette(w, h, raster, depth=depth)
+            gw, gh, ch, smp, mx = _png_raster(p)
+            assert (gw, gh, ch, mx) == (w, h, 3, 255)
+            assert bytes(smp) == raster
+
+    def test_colorkey_on_subbyte_gray(self):
+        from pipeline_etl_ecommerce_spark.operators.imagecodec import _png_raster
+
+        p = encode_png(6, 4, bytes([0, 1, 2, 3] * 6), channels=1, depth=2, color_key=1)
+        _w, _h, ch, smp, mx = _png_raster(p)
+        assert ch == 2 and mx == 3
+        assert all(smp[2 * i + 1] == (0 if smp[2 * i] == 1 else 3) for i in range(24))
+
+    def test_stats_formula(self):
+        from pipeline_etl_ecommerce_spark.operators.multimodal import (
+            synth_raster_lowdepth,
+        )
+
+        for mid in range(9):
+            w, h, dep, r = synth_raster_lowdepth(mid)
+            st = decode_png(encode_png(w, h, r, channels=1, depth=dep))
+            assert st["maxval"] == (1 << dep) - 1
+            assert st["sum_r"] == st["sum_g"] == st["sum_b"] == sum(r)
+            assert st["row0_sum"] == sum(r[:w])
+
+    def test_sample_out_of_range_rejected_at_encode(self):
+        with pytest.raises(ValueError, match="out of range"):
+            encode_png(2, 1, bytes([4, 0]), channels=1, depth=2)
+
+    def test_subbyte_rgb_rejected_at_encode(self):
+        with pytest.raises(ValueError, match="grayscale"):
+            encode_png(2, 1, bytes(6), channels=3, depth=4)
+
+    def test_palette_too_many_colors_for_depth(self):
+        from pipeline_etl_ecommerce_spark.operators.imagecodec import encode_png_palette
+
+        raster = bytes(b for i in range(8) for b in (i * 30, 0, 0))  # 8 colors
+        with pytest.raises(ValueError, match="more than 2 bits"):
+            encode_png_palette(8, 1, raster, depth=2)
+
+    def test_truncation_totality(self):
+        p = encode_png(9, 6, bytes(i % 4 for i in range(54)), channels=1, depth=2, interlace=True)
+        for cut in range(len(p)):
+            try:
+                decode_png(p[:cut])
+            except (DecodeError, NotImplementedError):
+                pass
