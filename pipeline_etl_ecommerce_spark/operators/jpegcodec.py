@@ -5,8 +5,9 @@ NotImplementedError for (r6 verdict item 4). Both directions are REAL
 codecs over the public on-disk format — no imaging library:
 
 - markers: SOI / APPn (skipped) / COM (skipped) / DQT / SOF0 (baseline
-  sequential, 8-bit) / DHT / DRI / SOS / RSTn / EOI; DNL, progressive
-  SOF2, arithmetic coding, and 12-bit precision raise honest errors;
+  sequential, 8-bit) / SOF2 (PROGRESSIVE — full Annex G since r8) / DHT /
+  DRI / SOS / RSTn / EOI; lossless SOF3, arithmetic coding, and 12-bit
+  precision raise honest errors;
 - entropy layer: canonical Huffman per the DHT segments IN THE FILE (the
   decoder never assumes the Annex K defaults it happens to share with the
   encoder), 0xFF00 byte-unstuffing, DC differentials, AC (run, size)
@@ -36,7 +37,7 @@ import struct
 
 from .imagecodec import DecodeError
 
-__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_gray"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_gray", "encode_jpeg_progressive"]
 
 # --------------------------------------------------------------------------
 # Tables: zigzag, Annex K Huffman specs (written to DHT by the encoder; the
@@ -359,6 +360,62 @@ def _encode_block(
     return q[0]
 
 
+def _prep_planes(width, height, raster, subsampling):
+    """Color transform + chroma downsample + edge-replicate padding —
+    shared by the baseline and progressive encoders (identical planes, so
+    the two encodings carry identical quantized coefficients)."""
+    yp = [[0] * width for _ in range(height)]
+    cbp = [[0] * width for _ in range(height)]
+    crp = [[0] * width for _ in range(height)]
+    idx = 0
+    for yy in range(height):
+        for xx in range(width):
+            r, g, b = raster[idx], raster[idx + 1], raster[idx + 2]
+            idx += 3
+            y, cb, cr = _rgb_to_ycbcr(r, g, b)
+            yp[yy][xx] = y
+            cbp[yy][xx] = cb
+            crp[yy][xx] = cr
+
+    if subsampling == "4:2:0":
+        h1, v1 = 2, 2
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        # 2×2 average with rounding; edge pixels replicate
+        def down(p):
+            out = [[0] * cw for _ in range(ch)]
+            for y in range(ch):
+                y0, y1 = 2 * y, min(2 * y + 1, height - 1)
+                for x in range(cw):
+                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
+                    out[y][x] = (
+                        p[y0][x0] + p[y0][x1] + p[y1][x0] + p[y1][x1] + 2
+                    ) // 4
+            return out
+
+        cbp, crp = down(cbp), down(crp)
+    elif subsampling == "4:2:2":
+        h1, v1 = 2, 1
+        cw, ch = (width + 1) // 2, height
+        # horizontal 2×1 average with rounding; edge pixel replicates
+        def down(p):
+            out = [[0] * cw for _ in range(ch)]
+            for y in range(ch):
+                for x in range(cw):
+                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
+                    out[y][x] = (p[y][x0] + p[y][x1] + 1) // 2
+            return out
+
+        cbp, crp = down(cbp), down(crp)
+    else:
+        h1, v1 = 1, 1
+        cw, ch = width, height
+
+    ypad = _pad_plane(yp, width, height, 8 * h1, 8 * v1)
+    cbpad = _pad_plane(cbp, cw, ch, 8)
+    crpad = _pad_plane(crp, cw, ch, 8)
+    return ypad, cbpad, crpad, h1, v1
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -386,57 +443,7 @@ def encode_jpeg(
         raise ValueError("jpeg: subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     ql = quant_luma or [1] * 64
     qc = quant_chroma or [1] * 64
-
-    # color transform into three planes
-    yp = [[0] * width for _ in range(height)]
-    cbp = [[0] * width for _ in range(height)]
-    crp = [[0] * width for _ in range(height)]
-    idx = 0
-    for yy in range(height):
-        for xx in range(width):
-            r, g, b = raster[idx], raster[idx + 1], raster[idx + 2]
-            idx += 3
-            y, cb, cr = _rgb_to_ycbcr(r, g, b)
-            yp[yy][xx] = y
-            cbp[yy][xx] = cb
-            crp[yy][xx] = cr
-
-    if subsampling == "4:2:0":
-        h1, v1 = 2, 2
-        cw, ch = (width + 1) // 2, (height + 1) // 2
-        # 2×2 average with rounding; edge pixels replicate
-        def down(p: list[list[int]]) -> list[list[int]]:
-            out = [[0] * cw for _ in range(ch)]
-            for y in range(ch):
-                y0, y1 = 2 * y, min(2 * y + 1, height - 1)
-                for x in range(cw):
-                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
-                    out[y][x] = (
-                        p[y0][x0] + p[y0][x1] + p[y1][x0] + p[y1][x1] + 2
-                    ) // 4
-            return out
-
-        cbp, crp = down(cbp), down(crp)
-    elif subsampling == "4:2:2":
-        h1, v1 = 2, 1
-        cw, ch = (width + 1) // 2, height
-        # horizontal 2×1 average with rounding; edge pixel replicates
-        def down(p: list[list[int]]) -> list[list[int]]:
-            out = [[0] * cw for _ in range(ch)]
-            for y in range(ch):
-                for x in range(cw):
-                    x0, x1 = 2 * x, min(2 * x + 1, width - 1)
-                    out[y][x] = (p[y][x0] + p[y][x1] + 1) // 2
-            return out
-
-        cbp, crp = down(cbp), down(crp)
-    else:
-        h1, v1 = 1, 1
-        cw, ch = width, height
-
-    ypad = _pad_plane(yp, width, height, 8 * h1, 8 * v1)
-    cbpad = _pad_plane(cbp, cw, ch, 8)
-    crpad = _pad_plane(crp, cw, ch, 8)
+    ypad, cbpad, crpad, h1, v1 = _prep_planes(width, height, raster, subsampling)
 
     # entropy-coded data
     dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
@@ -540,7 +547,7 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes, *, quant: list[int] |
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "plane", "bw", "bh")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "plane", "bw", "bh", "coef")
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
@@ -591,9 +598,12 @@ def decode_jpeg(payload: bytes) -> dict:
     ``subsampling``) and the raster under ``"raster"``.
 
     Raises :class:`DecodeError` on malformed input and
-    ``NotImplementedError`` for progressive/arithmetic/12-bit streams —
+    ``NotImplementedError`` for arithmetic-coded/lossless/12-bit streams —
     honest guards, fuzz-tested for totality. Restart intervals (DRI/RSTn)
-    ARE decoded (see ``test_restart_interval_roundtrip``)."""
+    ARE decoded (see ``test_restart_interval_roundtrip``), and PROGRESSIVE
+    (SOF2) streams decode in full since r8 — spectral selection AND
+    successive approximation, both scan polarities (see Annex G section
+    below)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise DecodeError("jpeg: bad SOI")
     pos = 2
@@ -603,6 +613,7 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[_Component] = []
     width = height = 0
     sof_seen = False
+    progressive = False
     restart_interval = 0
 
     def need(n: int) -> None:
@@ -663,10 +674,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 else:
                     raise DecodeError("jpeg: bad DHT class")
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if sof_seen:
                 raise DecodeError("jpeg: duplicate SOF")
             sof_seen = True
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise DecodeError("jpeg: bad SOF")
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -684,8 +696,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise NotImplementedError("jpeg: sampling factors above 2 not supported")
                 comps.append(_Component(cid, h, v, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: only baseline sequential (SOF0/1) supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline (SOF0/1) and progressive (SOF2) huffman "
+                "processes supported (lossless/arithmetic need other decoders)"
+            )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(body) != 2:
                 raise DecodeError("jpeg: bad DRI")
@@ -693,6 +708,9 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise DecodeError("jpeg: SOS before SOF")
+            if progressive:
+                first_sos = body
+                break
             if len(body) < 1 or body[0] != len(comps) or len(body) != 4 + 2 * len(comps):
                 raise DecodeError("jpeg: bad SOS")
             for c in range(len(comps)):
@@ -721,6 +739,13 @@ def decode_jpeg(payload: bytes) -> dict:
         c.plane = [0] * (c.bw * c.bh)
         if c.tq not in qt:
             raise DecodeError("jpeg: component references missing quant table")
+
+    if progressive:
+        _decode_progressive_stream(
+            payload, pos, first_sos, comps, qt, dc_maps, ac_maps,
+            restart_interval, width, height, mcux, mcuy, hmax, vmax,
+        )
+        return _finish_jpeg(comps, qt, width, height, hmax, vmax, mcux)
 
     br = _BitReader(payload, pos)
     prev = {c.cid: 0 for c in comps}
@@ -751,6 +776,12 @@ def decode_jpeg(payload: bytes) -> dict:
                                     _round_half_away(block[y * 8 + x] + 128.0)
                                 )
 
+    return _reconstruct_jpeg(comps, width, height, hmax, vmax)
+
+
+def _reconstruct_jpeg(comps, width, height, hmax, vmax):
+    """Planes -> RGB raster + stats dict (shared by the baseline and
+    progressive paths; replicate upsampling, JFIF YCbCr)."""
     # color reconstruction with replicate upsampling
     raster = bytearray(width * height * 3)
     if len(comps) == 1:
@@ -799,3 +830,562 @@ def decode_jpeg(payload: bytes) -> dict:
         "row0_sum": sum(rb[: width * 3]),
         "raster": rb,
     }
+
+
+# --------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2, T.81 Annex G) — r8. Both directions REAL:
+# spectral selection (band scans with EOB-run coding) AND successive
+# approximation (DC/AC first + refinement passes with correction bits).
+# The encoder emits a libjpeg-style script — DC(Al=1), DC refine, then per
+# component AC 1..5 / 6..63 each as a first pass (Al=1) and a refinement
+# pass (Al=0) — so every decoder path round-trips on every image. The
+# quantized coefficients are IDENTICAL to the baseline encoder's (shared
+# _prep_planes/_fdct/quant pipeline), so a progressive round-trip decodes
+# to the bit-identical raster of the baseline round-trip — the test
+# anchor. Public references: T.81 G.1.2/G.2, libjpeg jcphuff/jdphuff.
+# --------------------------------------------------------------------------
+
+_PROG_BANDS = ((1, 5), (6, 63))
+
+# Progressive AC symbol alphabet: EOBn (r<<4, r=0..14), ZRL (0xF0), and
+# run/size pairs s=1..10 — the Annex K baseline tables do NOT contain the
+# EOBn symbols, so the progressive encoder carries its own flat 8-bit
+# canonical table (176 codes of length 8; code 0xFF stays unused per the
+# all-ones prohibition). Compression is not the point of these tables —
+# valid streams exercising every decoder path are.
+_PROG_AC_VALS = sorted(
+    [(r << 4) for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
+
+
+def _emit_eob_bits(bw: _BitWriter, actab, eobrun: int, pending: list[int]) -> None:
+    nb = eobrun.bit_length() - 1
+    code, ln = actab[nb << 4]
+    bw.write(code, ln)
+    if nb:
+        bw.write(eobrun - (1 << nb), nb)
+    for bit in pending:
+        bw.write(bit, 1)
+
+
+def _emit_ac_first(bw: _BitWriter, actab, blklist, Ss: int, Se: int, Al: int) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            _emit_eob_bits(bw, actab, eobrun, [])
+            eobrun = 0
+
+    for b in blklist:
+        vals = []
+        for k in range(Ss, Se + 1):
+            t = abs(b[k]) >> Al
+            vals.append(-t if b[k] < 0 else t)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                zc, zl = actab[0xF0]
+                bw.write(zc, zl)
+                r -= 16
+            size = _category(v)
+            code, ln = actab[(r << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            r = 0
+        if last < Se - Ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(bw: _BitWriter, actab, blklist, Ss: int, Se: int, Al: int) -> None:
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            _emit_eob_bits(bw, actab, eobrun, pending)
+            eobrun = 0
+            pending = []
+
+    for b in blklist:
+        absv = [abs(b[k]) >> Al for k in range(Ss, Se + 1)]
+        # last newly-significant position: ZRLs are only emitted up to it —
+        # beyond, zero runs fold into the EOB run (libjpeg's k <= EOB rule)
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # pending ZRLs are emitted at EVERY nonzero position (correction
+            # bits for already-significant coeffs ride behind each ZRL), not
+            # only at newly-significant ones — the decoder consumes the
+            # correction bits positionally while skipping the run
+            while r > 15 and i <= eobpos:
+                flush()
+                zc, zl = actab[0xF0]
+                bw.write(zc, zl)
+                r -= 16
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant this pass
+            flush()
+            code, ln = actab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if b[Ss + i] < 0 else 1, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    raster: bytes,
+    *,
+    subsampling: str = "4:4:4",
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+) -> bytes:
+    """Progressive (SOF2) encode of a top-down RGB raster. Same planes,
+    quant tables, and coefficient pipeline as :func:`encode_jpeg` — only
+    the entropy layer differs — so a progressive decode must land on the
+    bit-identical raster of the baseline round-trip."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster size mismatch")
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("jpeg: bad dimensions")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("jpeg: subsampling must be 4:4:4, 4:2:2 or 4:2:0")
+    ql = quant_luma or [1] * 64
+    qc = quant_chroma or [1] * 64
+    ypad, cbpad, crpad, h1, v1 = _prep_planes(width, height, raster, subsampling)
+    mcux = (width + 8 * h1 - 1) // (8 * h1)
+    mcuy = (height + 8 * v1 - 1) // (8 * v1)
+
+    def qblocks(pad, quant, gw, gh):
+        out = []
+        for by in range(gh):
+            for bx in range(gw):
+                coef = _fdct(_plane_blocks(pad, bx, by))
+                out.append([_round_half_away(coef[ZIGZAG[i]] / quant[i]) for i in range(64)])
+        return out
+
+    grids = [(mcux * h1, mcuy * v1), (mcux, mcuy), (mcux, mcuy)]
+    hv = [(h1, v1), (1, 1), (1, 1)]
+    blocks = [
+        qblocks(ypad, ql, *grids[0]),
+        qblocks(cbpad, qc, *grids[1]),
+        qblocks(crpad, qc, *grids[2]),
+    ]
+    # non-interleaved (AC-scan) block dims: the blocks covering the
+    # component's OWN sample grid, not the MCU-padded grid (G.1)
+    vis = []
+    for ci in range(3):
+        cw = (width * hv[ci][0] + h1 - 1) // h1
+        ch_ = (height * hv[ci][1] + v1 - 1) // v1
+        vis.append(((cw + 7) // 8, (ch_ + 7) // 8))
+
+    dc_tabs = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    prog_ac = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_tabs = [prog_ac, prog_ac, prog_ac]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_specs: list[tuple[int, int, int]], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xFFDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql)) + seg(0xFFDB, bytes([1]) + bytes(qc))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS))
+    out += seg(0xFFC4, bytes([0x11]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (h1 << 4) | v1, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+
+    def mcu_block_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    hh, vv = hv[ci]
+                    gw = grids[ci][0]
+                    for by in range(vv):
+                        for bx in range(hh):
+                            yield ci, (my * vv + by) * gw + (mx * hh + bx)
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, bidx in mcu_block_order():
+        v = blocks[ci][bidx][0] >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        size = _category(diff)
+        code, ln = dc_tabs[ci][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + bw.out
+
+    # scan 2: DC refinement, Al=0 — raw bits, no huffman
+    bw = _BitWriter()
+    for ci, bidx in mcu_block_order():
+        bw.write(blocks[ci][bidx][0] & 1, 1)
+    bw.flush()
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + bw.out
+
+    # per-component AC band scans: first passes (Al=1) then refinements
+    cid_of = [1, 2, 3]
+    ta_of = [0, 1, 1]
+    for refine in (False, True):
+        for ci in range(3):
+            nbw, nbh = vis[ci]
+            gw = grids[ci][0]
+            blklist = [
+                blocks[ci][by * gw + bx] for by in range(nbh) for bx in range(nbw)
+            ]
+            for Ss, Se in _PROG_BANDS:
+                bw = _BitWriter()
+                if refine:
+                    _emit_ac_refine(bw, ac_tabs[ci], blklist, Ss, Se, 0)
+                    hdr = sos([(cid_of[ci], 0, ta_of[ci])], Ss, Se, 1, 0)
+                else:
+                    _emit_ac_first(bw, ac_tabs[ci], blklist, Ss, Se, 1)
+                    hdr = sos([(cid_of[ci], 0, ta_of[ci])], Ss, Se, 0, 1)
+                bw.flush()
+                out += hdr + bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_dc_scan(br, scan_comps, geom, Ah, Al, restart_interval):
+    """One progressive DC scan (interleaved when ns > 1, else the single
+    component's non-padded block raster). First pass (Ah == 0) decodes
+    huffman-coded point-transformed differentials; refinement reads one
+    raw bit per block (T.81 G.2)."""
+    mcux, mcuy, grids, hv, dc_maps = geom
+    pred = {c.cid: 0 for c, _td in scan_comps}
+    if len(scan_comps) > 1:
+        units = mcux * mcuy
+
+        def blocks_of(u):
+            my, mx = divmod(u, mcux)
+            for c, td in scan_comps:
+                gw = grids[c.cid][0]
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        yield c, td, (my * c.v + by) * gw + (mx * c.h + bx)
+
+    else:
+        c0, td0 = scan_comps[0]
+        nbw, nbh = grids[c0.cid][2], grids[c0.cid][3]
+        units = nbw * nbh
+
+        def blocks_of(u):
+            by, bx = divmod(u, nbw)
+            yield c0, td0, by * grids[c0.cid][0] + bx
+
+    rst_seq = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            br.expect_restart(rst_seq)
+            rst_seq = (rst_seq + 1) & 7
+            pred = {c.cid: 0 for c, _td in scan_comps}
+        for c, td, bidx in blocks_of(u):
+            blk = c.coef[bidx]
+            if Ah == 0:
+                if td not in dc_maps:
+                    raise DecodeError("jpeg: scan references missing huffman table")
+                size = br.decode_symbol(dc_maps[td])
+                if size > 11:
+                    raise DecodeError("jpeg: DC category out of range")
+                diff = _extend(br.read_bits(size), size) if size else 0
+                pred[c.cid] += diff
+                blk[0] = pred[c.cid] << Al
+            else:
+                if br.read_bit():
+                    blk[0] |= 1 << Al
+
+
+def _prog_ac_scan(br, comp, td_ta, geom, Ss, Se, Ah, Al, restart_interval):
+    """One progressive AC band scan (always single-component per T.81):
+    first pass (Ah == 0) with EOB-run coding, refinement pass with
+    positional correction bits (G.1.2.3 / libjpeg jdphuff semantics)."""
+    mcux, mcuy, grids, hv, ac_maps = geom
+    ta = td_ta
+    if ta not in ac_maps:
+        raise DecodeError("jpeg: scan references missing huffman table")
+    acm = ac_maps[ta]
+    gw, _gh, nbw, nbh = grids[comp.cid]
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -p1
+    rst_seq = 0
+    for u in range(nbw * nbh):
+        if restart_interval and u and u % restart_interval == 0:
+            br.expect_restart(rst_seq)
+            rst_seq = (rst_seq + 1) & 7
+            eobrun = 0
+        by, bx = divmod(u, nbw)
+        blk = comp.coef[by * gw + bx]
+        if Ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = br.decode_symbol(acm)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > Se:
+                    raise DecodeError("jpeg: AC index overruns band")
+                blk[k] = _extend(br.read_bits(s), s) << Al
+                k += 1
+        else:
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = br.decode_symbol(acm)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        if s != 1:
+                            raise DecodeError("jpeg: AC refinement size must be 1")
+                        val = p1 if br.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        val = 0  # ZRL: 16 zero-history positions
+                    while k <= Se:
+                        if blk[k] != 0:
+                            if br.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0:
+                        if k > Se:
+                            raise DecodeError("jpeg: AC refinement overruns band")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    if blk[k] != 0:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_progressive_stream(
+    payload, pos, first_sos, comps, qt, dc_maps, ac_maps,
+    restart_interval, width, height, mcux, mcuy, hmax, vmax,
+):
+    """Drive every scan of a progressive stream: accumulate quantized
+    coefficients per component (MCU-padded grids; AC scans address the
+    component's own non-padded block raster per G.1), honoring DHT/DQT/DRI
+    segments BETWEEN scans, until EOI."""
+    grids = {}
+    for c in comps:
+        gw, gh = mcux * c.h, mcuy * c.v
+        cw = (width * c.h + hmax - 1) // hmax
+        ch_ = (height * c.v + vmax - 1) // vmax
+        grids[c.cid] = (gw, gh, (cw + 7) // 8, (ch_ + 7) // 8)
+        c.coef = [[0] * 64 for _ in range(gw * gh)]
+    sos_body = first_sos
+    ri = restart_interval
+    n = len(payload)
+
+    def read_marker():
+        nonlocal pos
+        if pos + 2 > n:
+            raise DecodeError("jpeg: stream ended without EOI")
+        if payload[pos] != 0xFF:
+            raise DecodeError("jpeg: expected marker between scans")
+        m = payload[pos + 1]
+        pos += 2
+        while m == 0xFF:  # fill bytes
+            if pos >= n:
+                raise DecodeError("jpeg: stream ended without EOI")
+            m = payload[pos]
+            pos += 1
+        return m
+
+    while True:
+        ns = sos_body[0] if sos_body else 0
+        if not sos_body or len(sos_body) != 4 + 2 * ns or not 1 <= ns <= 4:
+            raise DecodeError("jpeg: bad SOS")
+        scan_comps = []
+        for i in range(ns):
+            cs, tdta = sos_body[1 + 2 * i : 3 + 2 * i]
+            comp = next((k for k in comps if k.cid == cs), None)
+            if comp is None:
+                raise DecodeError("jpeg: SOS names unknown component")
+            scan_comps.append((comp, tdta))
+        Ss, Se, ahal = sos_body[-3:]
+        Ah, Al = ahal >> 4, ahal & 0x0F
+        if not 0 <= Ss <= Se <= 63 or Al > 13 or Ah > 13:
+            raise DecodeError("jpeg: bad spectral selection / point transform")
+        br = _BitReader(payload, pos)
+        if Ss == 0:
+            if Se != 0:
+                raise DecodeError("jpeg: progressive scan mixes DC and AC")
+            _prog_dc_scan(
+                br,
+                [(c, tdta >> 4) for c, tdta in scan_comps],
+                (mcux, mcuy, grids, None, dc_maps),
+                Ah, Al, ri,
+            )
+        else:
+            if ns != 1:
+                raise DecodeError("jpeg: AC scans must be single-component")
+            comp, tdta = scan_comps[0]
+            _prog_ac_scan(
+                br, comp, tdta & 0x0F,
+                (mcux, mcuy, grids, None, ac_maps),
+                Ss, Se, Ah, Al, ri,
+            )
+        pos = br.pos
+        # hunt for the next marker: skip residual entropy pad bytes and any
+        # stuffed FF00 the bit reader never consumed
+        while pos + 1 < n and not (payload[pos] == 0xFF and payload[pos + 1] != 0x00):
+            pos += 1
+        # parse inter-scan segments until the next SOS or EOI
+        sos_body = None
+        while True:
+            marker = read_marker()
+            if marker == 0xD9:
+                return
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # parameterless
+            if pos + 2 > n:
+                raise DecodeError("jpeg: truncated segment")
+            seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+            if seglen < 2 or pos + seglen > n:
+                raise DecodeError("jpeg: bad segment length")
+            body = payload[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xC4:  # DHT between scans
+                b = 0
+                while b < len(body):
+                    if b + 17 > len(body):
+                        raise DecodeError("jpeg: bad DHT")
+                    cls, tid = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    cnt = sum(bits)
+                    if b + 17 + cnt > len(body):
+                        raise DecodeError("jpeg: DHT values truncated")
+                    m = _build_decode_map(bits, list(body[b + 17 : b + 17 + cnt]))
+                    if cls == 0:
+                        dc_maps[tid] = m
+                    elif cls == 1:
+                        ac_maps[tid] = m
+                    else:
+                        raise DecodeError("jpeg: bad DHT class")
+                    b += 17 + cnt
+            elif marker == 0xDB:  # DQT between scans
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0 or tq > 3 or b + 65 > len(body):
+                        raise DecodeError("jpeg: bad DQT")
+                    qt[tq] = list(body[b + 1 : b + 65])
+                    if any(v == 0 for v in qt[tq]):
+                        raise DecodeError("jpeg: zero quantizer")
+                    b += 65
+            elif marker == 0xDD:
+                if len(body) != 2:
+                    raise DecodeError("jpeg: bad DRI")
+                ri = struct.unpack(">H", body)[0]
+            elif marker == 0xDA:
+                sos_body = body
+                break
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                raise DecodeError("jpeg: second SOF inside progressive stream")
+            # APPn/COM/DNL: skipped after length check
+
+
+def _finish_jpeg(comps, qt, width, height, hmax, vmax, mcux):
+    """Dequantize + IDCT the accumulated progressive coefficients into the
+    per-component planes, then run the shared color reconstruction."""
+    for c in comps:
+        gw, gh = c.bw // 8, c.bh // 8
+        quant = qt[c.tq]
+        for by in range(gh):
+            for bx in range(gw):
+                zz = c.coef[by * gw + bx]
+                coefn = [0.0] * 64
+                for i in range(64):
+                    coefn[ZIGZAG[i]] = float(zz[i] * quant[i])
+                block = _idct(coefn)
+                ox, oy = bx * 8, by * 8
+                for y in range(8):
+                    row = (oy + y) * c.bw + ox
+                    for x in range(8):
+                        c.plane[row + x] = _clamp(_round_half_away(block[y * 8 + x] + 128.0))
+    return _reconstruct_jpeg(comps, width, height, hmax, vmax)

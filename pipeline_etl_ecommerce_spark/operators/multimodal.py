@@ -9,8 +9,10 @@ streams (the ``ffmpeg -f image2pipe -vcodec ppm`` framing). Since round 6
 PNG (8-bit RGB/RGBA, non-interlaced, all five scanline filters) decodes for
 real too — stdlib zlib carries DEFLATE — and since round 7 so does baseline
 JPEG (in-file Huffman tables, dequant/zigzag/IDCT, YCbCr, 4:4:4 + 4:2:0
-MCU interleave; ``operators/jpegcodec.py``). Only H.264-class video and the
-exotic JPEG modes (progressive, arithmetic, 12-bit) still raise
+MCU interleave; ``operators/jpegcodec.py``) — and since round 8 PROGRESSIVE
+JPEG (SOF2: spectral selection + successive approximation), GIF (full LZW
+incl. animation), and MJPEG-in-AVI video. Only H.264-class video and the
+arithmetic-coded/lossless/12-bit JPEG modes still raise
 NotImplementedError — those genuinely need codec libraries absent from this
 environment. ``fake_decode`` et al.
 remain as the deterministic stand-ins some plumbing tests inject.
@@ -59,10 +61,11 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> dict:
     """REAL image decode: dispatches on the payload magic to the pure-Python
-    PPM (P6/P3), 24-bit BMP, 8-bit RGB/RGBA PNG, and baseline JPEG parsers
-    (:mod:`.imagecodec`, :mod:`.jpegcodec`; PNG's DEFLATE layer is stdlib
-    zlib, JPEG's Huffman/DCT layers are implemented in full). H.264-class
-    video and progressive/arithmetic JPEG still require a codec library."""
+    PPM (P6/P3), 24-bit BMP, PNG (every legal depth), GIF, and baseline +
+    progressive JPEG parsers (:mod:`.imagecodec`, :mod:`.gifcodec`,
+    :mod:`.jpegcodec`; PNG's DEFLATE layer is stdlib zlib, JPEG's
+    Huffman/DCT layers are implemented in full). H.264-class video and
+    arithmetic-coded JPEG still require a codec library."""
     from .gifcodec import decode_gif
     from .imagecodec import decode_bmp, decode_png, decode_ppm
     from .jpegcodec import decode_jpeg
@@ -84,7 +87,7 @@ def decode_image(payload: bytes) -> dict:
         return stats
     raise NotImplementedError(
         "H.264-class formats require a codec library; PPM, uncompressed BMP, "
-        "8-bit RGB/RGBA PNG, GIF, and baseline JPEG decode in this environment"
+        "PNG, GIF, and baseline/progressive JPEG decode in this environment"
     )
 
 
@@ -487,6 +490,7 @@ _KERNEL_WEIGHT = {
     "png_lowdepth": 40,
     "gif": 40,  # LZW is a per-byte Python loop both directions — PNG class
     "jpeg": 200,
+    "jpeg_progressive": 250,  # multi-scan entropy layer on top of the DCT cost
 }
 _WIDEN_WEIGHT_MIN = 40
 
@@ -512,6 +516,7 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_16bit": None,  # id-dependent Adam7 interlacing, handled below
         "png_lowdepth": None,  # id-dependent depth + interlacing, handled below
         "jpeg": None,  # id-dependent subsampling, handled below
+        "jpeg_progressive": None,  # id-dependent subsampling, handled below
     }[fmt]
     mime = {
         "ppm": "image/x-portable-pixmap",
@@ -525,8 +530,10 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
         "png_lowdepth": "image/png",
         "gif": "image/gif",
         "jpeg": "image/jpeg",
+        "jpeg_progressive": "image/jpeg",
     }[fmt]
     raster_fn = {
+        "jpeg_progressive": synth_raster_smooth,
         "png_rgba": synth_raster_rgba,
         "png_gray": synth_raster_gray,
         "png_colorkey": synth_raster_mod32,
@@ -573,6 +580,17 @@ def synthesize_images(media_ids: DataFrame, *, fmt: str) -> DataFrame:
                         raster,
                         subsampling=jpeg_subsampling_for(int(media_id)),
                         restart_interval=2 if int(media_id) % 4 == 0 else 0,
+                    )
+                elif fmt == "jpeg_progressive":
+                    # full Annex G script: DC successive approximation + per-
+                    # component spectral bands each with a refinement pass —
+                    # every progressive decoder path runs on every image; the
+                    # same id%3 subsampling rotation as the baseline row
+                    from .jpegcodec import encode_jpeg_progressive
+
+                    payload = encode_jpeg_progressive(
+                        w, h, raster,
+                        subsampling=jpeg_subsampling_for(int(media_id)),
                     )
                 elif fmt == "png":
                     # ids % 7 == 0 store the Adam7 interlaced layout — the

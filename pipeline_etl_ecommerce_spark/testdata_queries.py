@@ -755,6 +755,7 @@ _DRIVER_PRIORITY = [
     "wav_frame_features",
     "gif_anim_frame_stats",
     "png_lowdepth_decode_stats",
+    "jpeg_progressive_stats",
     # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
     "shipping_priority_top10",
     "small_quantity_revenue",
@@ -1502,6 +1503,23 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return jpeg_decode_band_stats(synthesize_images(ids, fmt="jpeg"))
+
+
+# PROGRESSIVE JPEG (NEW r8, T.81 Annex G): the multi-scan SOF2 layout —
+# DC successive approximation (first + refinement) and per-component
+# spectral AC bands each with a refinement pass (EOB-run coding,
+# positional correction bits). Same oracle VERBATIM as the baseline row:
+# the progressive encoder shares the baseline's plane/quant pipeline, so
+# its quantized coefficients — and therefore the decoded raster and band
+# booleans — are bit-identical to the baseline round-trip (pinned by
+# test_bit_identical_to_baseline). A decoder bug in any scan polarity
+# lands outside the band and flips the hash.
+@register("jpeg_progressive_stats", _JPEG_DECODE_SQL)
+def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import jpeg_decode_band_stats, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return jpeg_decode_band_stats(synthesize_images(ids, fmt="jpeg_progressive"))
 
 
 # REAL nearest-neighbor resize, end-to-end: synth PPM (same formula) →

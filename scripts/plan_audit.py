@@ -106,6 +106,7 @@ ALLOWED_PYTHON = {
     "wav_frame_features",         # REAL framed audio features (hop/window, r8)
     "gif_anim_frame_stats",       # REAL animated-GIF sampling (LZW composite, r8)
     "png_lowdepth_decode_stats",  # REAL sub-byte-depth PNG decode (r8)
+    "jpeg_progressive_stats",     # REAL progressive-JPEG decode (Annex G, r8)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",

@@ -97,12 +97,15 @@ def test_grayscale_single_component():
     assert got[0::3] == got[1::3] == got[2::3]  # replicated channels
 
 
-def test_progressive_rejected_honestly():
+def test_baseline_relabeled_as_progressive_is_malformed():
+    # progressive is IMPLEMENTED since r8 — a baseline stream relabeled
+    # SOF2 is now a MALFORMED progressive file (its single Ss=0..Se=63
+    # scan illegally mixes DC and AC), not a format gap
     w, h, raster = synth_raster_smooth(2)
     good = encode_jpeg(w, h, raster)
     sof_at = good.find(b"\xff\xc0")
     progressive = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(DecodeError, match="mixes DC and AC"):
         decode_jpeg(progressive)
 
 
@@ -205,3 +208,87 @@ def test_422_subsampling_roundtrip_in_band():
             assert max(abs(a - b) for a, b in zip(st["raster"], r)) <= JPEG_MAX_ABS_PIXEL_ERR
     with pytest.raises(ValueError):
         encode_jpeg(8, 8, bytes(192), subsampling="4:1:1")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r8
+# ---------------------------------------------------------------------------
+
+from pipeline_etl_ecommerce_spark.operators.jpegcodec import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+class TestProgressive:
+    @pytest.mark.parametrize("sub", ["4:4:4", "4:2:0", "4:2:2"])
+    def test_bit_identical_to_baseline(self, sub):
+        # same planes + quant pipeline => a progressive round-trip must land
+        # on the EXACT raster of the baseline round-trip
+        for mid in (0, 1, 2, 7, 11):
+            w, h, r = synth_raster_smooth(mid)
+            base = decode_jpeg(encode_jpeg(w, h, r, subsampling=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(w, h, r, subsampling=sub))
+            assert prog["raster"] == base["raster"]
+            assert prog["subsampling"] == base["subsampling"] == sub
+
+    def test_noise_and_flat_rasters(self):
+        import random
+
+        rng = random.Random(3)
+        for w, h, kind in ((17, 9, "noise"), (8, 8, "flat"), (33, 5, "noise"), (1, 1, "noise")):
+            if kind == "noise":
+                r = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            else:
+                r = bytes([200]) * (w * h * 3)
+            ql = [rng.randrange(1, 12) for _ in range(64)]
+            base = decode_jpeg(encode_jpeg(w, h, r, quant_luma=ql))["raster"]
+            prog = decode_jpeg(encode_jpeg_progressive(w, h, r, quant_luma=ql))["raster"]
+            assert base == prog
+
+    def test_scan_script_shape(self):
+        # 2 DC scans + (first + refine) x 2 bands x 3 components = 14 SOS
+        w, h, r = synth_raster_smooth(4)
+        payload = encode_jpeg_progressive(w, h, r)
+        assert payload.count(b"\xff\xda") >= 14
+        assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+
+    def test_mixed_dc_ac_scan_rejected(self):
+        w, h, r = synth_raster_smooth(2)
+        p = bytearray(encode_jpeg_progressive(w, h, r))
+        # first SOS: corrupt Se (0 -> 5) so the DC scan claims an AC band
+        i = p.index(b"\xff\xda") + 2
+        seglen = (p[i] << 8) | p[i + 1]
+        p[i + seglen - 2] = 5  # Se byte
+        with pytest.raises(DecodeError, match="mixes DC and AC"):
+            decode_jpeg(bytes(p))
+
+    def test_truncation_totality(self):
+        w, h, r = synth_raster_smooth(6)
+        p = encode_jpeg_progressive(w, h, r, subsampling="4:2:0")
+        for cut in range(0, len(p), 13):
+            try:
+                decode_jpeg(p[:cut])
+            except (DecodeError, NotImplementedError):
+                pass
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(0, 255), st.integers(0, 4000))
+    def test_fuzz_mutations(self, seed, val, pos):
+        w, h, r = synth_raster_smooth(seed % 30)
+        p = bytearray(encode_jpeg_progressive(w, h, r, subsampling="4:2:0" if seed % 2 else "4:4:4"))
+        p[pos % len(p)] = val
+        try:
+            out = decode_jpeg(bytes(p))
+            assert len(out["raster"]) == out["width"] * out["height"] * 3
+        except (DecodeError, NotImplementedError):
+            pass
+
+    def test_lossless_and_arithmetic_still_raise(self):
+        w, h, r = synth_raster_smooth(1)
+        p = bytearray(encode_jpeg_progressive(w, h, r))
+        i = p.index(b"\xff\xc2")
+        for m in (0xC3, 0xC9, 0xCB):  # lossless, arithmetic-sequential, arithmetic-lossless
+            p2 = bytearray(p)
+            p2[i + 1] = m
+            with pytest.raises(NotImplementedError):
+                decode_jpeg(bytes(p2))
