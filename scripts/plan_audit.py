@@ -126,7 +126,21 @@ ALLOWED_PYTHON = {
 # (importance._widen, clustering._assign, multimodal.synthesize_images —
 # the latter cost-BASED since r8: ppm/bmp skip the exchange, png*/jpeg
 # keep it).
-EXPLAINED_GROWTH: dict[str, str] = {}
+EXPLAINED_GROWTH: dict[str, str] = {
+    "order_clv_deciles": (
+        "r9 (r8 verdict item 1): the single-reducer global ntile window was"
+        " replaced by the distributed range-partition + offset plan; the two"
+        " added exchanges shuffle only the <=32-row partition-stats table"
+        " (SinglePartition + hash(_pid)), while the former unbounded global"
+        " sort is gone"
+    ),
+    "top_supplier_quarter": (
+        "r9 (r8 verdict item 1): rank-over-aggregates global window ->"
+        " scalar-max broadcast equi-join; the added exchanges are the"
+        " one-row max aggregate + its broadcast, replacing the global sort"
+        " of the supplier revenue table"
+    ),
+}
 
 
 def diff_against_baseline(
