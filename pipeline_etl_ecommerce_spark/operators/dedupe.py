@@ -660,6 +660,52 @@ def edit_distance_pairs(
     )
 
 
+def _span_gram_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    gram_len: int,
+    max_df: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared construction for :func:`exact_span_pairs` and the
+    scale-stress postings diagnostic (STRESS span gate, r8 verdict item 5):
+    returns ``(postings, matches)`` — the df-cut positional gram postings
+    and the deduplicated gram-join diagonals. Exposed separately so the
+    stress battery can COUNT both frames with the exact production plan:
+    matches ≤ max_df × postings is the structural never-cartesian bound,
+    and wall growth is judged against measured match growth."""
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+        .filter(F.length("_t") >= gram_len)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (gram_len - 1))).alias("pos"),
+            "_t",
+        )
+        .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
+        # the gram stream feeds BOTH the df-cut aggregation and the join
+        # side; materialize it once (GC-released localCheckpoint, same
+        # rationale as semantic_dedup) — measured 10-15s -> 6-8s at sf0.1
+        .localCheckpoint(eager=False)
+    )
+    gdf = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    fg = grams.join(gdf.select("gram"), "gram")
+    a = fg.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gram")
+    b = fg.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "gram")
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        .distinct()
+    )
+    return fg, matches
+
+
 def exact_span_pairs(
     df: DataFrame,
     text_col: str,
@@ -694,33 +740,8 @@ def exact_span_pairs(
         raise ValueError("need gram_len >= 2 and min_span >= gram_len")
     from pyspark.sql.window import Window
 
-    grams = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
-        .filter(F.length("_t") >= gram_len)
-        .select(
-            "doc",
-            F.explode(F.sequence(F.lit(1), F.length("_t") - (gram_len - 1))).alias("pos"),
-            "_t",
-        )
-        .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
-        # the gram stream feeds BOTH the df-cut aggregation and the join
-        # side; materialize it once (GC-released localCheckpoint, same
-        # rationale as semantic_dedup) — measured 10-15s -> 6-8s at sf0.1
-        .localCheckpoint(eager=False)
-    )
-    gdf = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-    )
-    fg = grams.join(gdf.select("gram"), "gram")
-    a = fg.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gram")
-    b = fg.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "gram")
-    matches = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
-        .distinct()
+    _fg, matches = _span_gram_matches(
+        df, text_col, id_col, gram_len=gram_len, max_df=max_df
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     runs = (

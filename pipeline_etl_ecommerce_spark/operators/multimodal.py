@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -386,7 +387,7 @@ def synth_raster(media_id: int) -> tuple[int, int, bytes]:
     w, h = 8 + media_id % 5, 4 + media_id % 3
     n = w * h * 3
     base = media_id * 31
-    raster = bytes((base + i * 7) % 256 for i in range(n))
+    raster = ((base + 7 * np.arange(n)) % 256).astype(np.uint8).tobytes()
     return w, h, raster
 
 
@@ -398,7 +399,7 @@ def synth_raster_rgba(media_id: int) -> tuple[int, int, bytes]:
     w, h = 4 + media_id % 4, 5 + media_id % 3
     n = w * h * 4
     base = media_id * 37
-    raster = bytes((base + i * 11) % 256 for i in range(n))
+    raster = ((base + 11 * np.arange(n)) % 256).astype(np.uint8).tobytes()
     return w, h, raster
 
 
@@ -408,7 +409,7 @@ def synth_raster_gray(media_id: int) -> tuple[int, int, bytes]:
     ``i`` over ``w*h`` is ``(id*41 + i*13) % 256``."""
     w, h = 8 + media_id % 5, 4 + media_id % 3
     base = media_id * 41
-    return w, h, bytes((base + i * 13) % 256 for i in range(w * h))
+    return w, h, ((base + 13 * np.arange(w * h)) % 256).astype(np.uint8).tobytes()
 
 
 def synth_raster_mod32(media_id: int) -> tuple[int, int, bytes]:
@@ -419,7 +420,7 @@ def synth_raster_mod32(media_id: int) -> tuple[int, int, bytes]:
     exercised beyond the trivial top-left match."""
     w, h = 8 + media_id % 5, 4 + media_id % 3
     base = media_id * 31
-    return w, h, bytes((base + i * 7) % 32 for i in range(w * h * 3))
+    return w, h, ((base + 7 * np.arange(w * h * 3)) % 32).astype(np.uint8).tobytes()
 
 
 def synth_raster_16bit(media_id: int) -> tuple[int, int, list[int]]:
@@ -428,7 +429,7 @@ def synth_raster_16bit(media_id: int) -> tuple[int, int, list[int]]:
     in every image, so a decoder that truncates to bytes fails the hash."""
     w, h = 8 + media_id % 5, 4 + media_id % 3
     base = media_id * 97
-    return w, h, [(base + i * 101) % 65536 for i in range(w * h * 3)]
+    return w, h, ((base + 101 * np.arange(w * h * 3)) % 65536).tolist()
 
 
 def synth_raster_lowdepth(media_id: int) -> tuple[int, int, int, bytes]:
@@ -440,7 +441,8 @@ def synth_raster_lowdepth(media_id: int) -> tuple[int, int, int, bytes]:
     depth = (1, 2, 4)[media_id % 3]
     w, h = 8 + media_id % 5, 4 + media_id % 3
     mx = (1 << depth) - 1
-    return w, h, depth, bytes((media_id * 29 + i * 7) % (mx + 1) for i in range(w * h))
+    samples = ((media_id * 29 + 7 * np.arange(w * h)) % (mx + 1)).astype(np.uint8)
+    return w, h, depth, samples.tobytes()
 
 
 def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
@@ -452,14 +454,13 @@ def synth_raster_smooth(media_id: int) -> tuple[int, int, bytes]:
     encode stays inside a tight pixel band)."""
     w, h = 16 + media_id % 9, 16 + media_id % 5
     base = media_id % 29
-    raster = bytearray(w * h * 3)
-    i = 0
-    for y in range(h):
-        for x in range(w):
-            for c in range(3):
-                raster[i] = base + x * 3 + y * 2 + c * 17
-                i += 1
-    return w, h, bytes(raster)
+    vals = (
+        base
+        + 2 * np.arange(h)[:, None, None]
+        + 3 * np.arange(w)[None, :, None]
+        + 17 * np.arange(3)[None, None, :]
+    )
+    return w, h, vals.astype(np.uint8).tobytes()
 
 
 def jpeg_subsampling_for(media_id: int) -> str:
@@ -902,19 +903,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     _rate, nch, pcm = decode_wav_samples(
                         bytes(payload) if payload is not None else b""
                     )
-                    ch0 = pcm[0::nch]
+                    # vectorized (r9): pure integer reductions over int64 —
+                    # exact, identical to the former generator loops
+                    ch0 = np.asarray(pcm[0::nch], dtype=np.int64)
                     feats = {
-                        "n_frames": len(ch0),
-                        "energy_ch0": sum(v * v for v in ch0),
-                        "zero_crossings_ch0": sum(
-                            1
-                            for a, b in zip(ch0, ch0[1:])
-                            if (a < 0) != (b < 0)
+                        "n_frames": int(ch0.size),
+                        "energy_ch0": int((ch0 * ch0).sum()),
+                        "zero_crossings_ch0": int(
+                            ((ch0[:-1] < 0) != (ch0[1:] < 0)).sum()
                         ),
-                        "sum_abs_delta_ch0": sum(
-                            abs(b - a) for a, b in zip(ch0, ch0[1:])
-                        ),
-                        "peak_abs_ch0": max((abs(v) for v in ch0), default=0),
+                        "sum_abs_delta_ch0": int(np.abs(ch0[1:] - ch0[:-1]).sum()),
+                        "peak_abs_ch0": int(np.abs(ch0).max()) if ch0.size else 0,
                         "feature_status": "ok",
                     }
                 except (DecodeError, NotImplementedError) as e:
@@ -972,6 +971,23 @@ JPEG_MAX_ABS_PIXEL_ERR = 4
 JPEG_MAX_MEAN_CHANNEL_ERR = 2.0
 
 
+def _band_errors(got: bytes, orig: bytes) -> tuple[int, bool, int]:
+    """Exact fidelity-band inputs, vectorized (r9): per-pixel max abs error
+    and whether every channel's abs sum delta stays within
+    ``JPEG_MAX_MEAN_CHANNEL_ERR * n_px``. Pure integer ops — identical
+    values to the former per-pixel generator loops, ~10× less kernel CPU."""
+    g = np.frombuffer(got, dtype=np.uint8).astype(np.int64)
+    o = np.frombuffer(orig, dtype=np.uint8).astype(np.int64)
+    max_err = int(np.abs(g - o).max()) if g.size else 0
+    n_px = g.size // 3
+    sums_ok = all(
+        abs(int(g[c::3].sum()) - int(o[c::3].sum()))
+        <= JPEG_MAX_MEAN_CHANNEL_ERR * n_px
+        for c in range(3)
+    )
+    return max_err, sums_ok, n_px
+
+
 def jpeg_decode_band_stats(media: DataFrame) -> DataFrame:
     """mapInPandas REAL-JPEG-decode stage: parse each payload with the
     baseline decoder, regenerate the pre-encode raster from the media id
@@ -991,15 +1007,7 @@ def jpeg_decode_band_stats(media: DataFrame) -> DataFrame:
                     got = st["raster"]
                     dims_ok = st["width"] == w and st["height"] == h and len(got) == len(orig)
                     if dims_ok:
-                        max_err = max(
-                            (abs(a - b) for a, b in zip(got, orig)), default=0
-                        )
-                        n_px = w * h
-                        sums_ok = all(
-                            abs(sum(got[c::3]) - sum(orig[c::3]))
-                            <= JPEG_MAX_MEAN_CHANNEL_ERR * n_px
-                            for c in range(3)
-                        )
+                        max_err, sums_ok, _ = _band_errors(got, orig)
                     else:
                         max_err, sums_ok = None, False
                     row = {
@@ -1048,14 +1056,13 @@ def synth_video_raster(media_id: int, frame_index: int) -> tuple[int, int, bytes
     ``pixels_in_band`` (a ``f*13`` term measured as close as 3)."""
     w, h = 8 + media_id % 5, 8 + media_id % 3
     base = (media_id * 7 + frame_index * 53) % 29
-    raster = bytearray(w * h * 3)
-    i = 0
-    for y in range(h):
-        for x in range(w):
-            for c in range(3):
-                raster[i] = base + x * 3 + y * 2 + c * 17
-                i += 1
-    return w, h, bytes(raster)
+    vals = (
+        base
+        + 2 * np.arange(h)[:, None, None]
+        + 3 * np.arange(w)[None, :, None]
+        + 17 * np.arange(3)[None, None, :]
+    )
+    return w, h, vals.astype(np.uint8).tobytes()
 
 
 def synthesize_avis(media_ids: DataFrame) -> DataFrame:
@@ -1136,11 +1143,7 @@ def avi_frame_band_stats(media: DataFrame, *, n_frames: int = 2) -> DataFrame:
                         dims_ok = (
                             fr["width"] == w and fr["height"] == h and len(got) == len(orig)
                         )
-                        max_err = (
-                            max((abs(a - b) for a, b in zip(got, orig)), default=0)
-                            if dims_ok
-                            else None
-                        )
+                        max_err = _band_errors(got, orig)[0] if dims_ok else None
                         rows.append(
                             {
                                 "media_id": media_id,

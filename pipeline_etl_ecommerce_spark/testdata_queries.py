@@ -731,71 +731,20 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-8 rotation (the r7 verdict's #2 ask): strict
-# oldest-driver-evidence-first order. First the 16 NEW never-driver-checked
-# r8 rows (6 early-session + 10 continuation: webtext/c4/bloom/warc-html/
-# gif/avi/audio-frames), then the 10 r02-evidence rows the r7 window
-# displaced, then the 50 r03-evidence rows oldest-first — the window covers
-# the first 50 (16 + 10 + 24 of the r03 tail), the remainder queue for r9.
-# Every row here is selfcheck-green at sf0.001/0.01 this round
-# (SELFCHECK_r8.json is the standing full-catalog record, 259/259 hostile);
-# rotated-out greens stay protected by selfcheck+pytest.
+# queries() emits). Round-9 rotation, strict oldest-driver-evidence-first:
+# (a) the 28 rows whose committed evidence is still r03-age — the r8 window
+# covered only the first 22 of the r03 tail, these are the remainder, so
+# after the r9 run no row's evidence predates r04 (the r8 verdict's #2
+# done-criterion); (b) the two rows whose PLANS changed this round
+# (order_clv_deciles' distributed ntile, top_supplier_quarter's scalar-max
+# join) — re-prove them under the driver even though their last evidence is
+# recent; (c) the oldest r04-evidence rows fill the window to 50. Every row
+# is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r9.json is the
+# standing full-catalog record); rotated-out greens stay protected by
+# selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked: the r8 additions.
-    "png_colorkey_decode_stats",
-    "png_16bit_decode_stats",
-    "wav_audio_features",
-    "cdc_chunks_docs",
-    "cdc_chunk_dedup",
-    "warc_record_parse",
-    "html_text_extract",
-    "canonical_url_dedup",
-    "c4_line_dedup",
-    "avi_frame_stats",
-    "bloom_dedup_ingest",
-    "warc_html_pipeline",
-    "gif_decode_stats",
-    "gif_resize_stats",
-    "wav_frame_features",
-    "gif_anim_frame_stats",
-    "png_lowdepth_decode_stats",
-    "jpeg_progressive_stats",
-    # (b) latest driver evidence r02 (the 10 rows the r7 window displaced).
-    "shipping_priority_top10",
-    "small_quantity_revenue",
-    "streaming_chunk_replace",
-    "streaming_dedup_executed",
-    "streaming_ingest_pairs_converged",
-    "top_supplier_quarter",
-    "user_daily_gapfill",
-    "user_event_deltas",
-    "user_rolling_value",
-    "corpus_training_sequences",
-    # (c) latest driver evidence r03 (50 rows, catalog order). The tail
-    # that falls past position 50 queues first for the r9 window.
-    "backfill_daily_rollup",
-    "boilerplate_pruned_documents",
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    "cohort_retention_weekly",
-    "collocation_lift_top20",
-    "csv_source_roundtrip",
-    "debounced_events",
-    "deposito_saldo_extract",
-    "dominant_part_suppliers",
-    "dq_constraint_report",
-    "dsir_importance_weights",
-    "dsir_selected_corpus",
-    "embedding_random_projection",
-    "events_props_variant",
-    "incremental_agg_mart",
-    "inverted_index_postings",
-    "json_quarantine_ingest",
-    "keyed_update_retailprice",
-    "lateral_top2_customers",
-    "locale_parse_roundtrip",
-    "nation_yearly_profit",
+    # (a) latest driver evidence r03 (28 rows, catalog order).
     "near_dup_keep_best",
     "near_dup_pagerank",
     "not_in_null_semantics",
@@ -824,6 +773,30 @@ _DRIVER_PRIORITY = [
     "supplier_cnt_by_part",
     "waiting_suppliers",
     "zorder_events_key",
+    # (b) plans changed in r9 — refresh their driver evidence.
+    "order_clv_deciles",
+    "top_supplier_quarter",
+    # (c) latest driver evidence r04 (oldest-first fill to 50).
+    "approx_distinct_events",
+    "approx_percentile_prices",
+    "aqe_skew_join_flag_counts",
+    "bloom_filter_brand_revenue",
+    "bmp_decode_stats",
+    "bpe_fertility_by_lang",
+    "copurchase_part_pairs",
+    "curated_documents_best",
+    "customer_order_window_surface",
+    "decontaminated_documents",
+    "doc_char_diversity",
+    "doc_counts_grouping_sets",
+    "dpp_quarter_order_counts",
+    "events_props_flat_daily",
+    "exact_span_pairs_docs",
+    "freq_items_event_types",
+    "idle_rich_customers",
+    "lang_confusion_matrix",
+    "model_scored_documents",
+    "orc_source_roundtrip",
 ]
 
 

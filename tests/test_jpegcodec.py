@@ -292,3 +292,52 @@ class TestProgressive:
             p2[i + 1] = m
             with pytest.raises(NotImplementedError):
                 decode_jpeg(bytes(p2))
+
+
+class TestBatchKernelBitIdentity:
+    """r9: the numpy-batched DCT kernels must be bit-identical to the scalar
+    reference loops they replaced — the scalar _fdct/_idct stay in the module
+    as the executable specification of the accumulation order."""
+
+    def test_idct_batch_matches_scalar(self):
+        import random
+
+        from pipeline_etl_ecommerce_spark.operators.jpegcodec import (
+            _idct,
+            _idct_batch,
+        )
+        import numpy as np
+
+        rng = random.Random(7)
+        blocks = [[float(rng.randrange(-1024, 1024)) for _ in range(64)] for _ in range(50)]
+        got = _idct_batch(np.asarray(blocks).reshape(-1, 8, 8)).reshape(-1, 64)
+        for i, blk in enumerate(blocks):
+            exp = _idct(blk)
+            assert got[i].tolist() == exp  # exact float equality, no tolerance
+
+    def test_fdct_batch_matches_scalar(self):
+        import random
+
+        from pipeline_etl_ecommerce_spark.operators.jpegcodec import (
+            _fdct,
+            _fdct_batch,
+        )
+        import numpy as np
+
+        rng = random.Random(11)
+        blocks = [[float(rng.randrange(256) - 128) for _ in range(64)] for _ in range(50)]
+        got = _fdct_batch(np.asarray(blocks).reshape(-1, 8, 8)).reshape(-1, 64)
+        for i, blk in enumerate(blocks):
+            exp = _fdct(blk)
+            assert got[i].tolist() == exp
+
+    def test_rha_np_matches_scalar(self):
+        from pipeline_etl_ecommerce_spark.operators.jpegcodec import (
+            _rha_np,
+            _round_half_away,
+        )
+        import numpy as np
+
+        xs = [0.0, 0.5, -0.5, 1.5, -1.5, 2.4999, -2.4999, 127.5, -127.5, 255.49]
+        got = _rha_np(np.asarray(xs))
+        assert [int(v) for v in got] == [_round_half_away(x) for x in xs]
