@@ -209,10 +209,13 @@ def stream_shuffle_partitions(spark, n: int):
     partition PER TRIGGER, so the right number tracks the stream's state
     volume, not the core count — measured at sf0.1/local[32]: the
     stream-stream attribution join runs 13.7s with 32 state partitions
-    and 3.5s with 8 (the work is state-store setup, not compute). On a
-    real cluster this is the same knob, sized to keyspace × state size.
-    The previous value is restored on exit; the partition count is baked
-    into the checkpoint at first trigger, so set it BEFORE ``start()``."""
+    and 3.5s with 8; the r9 A/B/A sweep over the three heaviest executed
+    rows measured totals 29-39s at 8, 33-42s at 4, and 14-15s at 2 —
+    per-trigger store commit/maintenance is the wall, so the catalog rows
+    run 2 (state at bench SF is a few thousand keys). On a real cluster
+    this is the same knob, sized to keyspace × state size. The previous
+    value is restored on exit; the partition count is baked into the
+    checkpoint at first trigger, so set it BEFORE ``start()``."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -6284,7 +6284,7 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__et", F.expr("timestamp_micros(tus)"))
         )
         deduped = dedup_stream(stream, ["event_id"], "__et").drop("__et")
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(
                 deduped.writeStream.format("parquet")
                 .option("path", target)
@@ -6385,7 +6385,7 @@ def streaming_rollup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 watermark="3 days",
             )
-            with stream_shuffle_partitions(spark, 8):
+            with stream_shuffle_partitions(spark, 2):
                 _await_stream(run_upsert_stream(
                     rolled, target, ["event_date", "event_type"], ckpt
                 ))
@@ -7106,7 +7106,7 @@ def streaming_ann_ingest_executed(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("cid").cast("int").alias("cluster_id"),
             ).write.mode("append").parquet(target)
 
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(
                 read_json_stream(spark, drops, schema, max_files_per_trigger=1)
                 .writeStream.foreachBatch(ingest)
@@ -7750,7 +7750,7 @@ def streaming_sessions_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("session_end")).alias("session_end_us"),
             "n_events",
         )
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(run_upsert_stream(
                 sessions, target, ["user_id", "session_start_us"], ckpt,
                 output_mode="append",
@@ -8490,7 +8490,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = StructType.fromDDL("user_id bigint, cents bigint")
         stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
         totals = running_user_totals_exact(stream)
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(run_upsert_stream(
                 totals, target, ["user_id"], ckpt,
                 output_mode="append", order_by=["n_events"],
@@ -8563,7 +8563,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
         enriched = stream.join(F.broadcast(dim), "user_id")
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             q = (
                 enriched.writeStream.format("parquet")
                 .option("path", target)
@@ -8656,7 +8656,7 @@ def streaming_attribution_executed(spark: SparkSession, sf_dir: str) -> DataFram
     target, ckpt = os.path.join(base, "target"), os.path.join(base, "ckpt")
     try:
         cdir, pdir, _ = _stage_click_purchase_drops(spark, sf_dir, base, max_id=20000)
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(click_attribution_join_stream(
                 spark, cdir, pdir, target, ckpt,
                 attribution_window="24 hours", watermark="48 hours",
@@ -8721,7 +8721,7 @@ def streaming_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
         cdir, pdir, max_tus = _stage_click_purchase_drops(
             spark, sf_dir, base, max_id=12000
         )
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             _await_stream(click_conversion_outer_stream(
                 spark, cdir, pdir, target, ckpt,
                 conversion_window="24 hours", watermark="1 day",
@@ -10067,7 +10067,7 @@ def rocksdb_user_totals_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("total_value"),
             )
-            with stream_shuffle_partitions(spark, 8):
+            with stream_shuffle_partitions(spark, 2):
                 _await_stream(run_upsert_stream(totals, target, ["user_id"], ckpt))
             return spark.read.parquet(target).select(
                 "user_id", "n_events", "total_value"
@@ -11316,7 +11316,7 @@ def streaming_cdc_apply_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         stream = read_json_stream(spark, drops, schema, max_files_per_trigger=1)
-        with stream_shuffle_partitions(spark, 8):
+        with stream_shuffle_partitions(spark, 2):
             q = (
                 stream.writeStream.outputMode("append")
                 .foreachBatch(_sink)
