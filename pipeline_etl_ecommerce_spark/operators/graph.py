@@ -137,8 +137,9 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     edges split into (smaller, hub) and (hub, larger) halves, so wedge
     fan-out is bounded by the SQUARE of the hub's higher-ordered degree
     only. For power-law graphs at 100 TB, order nodes by degree instead of
-    id before applying this (the classic optimization) — id order is kept
-    here because the catalog's oracle must replay it exactly.
+    id before applying this — :func:`triangles_degree_ordered` (r9) does
+    exactly that and canonicalizes its output back to id order, so the two
+    are row-for-row interchangeable under the same oracle.
 
     Output columns: node_a < node_b < node_c, one row per triangle."""
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -152,4 +153,48 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             F.col("b").alias("node_b"),
             F.col("c").alias("node_c"),
         )
+    )
+
+
+def triangles_degree_ordered(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Triangle enumeration with the power-law hub guard (r9 — the
+    optimization :func:`triangles` documents): re-orient every undirected
+    edge from lower to higher rank under the (degree, id) TOTAL order
+    before the wedge closure, so every node's wedge fan-out is bounded by
+    its rank-order out-degree — at most O(√m) for ANY graph (Schank &
+    Wagner 2005; the MR formulation is Suri & Vassilvitskii 2011), where
+    id-ordering leaves a low-id hub with degree² wedges. Emits the
+    IDENTICAL triangle set as :func:`triangles` (each triangle has exactly
+    one rank-increasing orientation), canonicalized back to
+    ``node_a < node_b < node_c`` by id so the two operators — and the SQL
+    oracle — are row-for-row interchangeable.
+
+    Cost vs :func:`triangles`: one extra degree aggregation + two edge⋈deg
+    equi-joins (the degree table is |V| rows — broadcastable); the payoff
+    is the wedge join's output, which is the term that explodes on skewed
+    graphs."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    ids = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        ids[0].alias("node_a"), ids[1].alias("node_b"), ids[2].alias("node_c")
     )

@@ -57,18 +57,43 @@ def _null_safe_key_cond(left_alias: str, right_alias: str, keys: list[str]):
     return cond
 
 
-def merge_upsert(old: DataFrame, new: DataFrame, keys: list[str], order_by: list | None = None) -> DataFrame:
+def merge_upsert(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    order_by: list | None = None,
+    *,
+    evolve_schema: bool = False,
+) -> DataFrame:
     """``INSERT ... ON DUPLICATE KEY UPDATE`` semantics (SURVEY.md §2.1 S9):
     rows of ``old`` whose key appears in ``new`` are replaced; unseen keys
     survive; ``new`` is deduped by key first (last-wins with ``order_by``).
     Key comparison is null-safe (NULL components are part of the identity).
+
+    Schema evolution (r9): a batch whose column NAMES drift from the target
+    fails LOUDLY by default (the pre-r9 code silently dropped columns the
+    target lacked — exactly how a mid-stream producer upgrade loses data).
+    ``evolve_schema=True`` opts into the Delta ``mergeSchema`` contract
+    instead: the schemas union by name — surviving old rows carry NULL for
+    added columns, replaced/inserted rows carry NULL for columns the batch
+    no longer ships.
     """
     fresh = dedupe_last_wins(new, keys, order_by)
+    added = [c for c in fresh.columns if c not in old.columns]
+    missing = [c for c in old.columns if c not in fresh.columns]
+    if (added or missing) and not evolve_schema:
+        raise ValueError(
+            f"merge_upsert: batch schema drifts from target (adds {added}, "
+            f"lacks {missing}); pass evolve_schema=True to union the "
+            "schemas (NULL-filled on both sides), or fix the producer"
+        )
     kept = old.alias("__old").join(
         fresh.select(*keys).distinct().alias("__new"),
         _null_safe_key_cond("__old", "__new", keys),
         "left_anti",
     )
+    if added or missing:
+        return kept.unionByName(fresh, allowMissingColumns=True)
     return kept.unionByName(fresh.select(*old.columns))
 
 
@@ -270,14 +295,22 @@ def _commit_pointer(path: str, version: str) -> None:
 
 
 def transactional_upsert_to_path(
-    new: DataFrame, path: str, keys: list[str], order_by: list | None = None
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: list | None = None,
+    *,
+    evolve_schema: bool = False,
 ) -> str:
     """Crash-safe keyed MERGE (SURVEY.md §2.1 S9, the reference's central
     ``INSERT ... ON DUPLICATE KEY UPDATE`` at tarefa_consolidar_dados.php:144
     and 10 more sites): merge into a NEW immutable snapshot, then commit by
     atomically swapping the pointer file. The previous snapshot stays on disk
     (and readable) until ``vacuum_versions``; a crash at ANY step leaves a
-    readable mart. Returns the committed version id."""
+    readable mart. Returns the committed version id. ``evolve_schema``
+    forwards to :func:`merge_upsert` — a mid-stream producer upgrade (new
+    column arrives) lands as a NEW schema version with NULL backfill, and
+    schema drift without the opt-in fails before any snapshot is written."""
     spark = new.sparkSession
     os.makedirs(os.path.join(path, _VERSIONS_DIR), exist_ok=True)
     cur = _current_version(path)
@@ -286,7 +319,7 @@ def transactional_upsert_to_path(
         next_ver = "v00000001"
     else:
         old = spark.read.parquet(os.path.join(path, _VERSIONS_DIR, cur))
-        merged = merge_upsert(old, new, keys, order_by)
+        merged = merge_upsert(old, new, keys, order_by, evolve_schema=evolve_schema)
         next_ver = f"v{int(cur[1:]) + 1:08d}"
     # write the full snapshot BEFORE touching the pointer; the merge plan
     # lazily reads the old snapshot, which is never mutated

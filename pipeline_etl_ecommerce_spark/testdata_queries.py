@@ -773,9 +773,11 @@ _DRIVER_PRIORITY = [
     "supplier_cnt_by_part",
     "waiting_suppliers",
     "zorder_events_key",
-    # (b) plans changed in r9 — refresh their driver evidence.
+    # (b) plans changed in r9 — refresh their driver evidence — plus the
+    # one NEW r9 row (never driver-checked).
     "order_clv_deciles",
     "top_supplier_quarter",
+    "copurchase_triangles_degree",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
     "approx_distinct_events",
     "approx_percentile_prices",
@@ -8968,11 +8970,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles of the support>=2 co-purchase graph via
     operators/graph.triangles (ordered wedge closure — see its docstring
-    for the hub-degree bound and the degree-ordering optimization a
-    power-law 100 TB graph would add). Reads the shared edge mart."""
+    for the hub-degree bound). Reads the shared edge mart;
+    copurchase_triangles_degree is the power-law-safe twin."""
     from .operators.graph import triangles
 
     return triangles(_copurchase_edges(spark, sf_dir))
+
+
+# Degree-ordered twin (r9, r8 verdict item 7): the SAME oracle verbatim —
+# triangles_degree_ordered re-orients edges by (degree, id) rank to bound
+# hub wedge fan-out at O(sqrt(m)), then canonicalizes back to id order, so
+# a hash mismatch here means the orientation or canonicalization broke.
+@register("copurchase_triangles_degree", _COPURCHASE_TRI_SQL)
+def copurchase_triangles_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the co-purchase graph via the degree-ordered wedge
+    closure (operators/graph.triangles_degree_ordered) — identical rows to
+    copurchase_triangles, hub-safe plan for power-law graphs."""
+    from .operators.graph import triangles_degree_ordered
+
+    return triangles_degree_ordered(_copurchase_edges(spark, sf_dir))
 
 
 # TPC-H Q12 shape (NEW r4): the last of the 22 classic shapes — conditional

@@ -535,6 +535,39 @@ def test_triangles_ordered_wedge_closure(spark):
     assert out == [(1, 2, 3), (2, 3, 4)]
 
 
+def test_triangles_degree_ordered_matches_id_ordered(spark):
+    """triangles_degree_ordered(): identical triangle set to triangles()
+    on a hub-heavy graph (node 1 is a high-degree hub — the shape the
+    degree orientation exists for), each triangle exactly once, output
+    canonicalized to id order."""
+    import random
+
+    from pipeline_etl_ecommerce_spark.operators.graph import (
+        triangles,
+        triangles_degree_ordered,
+    )
+
+    rng = random.Random(13)
+    # hub 1 connected to 2..12; random extra edges among 2..12 close
+    # triangles through the hub and among themselves
+    es = {(1, k) for k in range(2, 13)}
+    while len(es) < 30:
+        a, b = rng.randrange(2, 13), rng.randrange(2, 13)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(es), "src bigint, dst bigint")
+    base = sorted(
+        (r["node_a"], r["node_b"], r["node_c"]) for r in triangles(edges).collect()
+    )
+    deg = sorted(
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangles_degree_ordered(edges).collect()
+    )
+    assert deg == base
+    assert len(set(deg)) == len(deg)  # exactly-once emission
+    assert all(a < b < c for a, b, c in deg)  # canonical id order
+
+
 def test_bfs_distances_min_dist_and_depth_cap(spark):
     from pipeline_etl_ecommerce_spark.operators.graph import bfs_distances
 

@@ -554,3 +554,57 @@ def test_vacuum_tombstone_crash_is_swept_and_invisible(spark, tmp_path):
     assert not any(d.startswith(".del_") for d in os.listdir(vdir))
     # current snapshot unaffected throughout
     assert {r["v"] for r in read_versioned(spark, path).collect()} == {3}
+
+
+def test_merge_upsert_schema_drift_raises_by_default(spark):
+    """r9: a batch whose columns drift from the target must fail loudly —
+    the pre-r9 code silently dropped columns the target lacked."""
+    import pytest
+
+    old = _df(spark, [("a", 1, 1)])
+    widened = spark.createDataFrame(
+        [("b", 2, 2, 0.5)], "k string, v int, ts long, discount double"
+    )
+    with pytest.raises(ValueError, match="schema drifts"):
+        merge_upsert(old, widened, ["k"])
+    narrowed = spark.createDataFrame([("b", 2)], "k string, v int")
+    with pytest.raises(ValueError, match="schema drifts"):
+        merge_upsert(old, narrowed, ["k"])
+
+
+def test_merge_upsert_evolve_schema_null_backfills(spark):
+    """evolve_schema=True: union-by-name with NULL on both sides (the
+    Delta mergeSchema contract for MERGE)."""
+    old = _df(spark, [("a", 1, 1)])
+    widened = spark.createDataFrame(
+        [("b", 2, 2, 0.5)], "k string, v int, ts long, discount double"
+    )
+    got = {
+        r["k"]: (r["v"], r["discount"])
+        for r in merge_upsert(old, widened, ["k"], evolve_schema=True).collect()
+    }
+    assert got == {"a": (1, None), "b": (2, 0.5)}
+
+
+def test_transactional_upsert_schema_evolution_mid_stream(spark, tmp_path):
+    """r8 verdict item 7: a NEW column arriving mid-stream lands as a new
+    snapshot version with NULL backfill for pre-existing keys; the same
+    batch WITHOUT the opt-in fails before any snapshot is written (the
+    pointer still aims at the old version)."""
+    import pytest
+
+    path = str(tmp_path / "mart")
+    v1 = transactional_upsert_to_path(_df(spark, [("a", 1, 1), ("b", 2, 1)]), path, ["k"])
+    widened = spark.createDataFrame(
+        [("b", 20, 2, "EUR"), ("c", 30, 2, "USD")],
+        "k string, v int, ts long, currency string",
+    )
+    with pytest.raises(ValueError, match="schema drifts"):
+        transactional_upsert_to_path(widened, path, ["k"])
+    assert read_versioned(spark, path).columns == ["k", "v", "ts"]  # v1 intact
+    v2 = transactional_upsert_to_path(widened, path, ["k"], evolve_schema=True)
+    assert v2 > v1
+    got = {
+        r["k"]: (r["v"], r["currency"]) for r in read_versioned(spark, path).collect()
+    }
+    assert got == {"a": (1, None), "b": (20, "EUR"), "c": (30, "USD")}
