@@ -759,6 +759,119 @@ def exact_span_pairs(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    gram_len: int = 20,
+    min_span: int = 40,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL (r9) — the second half of Lee et
+    al. 2022: :func:`exact_span_pairs` only reports the pairs; training
+    pipelines CUT the duplicated spans, keeping one canonical occurrence.
+
+    Deterministic keep rule: for every maximal duplicated run of
+    ``>= min_span`` chars between ``doc_a < doc_b``, the span is removed
+    from the HIGHER-id side (``doc_b``) — the lowest-id occurrence stays
+    canonical. A doc's removal set is the interval UNION over all pairs it
+    loses (overlapping or touching intervals merge), so a passage shared
+    by k docs survives exactly once in the lowest id.
+
+    Plan: the shared :func:`_span_gram_matches` construction (df-cut gram
+    equi-join — the corpus-scale shuffle), diagonal run merge per
+    (pair, diag) window, then PER-DOC interval merge and text rebuild as
+    pure higher-order expressions (``aggregate`` over the sorted interval
+    array — per-doc interval counts are small by the max_df cut, and the
+    whole rebuild stays in the JVM; no Python stage). Returns one row per
+    input doc: ``doc_id, clean_text, n_spans_removed, chars_removed``
+    (docs losing nothing pass through verbatim with zeros).
+    """
+    if gram_len < 2 or min_span < gram_len:
+        raise ValueError("need gram_len >= 2 and min_span >= gram_len")
+    _fg, matches = _span_gram_matches(
+        df, text_col, id_col, gram_len=gram_len, max_df=max_df
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "rg")
+        .agg(F.min("pos_a").alias("start_a"), F.count("*").alias("run_grams"))
+        .withColumn("span_len", F.col("run_grams") + F.lit(gram_len - 1))
+        .filter(F.col("span_len") >= min_span)
+    )
+    # doc_b loses the span; 1-based start in doc_b, exclusive end
+    iv = runs.select(
+        F.col("doc_b").alias(id_col),
+        (F.col("start_a") - F.col("diag")).alias("s"),
+        (F.col("start_a") - F.col("diag") + F.col("span_len")).alias("e"),
+    ).distinct()
+    per_doc = iv.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+    # interval union: fold the sorted list; touching intervals (s == last e)
+    # merge too — equivalent for the rebuild, and the rule the oracle
+    # replays (break only when s > running max(e))
+    merged = F.aggregate(
+        F.col("_ivs"),
+        F.expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > F.lit(0))
+            & (x["s"] <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], x["e"]
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(x["s"], x["e"])))),
+    )
+    docs = df.select(
+        F.col(id_col), F.col(text_col).alias("_txt")
+    ).join(per_doc.withColumn("_m", merged).select(id_col, "_m"), id_col, "left")
+    # rebuild: fold the merged intervals carrying (cursor, text-so-far),
+    # then append the tail after the last interval
+    rebuilt = F.aggregate(
+        F.col("_m"),
+        F.struct(
+            F.lit(1).cast("bigint").alias("pos"), F.lit("").alias("txt")
+        ),
+        lambda acc, x: F.struct(
+            x["e"].alias("pos"),
+            F.concat(
+                acc["txt"],
+                F.expr("_txt").substr(
+                    acc["pos"], (x["s"] - acc["pos"]).cast("int")
+                ),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], F.expr("_txt").substr(acc["pos"], F.length("_txt"))
+        ),
+    )
+    return docs.select(
+        id_col,
+        F.when(F.col("_m").isNull(), F.col("_txt"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce(F.size("_m"), F.lit(0)).cast("long").alias("n_spans_removed"),
+        F.coalesce(
+            F.aggregate(
+                F.col("_m"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + (x["e"] - x["s"]),
+            ),
+            F.lit(0),
+        ).cast("long").alias("chars_removed"),
+    )
+
+
 def dedup_lines(
     documents: DataFrame,
     text_col: str = "text",

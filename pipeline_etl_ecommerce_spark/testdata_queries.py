@@ -774,10 +774,11 @@ _DRIVER_PRIORITY = [
     "waiting_suppliers",
     "zorder_events_key",
     # (b) plans changed in r9 — refresh their driver evidence — plus the
-    # one NEW r9 row (never driver-checked).
+    # NEW r9 rows (never driver-checked).
     "order_clv_deciles",
     "top_supplier_quarter",
     "copurchase_triangles_degree",
+    "span_deduped_documents",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
     "approx_distinct_events",
     "approx_percentile_prices",
@@ -5261,6 +5262,90 @@ def exact_span_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the longest shared span — the exact-substring dedup signal (catches
     copy-paste duplication that token-set methods dilute)."""
     return exact_span_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        gram_len=20, min_span=40, max_df=100,
+    )
+
+
+# Exact-substring dedup with REMOVAL (r9) — the second half of Lee et al.
+# 2022: cut every >=40-char duplicated run from the HIGHER-id document
+# (lowest id keeps the canonical copy), interval-UNION per doc (touching
+# intervals merge), text rebuilt from the kept segments. Pure
+# higher-order-expression rebuild on the Spark side (no Python stage); the
+# oracle replays the identical construction — gram stream, df cut,
+# diagonal runs, island merge (break only when s > running MAX(e)),
+# LAG-based segment rebuild — so clean_text must match CHARACTER FOR
+# CHARACTER, not just in counts.
+_SPAN_REMOVAL_SQL = """
+WITH g AS (
+    SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
+    FROM documents, unnest(generate_series(1, greatest(length(text) - 19, 1))) AS u(i)
+    WHERE length(text) >= 20
+),
+gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+fg AS (SELECT g.* FROM g JOIN gdf USING (gram) WHERE df BETWEEN 2 AND 100),
+m AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+           a.pos - b.pos AS diag
+    FROM fg a JOIN fg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, diag, rg, MIN(pos_a) AS start_a, COUNT(*) AS run_grams
+    FROM (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS rg
+        FROM m) t
+    GROUP BY doc_a, doc_b, diag, rg
+),
+spans AS (
+    SELECT DISTINCT doc_b AS doc, start_a - diag AS s,
+           start_a - diag + run_grams + 19 AS e
+    FROM runs WHERE run_grams + 19 >= 40
+),
+brk AS (
+    SELECT doc, s, e,
+           CASE WHEN s <= COALESCE(MAX(e) OVER (
+                    PARTITION BY doc ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 0 ELSE 1 END AS is_new
+    FROM spans
+),
+isl AS (SELECT doc, s, e, SUM(is_new) OVER (PARTITION BY doc ORDER BY s, e) AS grp FROM brk),
+mi AS (SELECT doc, grp, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc, grp),
+segs AS (
+    SELECT doc, COALESCE(LAG(e) OVER (PARTITION BY doc ORDER BY s), 1) AS ks, s AS ke FROM mi
+    UNION ALL
+    SELECT doc, MAX(e) AS ks, NULL AS ke FROM mi GROUP BY doc
+),
+pieces AS (
+    SELECT d.doc_id, sg.ks,
+           CASE WHEN sg.ke IS NULL THEN substr(d.text, CAST(sg.ks AS INT))
+                ELSE substr(d.text, CAST(sg.ks AS INT), CAST(sg.ke - sg.ks AS INT))
+           END AS piece
+    FROM segs sg JOIN documents d ON d.doc_id = sg.doc
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS clean_text
+    FROM pieces GROUP BY doc_id
+),
+stats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s) AS chars FROM mi GROUP BY doc)
+SELECT d.doc_id, COALESCE(r.clean_text, d.text) AS clean_text,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(st.chars, 0) AS BIGINT) AS chars_removed
+FROM documents d
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+LEFT JOIN stats st ON st.doc = d.doc_id
+"""
+
+
+@register("span_deduped_documents", _SPAN_REMOVAL_SQL)
+def span_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its >=40-char duplicated spans CUT (lowest-id
+    occurrence kept canonical): operators/dedupe.remove_duplicate_spans —
+    see the operator docstring for the keep rule and the HOF rebuild."""
+    from .operators.dedupe import remove_duplicate_spans
+
+    return remove_duplicate_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
     )

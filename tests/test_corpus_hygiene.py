@@ -260,3 +260,54 @@ def test_delete_keys_from_path_hard_delete(spark, tmp_path):
     assert removed == 2  # id 99 never existed
     left = {r.doc_id for r in spark.read.parquet(path).collect()}
     assert left == set(range(10)) - {3, 7}
+
+
+def test_remove_duplicate_spans_keep_rule_and_merge(spark):
+    """remove_duplicate_spans (r9): lowest-id doc keeps the canonical copy;
+    a doc repeating the shared passage twice loses BOTH occurrences;
+    overlapping/touching intervals merge; untouched docs pass through
+    verbatim with zeros."""
+    from pipeline_etl_ecommerce_spark.operators.dedupe import remove_duplicate_spans
+
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-0123456789"  # 54 chars
+    rows = [
+        (1, "aaa" + shared + "bbb"),
+        (2, "cc" + shared + "dd" + shared[:45] + "zz"),
+        (3, "unique text with nothing shared at all, long enough to pass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", gram_len=10, min_span=30, max_df=10
+        ).collect()
+    }
+    assert out[1]["clean_text"] == rows[0][1]  # canonical copy intact
+    assert out[1]["n_spans_removed"] == 0 and out[1]["chars_removed"] == 0
+    assert out[2]["clean_text"] == "ccddzz"  # both occurrences cut
+    assert out[2]["n_spans_removed"] == 2 and out[2]["chars_removed"] == 54 + 45
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    """Two partners whose shared runs OVERLAP inside the victim must merge
+    into one removed interval (union, not double-count)."""
+    from pipeline_etl_ecommerce_spark.operators.dedupe import remove_duplicate_spans
+
+    seg = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcdefghij"  # 46 chars
+    rows = [
+        (1, "xx" + seg[:35] + "yy-filler-to-pass-length-requirements"),
+        (2, "qq" + seg[11:] + "ww-filler-to-pass-length-requirements"),
+        (3, "mm" + seg + "nn"),  # loses [0:35) to doc 1 and [11:46) to doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", gram_len=10, min_span=30, max_df=10
+        ).collect()
+    }
+    # doc 3's two overlapping losses union into one interval covering seg
+    assert out[3]["clean_text"] == "mmnn"
+    assert out[3]["n_spans_removed"] == 1
+    assert out[3]["chars_removed"] == len(seg)
