@@ -639,7 +639,11 @@ def edit_distance_pairs(
     sum-over-blocks |B|² rather than corpus². The length bucket uses the
     stored character count, keeping block population data-independent of
     the prefix truncation. Levenshtein runs JVM-side (unit-cost edit
-    distance, identical definition in DuckDB) inside whole-stage codegen.
+    distance, identical definition in DuckDB) inside whole-stage codegen —
+    since r9 through the THRESHOLDED form (banded O(max_dist·n) DP instead
+    of the full O(n²) table; -1 past the bound, so kept rows carry the
+    identical distance) behind a |len_a − len_b| ≤ max_dist prefilter (a
+    necessary condition for edit distance, evaluated before the DP).
     """
     norm = F.lower(F.trim(F.col(text_col)))
     base = df.select(
@@ -654,8 +658,11 @@ def edit_distance_pairs(
     return (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("edit_dist", F.levenshtein("__pa", "__pb").cast("long"))
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.abs(F.length("__pa") - F.length("__pb")) <= max_dist)
+        .withColumn(
+            "edit_dist", F.levenshtein("__pa", "__pb", max_dist).cast("long")
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .select("doc_a", "doc_b", "edit_dist")
     )
 

@@ -49,8 +49,12 @@ def pagerank_undirected(
         raise ValueError("iters must be positive")
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # pin the loop-invariant frames once (lazy localCheckpoint, same
+    # lineage-linearization rationale as the per-round checkpoint below):
+    # edges and deg are read in EVERY round, and without the pin each
+    # round's join re-derives them from the pair list's upstream lineage
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
     n = deg.agg(F.count("*").alias("n"))
     rank = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
@@ -104,8 +108,13 @@ def bfs_distances(
     MIN(dist) over all bounded walks — same fixpoint)."""
     if max_depth < 0:
         raise ValueError("max_depth must be >= 0")
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # loop-invariant edge frame pinned once (the pagerank_undirected
+    # rationale): every level joins it, and without the pin each level
+    # re-derives it from the pair list's upstream lineage
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
     )
     dist = seed.select("node", F.lit(0).alias("dist"))
     frontier = dist.select("node")
