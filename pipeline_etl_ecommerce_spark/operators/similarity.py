@@ -79,6 +79,62 @@ def cosine_topk(
     )
 
 
+def margin_mined_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    tau: float = 1.1,
+) -> DataFrame:
+    """Margin-based bitext mining (r9) — the CCMatrix/LASER alignment rule
+    (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining"):
+    absolute cosine is uncalibrated across embedding neighborhoods, so a
+    pair (x ∈ A, y ∈ B) is scored by its margin over both local
+    neighborhoods,
+
+        margin(x, y) = 2·cos(x, y) / (avg_k cos(x, NN_B(x)) + avg_k cos(y, NN_A(y)))
+
+    and x keeps its best-margin candidate when ``margin >= tau``. Returns
+    one row per mined source: ``(src_id, tgt_id, cos_sim, margin)``.
+
+    Plan: forward/backward exact kNN via :func:`cosine_topk` (the bounded
+    broadcast baseline — at corpus scale swap BOTH kNN legs for the IVF
+    sublinear lists, ``operators.ivf``; the margin algebra downstream is
+    unchanged and joins only k-row-per-query tables), per-side neighborhood
+    averages, margin + per-source argmax over the k-bounded candidate set.
+    Cosines and margins round to 6dp (the decontamination convention) so
+    the oracle's float algebra agrees."""
+    fwd = cosine_topk(side_b, side_a, vec_col=vec_col, id_col=id_col, k=k)
+    bwd = cosine_topk(side_a, side_b, vec_col=vec_col, id_col=id_col, k=k)
+    ax = fwd.groupBy("query_id").agg(F.avg("cos_sim").alias("__ax"))
+    ay = (
+        bwd.groupBy("query_id")
+        .agg(F.avg("cos_sim").alias("__ay"))
+        .withColumnRenamed("query_id", "cand_id")
+    )
+    m = (
+        fwd.join(ax, "query_id")
+        .join(ay, "cand_id")
+        .withColumn(
+            "margin",
+            F.round(2 * F.col("cos_sim") / (F.col("__ax") + F.col("__ay")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("margin").desc(), F.col("cand_id"))
+    return (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("margin") >= tau))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("cand_id").alias("tgt_id"),
+            "cos_sim",
+            "margin",
+        )
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH: one bit per plane (sign of the dot product),
     packed into a string key. Planes are plain Python floats baked into the

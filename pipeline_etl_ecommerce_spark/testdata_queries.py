@@ -779,6 +779,7 @@ _DRIVER_PRIORITY = [
     "top_supplier_quarter",
     "copurchase_triangles_degree",
     "span_deduped_documents",
+    "bitext_margin_pairs",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
     "approx_distinct_events",
     "approx_percentile_prices",
@@ -981,6 +982,69 @@ SELECT query_id, cand_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
 def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# Margin-based bitext mining (r9, Artetxe & Schwenk 2019 / CCMatrix): the
+# synthetic "languages" are the vec_id parity halves; a pair is mined when
+# its cosine clears BOTH endpoints' kNN-neighborhood averages by the
+# margin ratio tau=1.1 (non-trivially selective at every SF: 132/117/345
+# mined of 250/250/1000 sources). The oracle replays the full algebra —
+# forward/backward k=4 NN, 6dp-rounded cosines, neighborhood averages,
+# round(2*cos/(ax+ay), 6), per-source argmax with (margin DESC, tgt) ties.
+_BITEXT_MARGIN_SQL = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+s_ab AS (
+    SELECT a.vec_id AS qa, b.vec_id AS cb,
+           ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos_sim
+    FROM a, b
+),
+fk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos_sim DESC, cb) AS rnk
+        FROM s_ab) t
+    WHERE rnk <= 4
+),
+bk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cb ORDER BY cos_sim DESC, qa) AS rnk
+        FROM s_ab) t
+    WHERE rnk <= 4
+),
+ax AS (SELECT qa, AVG(cos_sim) AS ax FROM fk GROUP BY qa),
+ay AS (SELECT cb, AVG(cos_sim) AS ay FROM bk GROUP BY cb),
+m AS (
+    SELECT fk.qa, fk.cb, fk.cos_sim,
+           ROUND(2 * fk.cos_sim / (ax.ax + ay.ay), 6) AS margin
+    FROM fk JOIN ax USING (qa) JOIN ay USING (cb)
+)
+SELECT qa AS src_id, cb AS tgt_id, cos_sim, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY margin DESC, cb) AS rn
+    FROM m) t
+WHERE rn = 1 AND margin >= 1.1
+"""
+
+
+@register("bitext_margin_pairs", _BITEXT_MARGIN_SQL)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-mined aligned pairs across the two parity 'languages' of the
+    embeddings table — operators/similarity.margin_mined_pairs (see its
+    docstring for the CCMatrix rule and the IVF swap at corpus scale)."""
+    from .operators.similarity import margin_mined_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_mined_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        tau=1.1,
+    )
 
 
 _NORMS_SQL = """

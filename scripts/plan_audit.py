@@ -77,6 +77,8 @@ ALLOWED_NESTED_LOOP = {
     "ivfadc_refined_top3",        # same broadcasts + bounded shortlist re-rank
     "ivfadc_recall_at3",          # composes knn + ivfadc bounded baselines
     "ivf_delta_list_ingest",      # base-trained centroid table broadcast onto the delta
+    "bitext_margin_pairs",        # two bounded kNN baselines (knn_cosine_top3 shape, r9);
+                                  # at corpus scale both legs swap for IVF lists
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.

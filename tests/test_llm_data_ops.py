@@ -627,3 +627,38 @@ def test_udtf_oracle_replays_empty_text_guard(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
     want = set(map(tuple, con.execute(_UDTF_CHUNKS_SQL).fetchall()))
     assert got == want and {d for d, *_ in want} == {1, 2}
+
+
+def test_margin_mined_pairs_planted_alignment(spark):
+    """margin_mined_pairs (r9): a planted aligned pair (near-identical
+    vectors across the two sides) must mine with the top margin; a source
+    whose best cosine merely matches its neighborhood average (margin ~ 1)
+    must not clear tau."""
+    import math
+    import random
+
+    from pipeline_etl_ecommerce_spark.operators.similarity import margin_mined_pairs
+
+    rng = random.Random(5)
+    dim = 16
+
+    def rand_vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    base = rand_vec()
+    # side A ids even, side B ids odd; A:0 and B:1 are the planted pair
+    a_rows = [(0, [x + rng.uniform(-0.01, 0.01) for x in base])] + [
+        (2 * i, rand_vec()) for i in range(1, 9)
+    ]
+    b_rows = [(1, [x + rng.uniform(-0.01, 0.01) for x in base])] + [
+        (2 * i + 1, rand_vec()) for i in range(1, 9)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    A = spark.createDataFrame(a_rows, schema)
+    B = spark.createDataFrame(b_rows, schema)
+    out = {r["src_id"]: r for r in margin_mined_pairs(A, B, k=3, tau=1.05).collect()}
+    assert 0 in out and out[0]["tgt_id"] == 1
+    assert out[0]["cos_sim"] > 0.99
+    assert out[0]["margin"] >= 1.05
+    # every mined row clears tau and is the per-source argmax (unique src)
+    assert all(r["margin"] >= 1.05 for r in out.values())
