@@ -163,6 +163,7 @@ def decode_ppm(payload: bytes) -> dict:
         "top_left_g": raster[1],
         "top_left_b": raster[2],
         "row0_sum": sum(raster[: width * 3]),
+        "raster": bytes(raster),  # r9: the perceptual-hash kernel needs pixels
     }
 
 

@@ -1100,6 +1100,120 @@ def synthesize_avis(media_ids: DataFrame) -> DataFrame:
     return _widen(media_ids.select("media_id")).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+        StructField("hash_status", StringType()),
+    ]
+)
+_DHASH_COLS = [f.name for f in DHASH_SCHEMA.fields]
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images (r9):
+    decode the payload, integer grayscale ``(r+g+b) div 3``, nearest-
+    neighbor resample to the canonical 9×8 grid (the repo's floor-index
+    convention, ``sx = dx·sw div 9``), one horizontal-gradient bit per
+    cell pair — 64 bits packed MSB-first into two int32-range longs
+    ``(dhash_hi, dhash_lo)`` so Hamming pairing stays in signed-int64
+    ``bit_count(xor)`` on BOTH engines. The standard near-duplicate IMAGE
+    signal: crops/recompressions/brightness shifts that defeat byte
+    hashing keep the gradient signs. Arrow mapInPandas, dead-letter rows
+    on malformed payloads (the media-path policy)."""
+    from .imagecodec import DecodeError, decode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    st = decode_ppm(bytes(payload) if payload is not None else b"")
+                    w, h = st["width"], st["height"]
+                    arr = (
+                        np.frombuffer(st["raster"], dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                    gray = arr.sum(axis=2) // 3
+                    sub = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)]
+                    bits = (sub[:, 1:] > sub[:, :-1]).astype(np.int64).reshape(64)
+                    weights = np.int64(1) << (31 - np.arange(32, dtype=np.int64))
+                    row = {
+                        "width": w,
+                        "height": h,
+                        "dhash_hi": int((bits[:32] * weights).sum()),
+                        "dhash_lo": int((bits[32:] * weights).sum()),
+                        "hash_status": "ok",
+                    }
+                except (DecodeError, NotImplementedError) as e:
+                    row = dict.fromkeys(_DHASH_COLS[1:-1])
+                    row["hash_status"] = f"error: {type(e).__name__}"
+                row["media_id"] = media_id
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=_DHASH_COLS)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_near_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Hamming-banded pairing over :func:`perceptual_dhash` output — the
+    SimHash recipe (operators/dedupe.simhash_near_pairs) at the image
+    grain: 4 disjoint 16-bit bands per hash; by pigeonhole any pair within
+    ``max_hamming <= 3`` bit flips shares at least one intact band, so the
+    candidate join is an equi-join on (band index, band value) — never
+    all-pairs — and the exact ``bit_count(xor)`` verify runs only on
+    candidates. Returns ``(media_a, media_b, hamming)``."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4-band pigeonhole guarantees max_hamming <= 3 only")
+    h = hashes.filter(F.col("hash_status") == "ok").select(
+        "media_id", "dhash_hi", "dhash_lo"
+    )
+    bands = h.select(
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.shiftright("dhash_hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("v")),
+                F.struct(F.lit(1).alias("b"), F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF)).alias("v")),
+                F.struct(F.lit(2).alias("b"), F.shiftright("dhash_lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("v")),
+                F.struct(F.lit(3).alias("b"), F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF)).alias("v")),
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("band"),
+        F.col("media_id").alias("media_a"),
+        F.col("dhash_hi").alias("__ha"),
+        F.col("dhash_lo").alias("__la"),
+    )
+    b = bands.select(
+        F.col("band"),
+        F.col("media_id").alias("media_b"),
+        F.col("dhash_hi").alias("__hb"),
+        F.col("dhash_lo").alias("__lb"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "__ha", "__la", "__hb", "__lb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+                + F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 AVI_BAND_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

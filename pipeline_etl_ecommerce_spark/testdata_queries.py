@@ -780,6 +780,8 @@ _DRIVER_PRIORITY = [
     "copurchase_triangles_degree",
     "span_deduped_documents",
     "bitext_margin_pairs",
+    "image_dhash",
+    "image_dhash_near_pairs",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
     "approx_distinct_events",
     "approx_percentile_prices",
@@ -1308,6 +1310,121 @@ def ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bmp_decode_stats", _IMAGE_DECODE_SQL_TMPL)
 def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "bmp")
+
+
+# Perceptual image hashing (dHash, r9): the standard near-duplicate IMAGE
+# signal — integer grayscale, floor-index nearest resample to the 9×8
+# canonical grid, one horizontal-gradient bit per cell pair, 64 bits split
+# MSB-first into two int32-range longs (signed-int64-safe Hamming on both
+# engines). The kernel decodes the REAL PPM payload; the oracle replays
+# grayscale/resample/gradient straight from the pixel formula — a kernel
+# that mis-floors the resample or mis-packs a bit flips hashes corpus-wide.
+_DHASH_SQL = """
+WITH dims AS MATERIALIZED (
+    SELECT doc_id, 8 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh FROM documents
+),
+px AS (
+    SELECT doc_id, sw, sh, dy.i AS dy, dx.i AS dx,
+           ((dy.i * sh // 8) * sw + (dx.i * sw // 9)) AS sp
+    FROM dims,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS i) dy,
+         LATERAL (SELECT unnest(generate_series(0, 8)) AS i) dx
+),
+g AS (
+    SELECT doc_id, sw, sh, dy, dx,
+           (((doc_id * 31 + (3 * sp + 0) * 7) % 256)
+            + ((doc_id * 31 + (3 * sp + 1) * 7) % 256)
+            + ((doc_id * 31 + (3 * sp + 2) * 7) % 256)) // 3 AS gray
+    FROM px
+),
+bits AS (
+    SELECT a.doc_id, a.sw, a.sh, a.dy, a.dx,
+           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+    FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.dy = a.dy AND b.dx = a.dx + 1
+    WHERE a.dx < 8
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(sw) AS BIGINT) AS width, CAST(MAX(sh) AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN dy < 4
+                     THEN bit * (CAST(1 AS BIGINT) << (31 - (dy * 8 + dx)))
+                     ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(SUM(CASE WHEN dy >= 4
+                     THEN bit * (CAST(1 AS BIGINT) << (31 - ((dy - 4) * 8 + dx)))
+                     ELSE 0 END) AS BIGINT) AS dhash_lo,
+       'ok' AS hash_status
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("image_dhash", _DHASH_SQL)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual dHash over REAL decoded PPM payloads —
+    operators/multimodal.perceptual_dhash."""
+    from .operators.multimodal import perceptual_dhash, synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return perceptual_dhash(synthesize_images(ids, fmt="ppm"))
+
+
+# Banded Hamming pairing over the dHashes (r9): 4 disjoint 16-bit bands →
+# pigeonhole-complete candidates for Hamming <= 3 → exact bit_count(xor)
+# verify. The oracle brute-forces all pairs from the formula-derived
+# hashes, so a banding bug that DROPS a candidate (not just extra work)
+# fails the count. 75 identical + ~600 near pairs at sf0.01 by
+# construction of the modular pixel formula.
+_DHASH_PAIRS_SQL = """
+WITH dims AS MATERIALIZED (
+    SELECT doc_id, 8 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh FROM documents
+),
+px AS (
+    SELECT doc_id, dy.i AS dy, dx.i AS dx,
+           ((dy.i * sh // 8) * sw + (dx.i * sw // 9)) AS sp
+    FROM dims,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS i) dy,
+         LATERAL (SELECT unnest(generate_series(0, 8)) AS i) dx
+),
+g AS (
+    SELECT doc_id, dy, dx,
+           (((doc_id * 31 + (3 * sp + 0) * 7) % 256)
+            + ((doc_id * 31 + (3 * sp + 1) * 7) % 256)
+            + ((doc_id * 31 + (3 * sp + 2) * 7) % 256)) // 3 AS gray
+    FROM px
+),
+bits AS (
+    SELECT a.doc_id, a.dy, a.dx,
+           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+    FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.dy = a.dy AND b.dx = a.dx + 1
+    WHERE a.dx < 8
+),
+h AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN dy < 4
+                         THEN bit * (CAST(1 AS BIGINT) << (31 - (dy * 8 + dx)))
+                         ELSE 0 END) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN dy >= 4
+                         THEN bit * (CAST(1 AS BIGINT) << (31 - ((dy - 4) * 8 + dx)))
+                         ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+"""
+
+
+@register("image_dhash_near_pairs", _DHASH_PAIRS_SQL)
+def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually near-duplicate image pairs (Hamming <= 3 over dHash)
+    via the pigeonhole band join — operators/multimodal.dhash_near_pairs."""
+    from .operators.multimodal import (
+        dhash_near_pairs,
+        perceptual_dhash,
+        synthesize_images,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return dhash_near_pairs(perceptual_dhash(synthesize_images(ids, fmt="ppm")))
 
 
 # same formula, same oracle — but the payload is a REAL PNG (stdlib-zlib

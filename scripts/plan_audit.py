@@ -109,6 +109,8 @@ ALLOWED_PYTHON = {
     "gif_anim_frame_stats",       # REAL animated-GIF sampling (LZW composite, r8)
     "png_lowdepth_decode_stats",  # REAL sub-byte-depth PNG decode (r8)
     "jpeg_progressive_stats",     # REAL progressive-JPEG decode (Annex G, r8)
+    "image_dhash",                # REAL PPM decode + perceptual dHash kernel (r9)
+    "image_dhash_near_pairs",     # same dHash kernel feeding the band join (r9)
     "udtf_chunk_windows",  # Python UDTF (BatchEvalPythonUDTF) — API surface
     "ivf_ann_top3",
     "model_scored_documents",

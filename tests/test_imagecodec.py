@@ -881,3 +881,65 @@ class TestSubByteDepth:
                 decode_png(p[:cut])
             except (DecodeError, NotImplementedError):
                 pass
+
+
+class TestPerceptualDhash:
+    """r9: dHash kernel + banded Hamming pairing."""
+
+    def test_dhash_bit_packing_pinned(self, spark):
+        """A synthetic raster with a known gradient pattern must pack
+        MSB-first into (hi, lo): strictly increasing grayscale rows set
+        every gradient bit -> hi = lo = 0xFFFFFFFF."""
+        from pipeline_etl_ecommerce_spark.operators.imagecodec import encode_ppm
+        from pipeline_etl_ecommerce_spark.operators.multimodal import perceptual_dhash
+
+        w, h = 9, 8
+        raster = bytes(
+            v for y in range(h) for x in range(w) for v in (x * 20, x * 20, x * 20)
+        )
+        media = spark.createDataFrame(
+            [(1, encode_ppm(w, h, raster))], "media_id long, payload binary"
+        )
+        row = perceptual_dhash(media).collect()[0]
+        assert row["hash_status"] == "ok"
+        assert row["dhash_hi"] == 0xFFFFFFFF and row["dhash_lo"] == 0xFFFFFFFF
+
+    def test_band_join_is_pigeonhole_complete(self, spark):
+        """dhash_near_pairs must return EXACTLY the brute-force Hamming<=3
+        set on random hashes (banding is a plan detail, never a recall
+        loss), and must reject thresholds the 4-band scheme can't cover."""
+        import itertools
+        import random
+
+        import pytest
+
+        from pipeline_etl_ecommerce_spark.operators.multimodal import dhash_near_pairs
+
+        rng = random.Random(99)
+        base = [rng.randrange(1 << 32) for _ in range(2)]
+        rows = []
+        for i in range(40):
+            hi, lo = base[0], base[1]
+            for _ in range(rng.randrange(0, 5)):  # flip 0-4 random bits
+                bit = rng.randrange(64)
+                if bit < 32:
+                    hi ^= 1 << (31 - bit)
+                else:
+                    lo ^= 1 << (63 - bit)
+            rows.append((i, 9, 8, hi, lo, "ok"))
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, width long, height long, dhash_hi long, dhash_lo long, hash_status string",
+        )
+        got = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in dhash_near_pairs(df).collect()
+        }
+        expect = {}
+        for (i, _, _, ha, la, _), (j, _, _, hb, lb, _) in itertools.combinations(rows, 2):
+            d = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if d <= 3:
+                expect[(i, j)] = d
+        assert got == expect
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dhash_near_pairs(df, max_hamming=4)
