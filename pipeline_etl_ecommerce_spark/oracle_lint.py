@@ -88,6 +88,8 @@ ROUND_TIE_ALLOWLIST: dict[str, str] = {
     "list_aggregate(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6": "structural: denominator nrm is sqrt(sum of squares) computed upstream - irrational, no dyadic tie",
     "SUM(logp) / count(*), 6": "structural: numerator sums ln() values computed upstream - transcendental, no dyadic tie",
     "CAST(count(a.cand_id) AS DOUBLE) / 3.0, 6": "structural: n/3 with n in 0..3 - values 0, 1/3, 2/3, 1; thirds are non-dyadic, integers are exact",
+    "CAST(count(a.cand_id) AS DOUBLE) / 4.0, 6": "structural: n/4 with n in 0..4 - exact dyadics with <= 2 decimals (0, .25, .5, .75, 1), ROUND at 6dp is the identity on all of them",
+    "list_aggregate(list_transform(list_zip(p.qvec, l.cvec2), pr -> pr[1] * pr[2]), 'sum') / (p.qnorm * l.cnorm), 6": "structural: denominators qnorm/cnorm are sqrt(sum of squares) computed upstream (bitext indexed-kNN legs) - irrational for the float corpus, no dyadic tie",
     "2 * fk.cos_sim / (ax.ax + ay.ay), 6": "monitored: bitext margin ratio of 6dp-rounded cosines over their neighborhood averages; both engines compute the identical double algebra and the 3-SF hash gate detects any boundary tie",
 }
 

@@ -780,6 +780,8 @@ _DRIVER_PRIORITY = [
     "copurchase_triangles_degree",
     "span_deduped_documents",
     "bitext_margin_pairs",
+    "bitext_margin_exact_slice",
+    "bitext_knn_recall_at4",
     "image_dhash",
     "image_dhash_near_pairs",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
@@ -986,67 +988,15 @@ def knn_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
-# Margin-based bitext mining (r9, Artetxe & Schwenk 2019 / CCMatrix): the
-# synthetic "languages" are the vec_id parity halves; a pair is mined when
-# its cosine clears BOTH endpoints' kNN-neighborhood averages by the
-# margin ratio tau=1.1 (non-trivially selective at every SF: 132/117/345
-# mined of 250/250/1000 sources). The oracle replays the full algebra —
-# forward/backward k=4 NN, 6dp-rounded cosines, neighborhood averages,
-# round(2*cos/(ax+ay), 6), per-source argmax with (margin DESC, tgt) ties.
-_BITEXT_MARGIN_SQL = """
-WITH e AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
-s_ab AS (
-    SELECT a.vec_id AS qa, b.vec_id AS cb,
-           ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
-                 / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
-                    * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos_sim
-    FROM a, b
-),
-fk AS (
-    SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos_sim DESC, cb) AS rnk
-        FROM s_ab) t
-    WHERE rnk <= 4
-),
-bk AS (
-    SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY cb ORDER BY cos_sim DESC, qa) AS rnk
-        FROM s_ab) t
-    WHERE rnk <= 4
-),
-ax AS (SELECT qa, AVG(cos_sim) AS ax FROM fk GROUP BY qa),
-ay AS (SELECT cb, AVG(cos_sim) AS ay FROM bk GROUP BY cb),
-m AS (
-    SELECT fk.qa, fk.cb, fk.cos_sim,
-           ROUND(2 * fk.cos_sim / (ax.ax + ay.ay), 6) AS margin
-    FROM fk JOIN ax USING (qa) JOIN ay USING (cb)
-)
-SELECT qa AS src_id, cb AS tgt_id, cos_sim, margin FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY margin DESC, cb) AS rn
-    FROM m) t
-WHERE rn = 1 AND margin >= 1.1
-"""
-
-
-@register("bitext_margin_pairs", _BITEXT_MARGIN_SQL)
-def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin-mined aligned pairs across the two parity 'languages' of the
-    embeddings table — operators/similarity.margin_mined_pairs (see its
-    docstring for the CCMatrix rule and the IVF swap at corpus scale)."""
-    from .operators.similarity import margin_mined_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return margin_mined_pairs(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        emb.filter(F.col("vec_id") % 2 == 1),
-        k=4,
-        tau=1.1,
-    )
+# Margin-based bitext mining (Artetxe & Schwenk 2019 / CCMatrix): the
+# synthetic "languages" are the vec_id parity halves. r9 shipped the exact
+# cross-join form over BOTH full halves — the one quadratic plan in the
+# catalog (the r9 verdict's scale-killer). r10 replaces it with the
+# IVF-indexed miner; the rows live in the IVF section below (after
+# _kmeans_ctes is defined, which their oracles replay):
+#   bitext_margin_pairs       — indexed miner over the full halves
+#   bitext_margin_exact_slice — the exact rule, bounded audit slice only
+#   bitext_knn_recall_at4     — measured recall of the indexed kNN leg
 
 
 _NORMS_SQL = """
@@ -4348,6 +4298,328 @@ def ivf_sublinear_recall_at3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("_n").cast("long").alias("n_hits"),
             F.round(F.col("_n").cast("double") / F.lit(3.0), 6).alias("recall_at3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining, IVF-INDEXED (r10 — closes the r9 verdict's one
+# quadratic plan): each parity "language" trains its OWN sublinear search
+# index (√n-cluster pinned Lloyd's + 2-way spilled lists — exactly the
+# build_search_index contract the ivf_ann_sublinear_top3 family verifies),
+# the forward/backward kNN legs probe the OTHER side's lists
+# (similarity.ivf_knn_normed: per-row norms, per-pair work = one dot), and
+# the margin algebra is shared verbatim with the exact rule. Per batch the
+# candidate work is O(|A|·|B|^(3/4) + |B|·|A|^(3/4)) instead of O(|A|·|B|).
+# All arithmetic stays pinned (6dp d2/cos rounding, cid/cand tie-breaks,
+# IEEE sqrt/ceil), so the oracle replays BOTH trainings, both spills, both
+# probe legs, and the margin algebra end to end.
+# ---------------------------------------------------------------------------
+_BITEXT_SPILL = 2
+_BITEXT_KNN = 4
+_BITEXT_TAU = 1.1
+
+_BITEXT_KA_SQL = (
+    "SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
+    " WHERE vec_id % 2 = 0"
+)
+_BITEXT_KB_SQL = (
+    "SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
+    " WHERE vec_id % 2 = 1"
+)
+_BITEXT_NPA_SQL = (
+    f"SELECT GREATEST(3, CAST(CEIL(SQRT(CAST(({_BITEXT_KA_SQL}) AS DOUBLE))) AS BIGINT))"
+)
+_BITEXT_NPB_SQL = (
+    f"SELECT GREATEST(3, CAST(CEIL(SQRT(CAST(({_BITEXT_KB_SQL}) AS DOUBLE))) AS BIGINT))"
+)
+
+_BITEXT_NORM = "sqrt(list_aggregate(list_transform({v}, x -> x * x), 'sum'))"
+_BITEXT_COS = (
+    "ROUND(list_aggregate(list_transform(list_zip({q}, {c}), pr -> pr[1] * pr[2]), 'sum')"
+    " / ({qn} * {cn}), 6)"
+)
+
+
+def _bitext_side_ctes(pfx: str, parity: int, k_sql: str) -> str:
+    """One side's search index as CTEs: pinned Lloyd's training
+    (``_kmeans_ctes`` on the parity slice), the 2-way spilled inverted
+    lists with per-row norms, and the side's query table with norms."""
+    base = _kmeans_ctes(
+        k_sql, _KMEANS_ITERS, pfx=pfx, where_sql=f"WHERE vec_id % 2 = {parity}"
+    )
+    return (
+        base
+        + f""",
+{pfx}dist AS (
+    SELECT {pfx}vv._vid, {pfx}vv.vec, c.cid,
+           {_IVF_SUB_D2.format(a=f"{pfx}vv.vec", b="c.cvec")} AS d2
+    FROM {pfx}vv, {pfx}c{_KMEANS_ITERS - 1} c
+),
+{pfx}lists AS (
+    SELECT _vid AS cand_id, vec AS cvec2, {_BITEXT_NORM.format(v="vec")} AS cnorm, cid
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY _vid ORDER BY d2, cid) AS rn FROM {pfx}dist)
+    WHERE rn <= {_BITEXT_SPILL}
+),
+{pfx}q AS (SELECT _vid AS query_id, vec AS qvec, {_BITEXT_NORM.format(v="vec")} AS qnorm FROM {pfx}vv)"""
+    )
+
+
+def _bitext_knn_ctes(qpfx: str, lpfx: str, outpfx: str, nprobe_sql: str) -> str:
+    """One kNN leg as CTEs: ``{qpfx}q`` queries probe their ``nprobe``
+    nearest ``{lpfx}`` centroids, candidates come from the spilled-list
+    equi-join (DISTINCT collapses double-probed border vectors — identical
+    rounded cos_sim by construction), top-``_BITEXT_KNN`` per query."""
+    return f""",
+{outpfx}probe AS (
+    SELECT query_id, qvec, qnorm, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cid) AS prn
+        FROM (
+            SELECT q.query_id, q.qvec, q.qnorm, c.cid,
+                   {_IVF_SUB_D2.format(a="q.qvec", b="c.cvec")} AS d2
+            FROM {qpfx}q q, {lpfx}c{_KMEANS_ITERS - 1} c
+        )
+    ) WHERE prn <= ({nprobe_sql})
+),
+{outpfx}scored AS (
+    SELECT DISTINCT p.query_id, l.cand_id,
+           {_BITEXT_COS.format(q="p.qvec", c="l.cvec2", qn="p.qnorm", cn="l.cnorm")} AS cos_sim
+    FROM {outpfx}probe p JOIN {lpfx}lists l ON l.cid = p.cid
+),
+{outpfx}k AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM {outpfx}scored
+    ) WHERE rnk <= {_BITEXT_KNN}
+)"""
+
+
+_BITEXT_MARGIN_SQL = (
+    _bitext_side_ctes("ga", 0, _BITEXT_KA_SQL)
+    + ",\n"
+    + _bitext_side_ctes("gb", 1, _BITEXT_KB_SQL)[len("WITH ") :]
+    + _bitext_knn_ctes("ga", "gb", "f", _BITEXT_NPB_SQL)
+    + _bitext_knn_ctes("gb", "ga", "b", _BITEXT_NPA_SQL)
+    + f""",
+m AS (
+    SELECT fk.query_id AS qa, fk.cand_id AS cb, fk.cos_sim,
+           ROUND(2 * fk.cos_sim / (ax.ax + ay.ay), 6) AS margin
+    FROM fk
+    JOIN (SELECT query_id, AVG(cos_sim) AS ax FROM fk GROUP BY query_id) ax
+      ON ax.query_id = fk.query_id
+    JOIN (SELECT query_id, AVG(cos_sim) AS ay FROM bk GROUP BY query_id) ay
+      ON ay.query_id = fk.cand_id
+)
+SELECT qa AS src_id, cb AS tgt_id, cos_sim, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY margin DESC, cb) AS rn
+    FROM m) t
+WHERE rn = 1 AND margin >= {_BITEXT_TAU}
+"""
+)
+
+
+# Per-side search-index marts, shared per (session, sf_dir) like the other
+# ANN marts: each "language" trains its dedicated √n quantizer once and
+# spills its lists once; the miner (and any later query batch) probes them.
+def _bitext_centroids(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    from .operators.ivf import sublinear_k
+
+    def build() -> DataFrame:
+        dv = _emb_dvec(spark, sf_dir).filter(F.col("_vid") % 2 == parity)
+        return centroids_table(dv, "_v", "_vid", k=sublinear_k(dv.count()), iters=_KMEANS_ITERS)
+
+    return _side_table(
+        spark, sf_dir, f"bitext_centroids_p{parity}_i{_KMEANS_ITERS}", build
+    )
+
+
+def _bitext_lists(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    from .operators.ivf import spilled_assignment
+
+    return _side_table(
+        spark,
+        sf_dir,
+        f"bitext_lists_p{parity}_sp{_BITEXT_SPILL}_i{_KMEANS_ITERS}",
+        lambda: spilled_assignment(
+            _emb_dvec(spark, sf_dir).filter(F.col("_vid") % 2 == parity),
+            _bitext_centroids(spark, sf_dir, parity),
+            vec_col="_v",
+            id_col="_vid",
+            spill=_BITEXT_SPILL,
+        ),
+    )
+
+
+@register("bitext_margin_pairs", _BITEXT_MARGIN_SQL)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-mined aligned pairs across the two parity 'languages' —
+    operators/similarity.margin_mined_pairs_indexed over the per-side
+    sublinear IVF marts (r10: no cross join over unbounded sides; the r9
+    exact form survives as bitext_margin_exact_slice)."""
+    from .operators.ivf import sublinear_nprobe
+    from .operators.similarity import margin_mined_pairs_indexed
+
+    dv = _emb_dvec(spark, sf_dir)  # persisted parsed-vector mart
+    np_a = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 0).count())
+    np_b = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 1).count())
+    return margin_mined_pairs_indexed(
+        dv.filter(F.col("_vid") % 2 == 0),
+        dv.filter(F.col("_vid") % 2 == 1),
+        _bitext_lists(spark, sf_dir, 0),
+        _bitext_centroids(spark, sf_dir, 0),
+        _bitext_lists(spark, sf_dir, 1),
+        _bitext_centroids(spark, sf_dir, 1),
+        vec_col="_v",
+        id_col="_vid",
+        k=_BITEXT_KNN,
+        tau=_BITEXT_TAU,
+        nprobe_a=np_a,
+        nprobe_b=np_b,
+    )
+
+
+# The r9 exact rule, kept ONLY over a bounded audit slice (the
+# knn_cosine_top3 contract: the cross join is fine when a side is small
+# and broadcast). 60 ids per side at every SF — constant cost as the
+# corpus grows; this is the row an alignment auditor runs on a sample.
+_BITEXT_SLICE_BOUND = 120
+
+_BITEXT_EXACT_SLICE_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < {_BITEXT_SLICE_BOUND}
+),
+a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+s_ab AS (
+    SELECT a.vec_id AS qa, b.vec_id AS cb,
+           ROUND(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos_sim
+    FROM a, b
+),
+fk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos_sim DESC, cb) AS rnk
+        FROM s_ab) t
+    WHERE rnk <= {_BITEXT_KNN}
+),
+bk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cb ORDER BY cos_sim DESC, qa) AS rnk
+        FROM s_ab) t
+    WHERE rnk <= {_BITEXT_KNN}
+),
+ax AS (SELECT qa, AVG(cos_sim) AS ax FROM fk GROUP BY qa),
+ay AS (SELECT cb, AVG(cos_sim) AS ay FROM bk GROUP BY cb),
+m AS (
+    SELECT fk.qa, fk.cb, fk.cos_sim,
+           ROUND(2 * fk.cos_sim / (ax.ax + ay.ay), 6) AS margin
+    FROM fk JOIN ax USING (qa) JOIN ay USING (cb)
+)
+SELECT qa AS src_id, cb AS tgt_id, cos_sim, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY margin DESC, cb) AS rn
+    FROM m) t
+WHERE rn = 1 AND margin >= {_BITEXT_TAU}
+"""
+
+
+@register("bitext_margin_exact_slice", _BITEXT_EXACT_SLICE_SQL)
+def bitext_margin_exact_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT margin rule over a bounded 60-per-side audit slice —
+    operators/similarity.margin_mined_pairs. Constant cost at any corpus
+    size; pairs with bitext_margin_pairs the way knn_cosine_top3 pairs
+    with the IVF rows."""
+    from .operators.similarity import margin_mined_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _BITEXT_SLICE_BOUND
+    )
+    return margin_mined_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=_BITEXT_KNN,
+        tau=_BITEXT_TAU,
+    )
+
+
+# Measured recall of the indexed kNN leg vs the exact rule on a bounded
+# query sample (the ivf_sublinear_recall_at3 pattern): the margin miner's
+# approximation is audited, not assumed. Exact leg = 10 side-A queries ×
+# full side B (bounded broadcast baseline); indexed leg = the same queries
+# through side B's spilled lists at the production nprobe.
+_BITEXT_RECALL_SQL = (
+    _bitext_side_ctes("gb", 1, _BITEXT_KB_SQL)
+    + f""",
+xaq AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec,
+           {_BITEXT_NORM.format(v="list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS qnorm
+    FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 20
+)"""
+    + _bitext_knn_ctes("xa", "gb", "r", _BITEXT_NPB_SQL)
+    + f""",
+exactk AS (
+    SELECT query_id, cand_id FROM (
+        SELECT q.query_id, l.cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_BITEXT_COS.format(q="q.qvec", c="l.vec", qn="q.qnorm", cn=_BITEXT_NORM.format(v="l.vec"))} DESC,
+                            l.cand_id
+               ) AS rnk
+        FROM xaq q, (SELECT vec_id AS cand_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                     FROM embeddings WHERE vec_id % 2 = 1) l
+    ) WHERE rnk <= {_BITEXT_KNN}
+)
+SELECT e.query_id,
+       CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(count(a.cand_id) AS DOUBLE) / {_BITEXT_KNN}.0, 6) AS recall_at4
+FROM exactk e
+LEFT JOIN rk a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+)
+
+
+@register("bitext_knn_recall_at4", _BITEXT_RECALL_SQL)
+def bitext_knn_recall_at4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@4 of the indexed forward-kNN leg vs exact cosine
+    top-4 on a bounded query sample — the monitor row for the bitext
+    miner's approximation (the ivf_sublinear_recall_at3 contract)."""
+    from .operators.ivf import sublinear_nprobe
+    from .operators.similarity import cosine_topk, ivf_knn_arrow
+
+    dv = _emb_dvec(spark, sf_dir)
+    qs = dv.filter((F.col("_vid") % 2 == 0) & (F.col("_vid") < 20))
+    side_b = dv.filter(F.col("_vid") % 2 == 1)
+    np_b = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 1).count())
+    exact = cosine_topk(
+        side_b, qs, vec_col="_v", id_col="_vid", k=_BITEXT_KNN
+    ).select("query_id", "cand_id")
+    ann = (
+        ivf_knn_arrow(
+            _bitext_lists(spark, sf_dir, 1),
+            _bitext_centroids(spark, sf_dir, 1),
+            qs,
+            vec_col="_v",
+            id_col="_vid",
+            nprobe=np_b,
+            k=_BITEXT_KNN,
+        )
+        .select("query_id", "cand_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("_n"))
+        .select(
+            "query_id",
+            F.col("_n").cast("long").alias("n_hits"),
+            F.round(F.col("_n").cast("double") / F.lit(float(_BITEXT_KNN)), 6).alias(
+                "recall_at4"
+            ),
         )
     )
 
@@ -12032,6 +12304,8 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf_dir)),
             ("ivf_search_centroids", lambda: _ivf_search_centroids(spark, sf_dir)),
             ("ivf_delta_centroids", lambda: _ivf_delta_centroids(spark, sf_dir)),
+            ("bitext_centroids_p0", lambda: _bitext_centroids(spark, sf_dir, 0)),
+            ("bitext_centroids_p1", lambda: _bitext_centroids(spark, sf_dir, 1)),
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
@@ -12041,6 +12315,8 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
             ("kmeans_assignment", lambda: _kmeans_assignment(spark, sf_dir)),
             ("ivf_search_lists", lambda: _ivf_search_lists(spark, sf_dir)),
+            ("bitext_lists_p0", lambda: _bitext_lists(spark, sf_dir, 0)),
+            ("bitext_lists_p1", lambda: _bitext_lists(spark, sf_dir, 1)),
             ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
         ],
         [
