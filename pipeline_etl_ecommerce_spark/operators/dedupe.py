@@ -786,6 +786,12 @@ def remove_duplicate_spans(
     loses (overlapping or touching intervals merge), so a passage shared
     by k docs survives exactly once in the lowest id.
 
+    Scope (ADVICE r9): removal cuts spans duplicated ACROSS documents only
+    (``doc_a < doc_b``, gram df counted on distinct docs). A passage
+    repeated WITHIN one document is never removed — a deliberate narrowing
+    of the full Lee et al. 2022 rule; pair it with the repetition-ratio
+    quality gates (textstats) if intra-document loops matter.
+
     Plan: the shared :func:`_span_gram_matches` construction (df-cut gram
     equi-join — the corpus-scale shuffle), diagonal run merge per
     (pair, diag) window, then PER-DOC interval merge and text rebuild as

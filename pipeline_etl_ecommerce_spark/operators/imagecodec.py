@@ -274,6 +274,7 @@ def decode_bmp(payload: bytes) -> dict:
     sum_r = sum_g = sum_b = 0
     top_left = None
     row0_sum = 0
+    rgb = bytearray(width * height * 3)  # logical top-down RGB (r10: dhash needs pixels)
     for logical_y in range(height):
         stored_y = (height - 1 - logical_y) if bottom_up else logical_y
         start = data_off + stored_y * stride
@@ -283,6 +284,10 @@ def decode_bmp(payload: bytes) -> dict:
         sum_r += sr
         sum_g += sg
         sum_b += sb
+        d = logical_y * width * 3
+        rgb[d : d + row_bytes : 3] = row[2::3]
+        rgb[d + 1 : d + row_bytes : 3] = row[1::3]
+        rgb[d + 2 : d + row_bytes : 3] = row[0::3]
         if logical_y == 0:
             top_left = (row[2], row[1], row[0])
             row0_sum = sum(row)
@@ -298,6 +303,7 @@ def decode_bmp(payload: bytes) -> dict:
         "top_left_g": top_left[1],
         "top_left_b": top_left[2],
         "row0_sum": row0_sum,
+        "raster": bytes(rgb),
     }
 
 

@@ -1113,32 +1113,77 @@ DHASH_SCHEMA = StructType(
 _DHASH_COLS = [f.name for f in DHASH_SCHEMA.fields]
 
 
+def decode_image_raster(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for the perceptual-hash path: dispatch on the
+    payload magic like :func:`decode_image`, but return the RASTER as an
+    ``(h, w)`` int64 GRAYSCALE array instead of the stats dict. Grayscale
+    is the repo's integer convention per channel layout: RGB and RGBA use
+    ``(r+g+b) div 3`` (alpha excluded), gray and gray+alpha use the gray
+    sample directly (``(v+v+v) div 3 == v``, the decode_png replication
+    rule). Covers every format the repo decodes losslessly or lossily:
+    PPM (P6/P3), 24-bit BMP, PNG at every legal depth/color type, GIF
+    (first frame), and baseline/progressive JPEG. Anything else raises
+    ``NotImplementedError`` (dead-letter at the kernel)."""
+    from .gifcodec import decode_gif
+    from .imagecodec import _png_raster, decode_bmp, decode_ppm
+    from .jpegcodec import decode_jpeg
+
+    if payload[:2] in (b"P6", b"P3"):
+        st = decode_ppm(payload)
+        w, h, ch, seq = st["width"], st["height"], 3, st["raster"]
+    elif payload[:2] == b"BM":
+        st = decode_bmp(payload)
+        w, h, ch, seq = st["width"], st["height"], 3, st["raster"]
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, seq, _maxval = _png_raster(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        st = decode_gif(payload)
+        w, h, ch, seq = st["width"], st["height"], 3, st["raster"]
+    elif payload[:2] == b"\xff\xd8":
+        st = decode_jpeg(payload)
+        w, h, ch, seq = st["width"], st["height"], st["channels"], st["raster"]
+    else:
+        raise NotImplementedError(
+            "H.264-class formats require a codec library; PPM, uncompressed "
+            "BMP, PNG, GIF, and baseline/progressive JPEG decode here"
+        )
+    if isinstance(seq, (bytes, bytearray)):  # 8-bit rasters
+        flat = np.frombuffer(seq, dtype=np.uint8).astype(np.int64)
+    else:  # 16-bit PNGs (array('H')) and list-expanded color-key forms
+        flat = np.asarray(seq, dtype=np.int64)
+    arr = flat.reshape(h, w, ch) if ch > 1 else flat.reshape(h, w)
+    if ch == 1:
+        return w, h, arr
+    if ch == 2:  # gray + alpha: hash the gray plane
+        return w, h, arr[:, :, 0]
+    return w, h, arr[:, :, :3].sum(axis=2) // 3  # RGB(A): alpha excluded
+
+
 def perceptual_dhash(media: DataFrame) -> DataFrame:
-    """Perceptual difference-hash (dHash) over REAL decoded images (r9):
-    decode the payload, integer grayscale ``(r+g+b) div 3``, nearest-
-    neighbor resample to the canonical 9×8 grid (the repo's floor-index
+    """Perceptual difference-hash (dHash) over REAL decoded images (r9;
+    r10: EVERY decodable format via :func:`decode_image_raster`, not PPM
+    only): decode the payload, integer grayscale, nearest-neighbor
+    resample to the canonical 9×8 grid (the repo's floor-index
     convention, ``sx = dx·sw div 9``), one horizontal-gradient bit per
-    cell pair — 64 bits packed MSB-first into two int32-range longs
-    ``(dhash_hi, dhash_lo)`` so Hamming pairing stays in signed-int64
-    ``bit_count(xor)`` on BOTH engines. The standard near-duplicate IMAGE
-    signal: crops/recompressions/brightness shifts that defeat byte
-    hashing keep the gradient signs. Arrow mapInPandas, dead-letter rows
-    on malformed payloads (the media-path policy)."""
-    from .imagecodec import DecodeError, decode_ppm
+    cell pair — 64 bits packed MSB-first into two unsigned-32-bit values
+    carried in signed int64 longs ``(dhash_hi, dhash_lo)`` so Hamming
+    pairing stays in signed-int64 ``bit_count(xor)`` on BOTH engines. The
+    standard near-duplicate IMAGE signal: crops/recompressions/brightness
+    shifts that defeat byte hashing keep the gradient signs; because the
+    hash is computed from decoded PIXELS, the same image stored as PPM,
+    BMP, PNG or GIF hashes IDENTICALLY (pinned in tests). Arrow
+    mapInPandas, dead-letter rows on malformed/undecodable payloads (the
+    media-path policy)."""
+    from .imagecodec import DecodeError  # gif/jpeg codecs raise this same class
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    st = decode_ppm(bytes(payload) if payload is not None else b"")
-                    w, h = st["width"], st["height"]
-                    arr = (
-                        np.frombuffer(st["raster"], dtype=np.uint8)
-                        .reshape(h, w, 3)
-                        .astype(np.int64)
+                    w, h, gray = decode_image_raster(
+                        bytes(payload) if payload is not None else b""
                     )
-                    gray = arr.sum(axis=2) // 3
                     sub = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)]
                     bits = (sub[:, 1:] > sub[:, :-1]).astype(np.int64).reshape(64)
                     weights = np.int64(1) << (31 - np.arange(32, dtype=np.int64))

@@ -131,6 +131,11 @@ def distributed_ntile(
     only reached when ``base > 0`` (when ``base = 0``, ``rem = n`` and
     every rank falls in the WHEN branch — CASE evaluates lazily, so no
     division by zero)."""
+    if int(n_tiles) < 1:
+        # ADVICE r9: k=0 reaches `% 0` / `DIV 0` in the tile expression —
+        # silent NULL tiles in non-ANSI mode. Mirror the iters/max_depth
+        # argument guards elsewhere.
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     ranked = distributed_global_rank(
         df,
         order_by,

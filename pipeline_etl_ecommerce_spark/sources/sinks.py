@@ -78,15 +78,37 @@ def merge_upsert(
     added columns, replaced/inserted rows carry NULL for columns the batch
     no longer ships.
     """
-    fresh = dedupe_last_wins(new, keys, order_by)
-    added = [c for c in fresh.columns if c not in old.columns]
-    missing = [c for c in old.columns if c not in fresh.columns]
+    # Drift guards run on the RAW batch, before dedupe_last_wins touches it
+    # (ADVICE r9): a batch missing a KEY column used to fail inside the
+    # dedupe window with an opaque AnalysisException, and a same-name TYPE
+    # change sailed past the name-only check into unionByName.
+    lost_keys = [k for k in keys if k not in new.columns]
+    if lost_keys:
+        raise ValueError(
+            f"merge_upsert: batch lacks key column(s) {lost_keys}; a key is "
+            "the row identity and can never drift away"
+        )
+    added = [c for c in new.columns if c not in old.columns]
+    missing = [c for c in old.columns if c not in new.columns]
     if (added or missing) and not evolve_schema:
         raise ValueError(
             f"merge_upsert: batch schema drifts from target (adds {added}, "
             f"lacks {missing}); pass evolve_schema=True to union the "
             "schemas (NULL-filled on both sides), or fix the producer"
         )
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    retyped = [
+        f"{f.name}: {old_types[f.name].simpleString()} -> {f.dataType.simpleString()}"
+        for f in new.schema.fields
+        if f.name in old_types and f.dataType != old_types[f.name]
+    ]
+    if retyped and not evolve_schema:
+        raise ValueError(
+            f"merge_upsert: batch retypes column(s) [{', '.join(retyped)}]; "
+            "pass evolve_schema=True to accept Spark's union type coercion, "
+            "or fix the producer"
+        )
+    fresh = dedupe_last_wins(new, keys, order_by)
     kept = old.alias("__old").join(
         fresh.select(*keys).distinct().alias("__new"),
         _null_safe_key_cond("__old", "__new", keys),

@@ -784,6 +784,7 @@ _DRIVER_PRIORITY = [
     "bitext_knn_recall_at4",
     "image_dhash",
     "image_dhash_near_pairs",
+    "image_dedup_canonical",
     # (c) latest driver evidence r04 (oldest-first fill to 50).
     "approx_distinct_events",
     "approx_percentile_prices",
@@ -1262,15 +1263,18 @@ def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _image_decode_stats(spark, sf_dir, "bmp")
 
 
-# Perceptual image hashing (dHash, r9): the standard near-duplicate IMAGE
-# signal — integer grayscale, floor-index nearest resample to the 9×8
-# canonical grid, one horizontal-gradient bit per cell pair, 64 bits split
-# MSB-first into two int32-range longs (signed-int64-safe Hamming on both
-# engines). The kernel decodes the REAL PPM payload; the oracle replays
-# grayscale/resample/gradient straight from the pixel formula — a kernel
-# that mis-floors the resample or mis-packs a bit flips hashes corpus-wide.
-_DHASH_SQL = """
-WITH dims AS MATERIALIZED (
+# Perceptual image hashing (dHash, r9; MIXED formats r10): the standard
+# near-duplicate IMAGE signal — integer grayscale, floor-index nearest
+# resample to the 9×8 canonical grid, one horizontal-gradient bit per cell
+# pair, 64 bits split MSB-first into two unsigned-32-bit values carried in
+# signed int64 longs (signed-int64-safe Hamming on both engines). r10: the
+# payload table cycles PPM/BMP/PNG/GIF by media_id % 4 and the kernel
+# routes through the full format dispatch (multimodal.decode_image_raster)
+# — all four encodings are LOSSLESS over the shared synth_raster formula,
+# so the format-independent pixel oracle is unchanged: a kernel that
+# botches ANY format's decode (BMP bottom-up BGR, a PNG filter, GIF LZW)
+# now flips that quarter of the hash corpus.
+_DHASH_H_CTES = """dims AS MATERIALIZED (
     SELECT doc_id, 8 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh FROM documents
 ),
 px AS (
@@ -1292,28 +1296,63 @@ bits AS (
            CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
     FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.dy = a.dy AND b.dx = a.dx + 1
     WHERE a.dx < 8
-)
+),
+h AS MATERIALIZED (
+    SELECT doc_id, MAX(sw) AS sw, MAX(sh) AS sh,
+           CAST(SUM(CASE WHEN dy < 4
+                         THEN bit * (CAST(1 AS BIGINT) << (31 - (dy * 8 + dx)))
+                         ELSE 0 END) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN dy >= 4
+                         THEN bit * (CAST(1 AS BIGINT) << (31 - ((dy - 4) * 8 + dx)))
+                         ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY doc_id
+)"""
+
+_DHASH_SQL = f"""
+WITH {_DHASH_H_CTES}
 SELECT doc_id AS media_id,
-       CAST(MAX(sw) AS BIGINT) AS width, CAST(MAX(sh) AS BIGINT) AS height,
-       CAST(SUM(CASE WHEN dy < 4
-                     THEN bit * (CAST(1 AS BIGINT) << (31 - (dy * 8 + dx)))
-                     ELSE 0 END) AS BIGINT) AS dhash_hi,
-       CAST(SUM(CASE WHEN dy >= 4
-                     THEN bit * (CAST(1 AS BIGINT) << (31 - ((dy - 4) * 8 + dx)))
-                     ELSE 0 END) AS BIGINT) AS dhash_lo,
+       CAST(sw AS BIGINT) AS width, CAST(sh AS BIGINT) AS height,
+       hi AS dhash_hi, lo AS dhash_lo,
        'ok' AS hash_status
-FROM bits GROUP BY doc_id
+FROM h
 """
+
+
+# The mixed-format payload table and its hash mart, shared per (session,
+# sf_dir) like the text-signature marts: synthesize + decode + hash ONCE,
+# then image_dhash / image_dhash_near_pairs / image_dedup_canonical all
+# read the persisted hashes (at scale: a perceptual-hash column maintained
+# at media ingest, exactly the MinHash-signature contract).
+def _mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    from .operators.multimodal import synthesize_images
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    parts = [
+        synthesize_images(ids.filter(F.col("media_id") % 4 == i), fmt=f)
+        for i, f in enumerate(("ppm", "bmp", "png", "gif"))
+    ]
+    return _reduce(DataFrame.unionByName, parts)
+
+
+def _dhash_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import perceptual_dhash
+
+    return _side_table(
+        spark,
+        sf_dir,
+        "image_dhash_mixed",
+        lambda: perceptual_dhash(_mixed_images(spark, sf_dir)),
+    )
 
 
 @register("image_dhash", _DHASH_SQL)
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-image perceptual dHash over REAL decoded PPM payloads —
-    operators/multimodal.perceptual_dhash."""
-    from .operators.multimodal import perceptual_dhash, synthesize_images
-
-    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    return perceptual_dhash(synthesize_images(ids, fmt="ppm"))
+    """Per-image perceptual dHash over REAL decoded payloads in four
+    container formats (PPM/BMP/PNG/GIF by id) —
+    operators/multimodal.perceptual_dhash via decode_image_raster."""
+    return _dhash_mart(spark, sf_dir)
 
 
 # Banded Hamming pairing over the dHashes (r9): 4 disjoint 16-bit bands →
@@ -1322,40 +1361,8 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashes, so a banding bug that DROPS a candidate (not just extra work)
 # fails the count. 75 identical + ~600 near pairs at sf0.01 by
 # construction of the modular pixel formula.
-_DHASH_PAIRS_SQL = """
-WITH dims AS MATERIALIZED (
-    SELECT doc_id, 8 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh FROM documents
-),
-px AS (
-    SELECT doc_id, dy.i AS dy, dx.i AS dx,
-           ((dy.i * sh // 8) * sw + (dx.i * sw // 9)) AS sp
-    FROM dims,
-         LATERAL (SELECT unnest(generate_series(0, 7)) AS i) dy,
-         LATERAL (SELECT unnest(generate_series(0, 8)) AS i) dx
-),
-g AS (
-    SELECT doc_id, dy, dx,
-           (((doc_id * 31 + (3 * sp + 0) * 7) % 256)
-            + ((doc_id * 31 + (3 * sp + 1) * 7) % 256)
-            + ((doc_id * 31 + (3 * sp + 2) * 7) % 256)) // 3 AS gray
-    FROM px
-),
-bits AS (
-    SELECT a.doc_id, a.dy, a.dx,
-           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-    FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.dy = a.dy AND b.dx = a.dx + 1
-    WHERE a.dx < 8
-),
-h AS MATERIALIZED (
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN dy < 4
-                         THEN bit * (CAST(1 AS BIGINT) << (31 - (dy * 8 + dx)))
-                         ELSE 0 END) AS BIGINT) AS hi,
-           CAST(SUM(CASE WHEN dy >= 4
-                         THEN bit * (CAST(1 AS BIGINT) << (31 - ((dy - 4) * 8 + dx)))
-                         ELSE 0 END) AS BIGINT) AS lo
-    FROM bits GROUP BY doc_id
-)
+_DHASH_PAIRS_SQL = f"""
+WITH {_DHASH_H_CTES}
 SELECT a.doc_id AS media_a, b.doc_id AS media_b,
        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -1366,15 +1373,82 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 @register("image_dhash_near_pairs", _DHASH_PAIRS_SQL)
 def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptually near-duplicate image pairs (Hamming <= 3 over dHash)
-    via the pigeonhole band join — operators/multimodal.dhash_near_pairs."""
-    from .operators.multimodal import (
-        dhash_near_pairs,
-        perceptual_dhash,
-        synthesize_images,
-    )
+    via the pigeonhole band join — operators/multimodal.dhash_near_pairs
+    over the shared mixed-format hash mart."""
+    from .operators.multimodal import dhash_near_pairs
 
-    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    return dhash_near_pairs(perceptual_dhash(synthesize_images(ids, fmt="ppm")))
+    return dhash_near_pairs(_dhash_mart(spark, sf_dir))
+
+
+# Image near-dup dedup END TO END (r10, r9 verdict item 5): dHash pairs →
+# connected components → keep-best canonical — the text path's
+# minhash→CC→keep_best composition at the image grain, reusing
+# connected_components_star and keep_best_per_cluster UNCHANGED. "Best" =
+# largest pixel area (ties → lowest media_id): the curation rule a media
+# pipeline actually applies (keep the highest-resolution copy). The oracle
+# nests the formula-derived hashes, the brute-force pair set, the recursive
+# closure, and the ranked selection.
+_IMAGE_CANON_SQL = f"""
+WITH RECURSIVE {_DHASH_H_CTES},
+ipairs AS (
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+),
+edges AS (
+    SELECT media_a AS src, media_b AS dst FROM ipairs
+    UNION ALL
+    SELECT media_b AS src, media_a AS dst FROM ipairs
+),
+reach(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (
+    SELECT node AS media_id, CAST(MIN(lab) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+),
+ranked AS (
+    SELECT c.component_id, c.media_id,
+           CAST(hh.sw * hh.sh AS BIGINT) AS pixel_area,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY hh.sw * hh.sh DESC, c.media_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+    FROM comp c JOIN h hh ON hh.doc_id = c.media_id
+)
+SELECT component_id, media_id AS best_media_id, pixel_area,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("image_dedup_canonical", _IMAGE_CANON_SQL)
+def image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical image per perceptual near-dup cluster: dhash_near_pairs
+    edges → connected_components_star closure → keep_best_per_cluster by
+    pixel area (ties → lowest media_id). One new shuffle chain over the
+    shared hash mart; both composed operators reused verbatim from the
+    text dedup path."""
+    from .operators.dedupe import connected_components_star, keep_best_per_cluster
+    from .operators.multimodal import dhash_near_pairs
+
+    hashes = _dhash_mart(spark, sf_dir)
+    edges = dhash_near_pairs(hashes).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    comp = connected_components_star(edges).select(
+        F.col("doc_id").alias("media_id"), "component_id"
+    )
+    area = hashes.filter(F.col("hash_status") == "ok").select(
+        "media_id", (F.col("width") * F.col("height")).cast("long").alias("pixel_area")
+    )
+    return keep_best_per_cluster(comp, area, score_col="pixel_area", id_col="media_id").select(
+        "component_id",
+        "best_media_id",
+        "pixel_area",
+        "n_members",
+    )
 
 
 # same formula, same oracle — but the payload is a REAL PNG (stdlib-zlib
@@ -12310,6 +12384,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
             ("copurchase_edges", lambda: _copurchase_edges(spark, sf_dir)),
+            ("image_dhash_mixed", lambda: _dhash_mart(spark, sf_dir)),
         ],
         [
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),

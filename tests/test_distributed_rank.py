@@ -48,6 +48,15 @@ def test_ntile_matches_builtin(spark, n, parts):
     assert got == expected
 
 
+def test_ntile_rejects_nonpositive_k(spark):
+    """r10 (ADVICE r9): k=0 reached `% 0` in the tile expression — silent
+    NULL tiles in non-ANSI mode. Argument errors must be loud."""
+    df = _make(spark, 5)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_tiles"):
+            distributed_ntile(df, bad, ["val", "id"], tile_col="t")
+
+
 @pytest.mark.parametrize("n", [1, 10, 97])
 def test_global_rank_matches_row_number(spark, n):
     df = _make(spark, n)

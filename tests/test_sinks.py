@@ -572,6 +572,39 @@ def test_merge_upsert_schema_drift_raises_by_default(spark):
         merge_upsert(old, narrowed, ["k"])
 
 
+def test_merge_upsert_missing_key_raises_before_dedupe(spark):
+    """r10 (ADVICE r9): a batch missing a KEY column must raise the loud
+    ValueError up front — it used to fail inside dedupe_last_wins with an
+    opaque AnalysisException — and evolve_schema cannot waive it (a key is
+    the row identity)."""
+    import pytest
+
+    old = _df(spark, [("a", 1, 1)])
+    keyless = spark.createDataFrame([(2, 2)], "v int, ts long")
+    with pytest.raises(ValueError, match="lacks key column"):
+        merge_upsert(old, keyless, ["k"])
+    with pytest.raises(ValueError, match="lacks key column"):
+        merge_upsert(old, keyless, ["k"], evolve_schema=True)
+
+
+def test_merge_upsert_retyped_column_raises_by_default(spark):
+    """r10 (ADVICE r9): a same-NAME column whose TYPE drifts used to slip
+    past the name-only check and die later in unionByName; now it raises
+    up front, and evolve_schema=True opts into Spark's union coercion
+    (int -> long widens cleanly)."""
+    import pytest
+
+    old = _df(spark, [("a", 1, 1)])
+    retyped = spark.createDataFrame([("b", 2, 2)], "k string, v bigint, ts long")
+    with pytest.raises(ValueError, match="retypes column"):
+        merge_upsert(old, retyped, ["k"])
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(old, retyped, ["k"], evolve_schema=True).collect()
+    }
+    assert got == {"a": 1, "b": 2}
+
+
 def test_merge_upsert_evolve_schema_null_backfills(spark):
     """evolve_schema=True: union-by-name with NULL on both sides (the
     Delta mergeSchema contract for MERGE)."""
