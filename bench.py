@@ -55,8 +55,33 @@ _BASELINE_THRESHOLD = 2.0
 
 # query -> reason a >2x delta vs the pinned baseline is expected. Keep this
 # EMPTY unless a delta is real and understood; stale entries mask real
-# regressions on their queries.
+# regressions on their queries. (order_clv_deciles' deliberate r9 plan
+# change — distributed exact ntile replacing the single-reducer window —
+# is adjudicated in BENCH_BASELINE.json's notes and priced into the r10
+# re-pin rather than suppressed here.)
 BASELINE_ADJUDICATIONS: dict[str, str] = {}
+
+# The EXECUTED-streaming family (real two-trigger stream runs) has its own
+# gate shape (r9 verdict item 3): its wall is dominated by fixed harness
+# cost — stream start/stop, state-store open, checkpoint/tempdir creation —
+# which is BIMODAL across clean runs (r8 and r9 both measured 2-3x swings
+# on different rows of the family with bit-identical plans, while the
+# driver's same-code runs sat at the pin). A 3x threshold with a 2 s floor
+# still catches real regressions (a state-growth bug multiplies the wall,
+# e.g. the r9 state-partition fix moved the family 4-5 s) without burning
+# a judge adjudication pass every round on harness jitter.
+_STREAMING_PREFIX = "streaming_"
+_STREAMING_THRESHOLD = 3.0
+_STREAMING_FLOOR = 2.0
+
+
+def _gate_params(query: str) -> tuple[float, float]:
+    if query.startswith(_STREAMING_PREFIX) and query.endswith("_executed") or query in (
+        "streaming_stateful_totals",
+        "streaming_ingest_pairs_converged",
+    ):
+        return _STREAMING_THRESHOLD, _STREAMING_FLOOR
+    return _BASELINE_THRESHOLD, 0.5
 
 
 def _baseline_gate(timings: dict[str, float]) -> dict:
@@ -67,25 +92,38 @@ def _baseline_gate(timings: dict[str, float]) -> dict:
     base_q = base.get("queries", {})
     regressions: dict[str, dict] = {}
     unadjudicated: list[str] = []
+    unpinned: list[str] = [q for q in timings if q not in base_q]
     for q, now in timings.items():
         b = base_q.get(q)
         if b is None:
             continue
-        if now > _BASELINE_THRESHOLD * b and now - b > 0.5:
+        threshold, floor = _gate_params(q)
+        if now > threshold * b and now - b > floor:
             reason = BASELINE_ADJUDICATIONS.get(q)
-            regressions[q] = {"baseline_s": b, "now_s": now, "adjudication": reason}
+            regressions[q] = {
+                "baseline_s": b,
+                "now_s": now,
+                "threshold": threshold,
+                "adjudication": reason,
+            }
             if not reason:
                 unadjudicated.append(q)
     return {
         "file": "BENCH_BASELINE.json",
         "pinned_from": base.get("pinned_from"),
         "threshold": _BASELINE_THRESHOLD,
+        "streaming_threshold": _STREAMING_THRESHOLD,
+        # every catalog row must be pinned (r9 verdict item 2: six r9 rows
+        # ran entirely ungated); new rows are reported here and the gate
+        # stays "ok" only long enough to produce the clean run that pins
+        # them — pin_bench_baseline.py refuses dirty runs
+        "unpinned": sorted(unpinned),
         "regressions": regressions,
         "status": (
             "ok"
             if not unadjudicated
             else f"failed: {len(unadjudicated)} unadjudicated >"
-            f"{_BASELINE_THRESHOLD}x ({', '.join(sorted(unadjudicated)[:5])})"
+            f"threshold ({', '.join(sorted(unadjudicated)[:5])})"
         ),
     }
 

@@ -231,6 +231,53 @@ def ivf_knn_normed(
     )
 
 
+def _ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest centroid ids (pinned 6dp d2, cid
+    tie-break), query vector carried: ``(query_id, qv, cluster)``."""
+    from .clustering import _sq_dist
+
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    probe_scored = q.crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
+        "query_id", "qv", F.col("cid"), _sq_dist(F.col("qv"), F.col("cvec")).alias("d2")
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
+    return (
+        probe_scored.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_candidate_pairs(
+    lists: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 3,
+) -> DataFrame:
+    """The probes × inverted-lists join WITHOUT scoring: one row per
+    (query, probed list row) — the exact candidate workload of an indexed
+    kNN leg. The scale-stress battery counts this frame at two data sizes
+    to pin the miner's n^(7/4) candidate growth law with measured rows
+    (the ivf probe-rows gate pattern)."""
+    probes = _ivf_probes(
+        queries, centroids, vec_col=vec_col, id_col=id_col, nprobe=nprobe
+    ).select("query_id", "cluster")
+    return probes.join(
+        lists.select(F.col("_vid").alias("cand_id"), F.col("cid").alias("cluster")),
+        "cluster",
+    ).select("query_id", "cand_id")
+
+
 def ivf_knn_arrow(
     lists: DataFrame,
     centroids: DataFrame,
@@ -264,18 +311,7 @@ def ivf_knn_arrow(
     import numpy as np
     import pandas as pd
 
-    from .clustering import _sq_dist
-
-    q = queries.select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
-    probe_scored = q.crossJoin(F.broadcast(centroids.select("cid", "cvec"))).select(
-        "query_id", "qv", F.col("cid"), _sq_dist(F.col("qv"), F.col("cvec")).alias("d2")
-    )
-    wp = Window.partitionBy("query_id").orderBy("d2", "cid")
-    probes = (
-        probe_scored.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("cluster"))
-    )
+    probes = _ivf_probes(queries, centroids, vec_col=vec_col, id_col=id_col, nprobe=nprobe)
     l_tab = lists.select(
         F.col("_vid").alias("cand_id"), F.col("_v").alias("cv"), F.col("cid").alias("cluster")
     )

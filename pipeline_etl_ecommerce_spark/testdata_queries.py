@@ -731,81 +731,72 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-9 rotation, strict oldest-driver-evidence-first:
-# (a) the 28 rows whose committed evidence is still r03-age — the r8 window
-# covered only the first 22 of the r03 tail, these are the remainder, so
-# after the r9 run no row's evidence predates r04 (the r8 verdict's #2
-# done-criterion); (b) the two rows whose PLANS changed this round
-# (order_clv_deciles' distributed ntile, top_supplier_quarter's scalar-max
-# join) — re-prove them under the driver even though their last evidence is
-# recent; (c) the oldest r04-evidence rows fill the window to 50. Every row
-# is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r9.json is the
+# queries() emits). Round-10 rotation, strict oldest-driver-evidence-first:
+# (a) the 6 rows that are NEW or whose PLANS changed this round (the
+# IVF-indexed bitext trio; the mixed-format dhash pair; the image-dedup
+# composition) — never / no-longer driver-proven in their current form;
+# (b) ALL 26 rows whose committed evidence is still r04-age, so after the
+# r10 run no row's evidence predates r05 (the r9 verdict's #6
+# done-criterion); (c) the 18 alphabetically-first r05-age rows fill the
+# window to 50 (the remaining 23 r05 rows rotate in next round). Every row
+# is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r10.json is the
 # standing full-catalog record); rotated-out greens stay protected by
 # selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) latest driver evidence r03 (28 rows, catalog order).
-    "near_dup_keep_best",
-    "near_dup_pagerank",
-    "not_in_null_semantics",
-    "order_ship_days_explode",
-    "part_name_explode_outer",
-    "part_sales_bag_setops",
-    "point_lookup_enrichment",
-    "pq_adc_top3",
-    "priority_bag_union_counts",
-    "queue_claim_transitions",
-    "rest_offset_ingest",
-    "rest_page_ingest",
-    "rest_scroll_ingest",
-    "scd2_event_type_history",
-    "session_funnel_counts",
-    "simhash_incremental_pairs",
-    "sink_append_roundtrip",
-    "sink_partitioned_bi_mart",
-    "sink_schema_evolution",
-    "sink_truncate_reload",
-    "sp_timezone_daily_rollup",
-    "streaming_attribution_executed",
-    "streaming_rollup_executed",
-    "streaming_sessions_executed",
-    "streaming_stateful_totals",
-    "supplier_cnt_by_part",
-    "waiting_suppliers",
-    "zorder_events_key",
-    # (b) plans changed in r9 — refresh their driver evidence — plus the
-    # NEW r9 rows (never driver-checked).
-    "order_clv_deciles",
-    "top_supplier_quarter",
-    "copurchase_triangles_degree",
-    "span_deduped_documents",
+    # (a) new/changed-plan r10 rows
     "bitext_margin_pairs",
     "bitext_margin_exact_slice",
     "bitext_knn_recall_at4",
     "image_dhash",
     "image_dhash_near_pairs",
     "image_dedup_canonical",
-    # (c) latest driver evidence r04 (oldest-first fill to 50).
-    "approx_distinct_events",
-    "approx_percentile_prices",
-    "aqe_skew_join_flag_counts",
-    "bloom_filter_brand_revenue",
-    "bmp_decode_stats",
-    "bpe_fertility_by_lang",
-    "copurchase_part_pairs",
-    "curated_documents_best",
-    "customer_order_window_surface",
-    "decontaminated_documents",
-    "doc_char_diversity",
-    "doc_counts_grouping_sets",
-    "dpp_quarter_order_counts",
-    "events_props_flat_daily",
-    "exact_span_pairs_docs",
+    # (b) latest driver evidence r04 (all 26, catalog order)
     "freq_items_event_types",
     "idle_rich_customers",
     "lang_confusion_matrix",
     "model_scored_documents",
     "orc_source_roundtrip",
+    "parts_discontinued_after_1996",
+    "per_lang_eval_sample",
+    "pii_redacted_documents",
+    "ppm_decode_stats",
+    "ppm_resize_stats",
+    "ppm_stream_frame_stats",
+    "price_mad_by_returnflag",
+    "price_percentiles_cont",
+    "pseudonymized_events",
+    "q11_brand_revenue_fraction",
+    "q2_style_min_price_parts",
+    "range_stack_calendar",
+    "rolling_weekly_active_users",
+    "semantic_decontamination",
+    "semantic_search_docs",
+    "streaming_outer_join_executed",
+    "udtf_chunk_windows",
+    "user_moving_avg_rows",
+    "weighted_doc_sample",
+    "winsorized_price_stats",
+    "yoy_part_revenue",
+    # (c) latest driver evidence r05, alphabetically-first 18
+    "bfs_copurchase_distances",
+    "brand_price_percent_rank",
+    "bucketed_colocated_join",
+    "ccnet_perplexity_buckets",
+    "coalesce_key_agg",
+    "copurchase_triangles",
+    "dedup_exact_documents",
+    "distinct_segments",
+    "doc_feature_correlation",
+    "doc_fingerprint",
+    "first_lineitem_per_order",
+    "grouped_head_tail_docs",
+    "insert_if_absent_users",
+    "knn_cosine_top3",
+    "lang_id_heuristic",
+    "latest_event_max_by",
+    "listagg_brand_part_names",
+    "listagg_distinct_types",
 ]
 
 

@@ -37,18 +37,36 @@ def main() -> int:
         "total": detail.get("total"),
         "queries": detail["queries"],
         # Adjudication record carried with the baseline so the next reader
-        # of a bench diff sees the prior round's noise verdicts in-artifact.
+        # of a bench diff sees the prior round's verdicts in-artifact.
         "notes": {
-            "debounced_events": (
-                "BENCH_r07 (driver) recorded 1.86 s — 5.4x r6 — with a "
-                "bit-identical physical plan; the r8 clean re-measure under "
-                "the load gate recorded ~0.36 s. Adjudicated: r7 session "
-                "load noise (the 47 s concurrent side-build wave), not a "
-                "code regression."
+            "order_clv_deciles": (
+                "r9 deliberately replaced the single-reducer global ntile "
+                "window with the distributed range-partition + offset plan "
+                "(operators/ranking.py distributed_ntile) — pin moved "
+                "0.311 -> ~0.8 s locally BY DESIGN (the scale-safe plan "
+                "pays two tiny extra exchanges; the unbounded global sort "
+                "is gone). The r9 gate failed all round because this "
+                "understood delta was never adjudicated; this pin prices "
+                "it in (r9 verdict item 2)."
             ),
-            "csv_source_roundtrip": (
-                "same shape: 1.46 s in BENCH_r07 vs ~0.37 s clean, plan "
-                "unchanged — r7 session load noise."
+            "bitext_margin_pairs": (
+                "r10 replaced the exact cross-join miner (18.6-25 s at "
+                "sf0.1, the catalog's one quadratic plan) with the "
+                "IVF-indexed form (~3 s) — this pin records the new plan."
+            ),
+            "executed_streaming_family": (
+                "streaming_*_executed walls are bimodal across clean runs "
+                "(fixed stream start/stop + state-store harness cost, not "
+                "data compute) — r8/r9 both burned adjudication passes on "
+                "2-3x swings with bit-identical plans. bench.py now gates "
+                "the family at 3x with a 2 s floor (r9 verdict item 3)."
+            ),
+            "r9_load_flags": (
+                "bloom_filter_brand_revenue / cohort_retention_weekly / "
+                "inverted_index_postings flagged >2x in the r9 driver run "
+                "at loadavg 10.3 but did not reproduce clean (r9 judge's "
+                "own run: 0.62/0.66/0.44 s vs pins 0.49/0.40/0.39) — load "
+                "noise, no action; values re-pinned here from a clean run."
             ),
         },
     }
