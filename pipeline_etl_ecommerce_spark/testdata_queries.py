@@ -732,13 +732,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
 # queries() emits). Round-10 rotation, strict oldest-driver-evidence-first:
-# (a) the 6 rows that are NEW or whose PLANS changed this round (the
-# IVF-indexed bitext trio; the mixed-format dhash pair; the image-dedup
+# (a) the 7 rows that are NEW or whose PLANS changed this round (the
+# IVF-indexed bitext trio; the mixed-format dhash trio; the image-dedup
 # composition) — never / no-longer driver-proven in their current form;
 # (b) ALL 26 rows whose committed evidence is still r04-age, so after the
 # r10 run no row's evidence predates r05 (the r9 verdict's #6
 # done-criterion); (c) the 18 alphabetically-first r05-age rows fill the
-# window to 50 (the remaining 23 r05 rows rotate in next round). Every row
+# window to 50 (the remaining 24 r05 rows rotate in next round). Every row
 # is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r10.json is the
 # standing full-catalog record); rotated-out greens stay protected by
 # selfcheck+pytest.
@@ -750,6 +750,7 @@ _DRIVER_PRIORITY = [
     "bitext_knn_recall_at4",
     "image_dhash",
     "image_dhash_near_pairs",
+    "image_dhash_far_pairs",
     "image_dedup_canonical",
     # (b) latest driver evidence r04 (all 26, catalog order)
     "freq_items_event_types",
@@ -778,7 +779,7 @@ _DRIVER_PRIORITY = [
     "weighted_doc_sample",
     "winsorized_price_stats",
     "yoy_part_revenue",
-    # (c) latest driver evidence r05, alphabetically-first 18
+    # (c) latest driver evidence r05, alphabetically-first 17
     "bfs_copurchase_distances",
     "brand_price_percent_rank",
     "bucketed_colocated_join",
@@ -796,7 +797,6 @@ _DRIVER_PRIORITY = [
     "lang_id_heuristic",
     "latest_event_max_by",
     "listagg_brand_part_names",
-    "listagg_distinct_types",
 ]
 
 
@@ -1369,6 +1369,31 @@ def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import dhash_near_pairs
 
     return dhash_near_pairs(_dhash_mart(spark, sf_dir))
+
+
+# Multi-probe extension (r10, the r9 verdict's optional recall radius): the
+# 4-band pigeonhole is complete for Hamming <= 3 only; probing each band's
+# value plus its 16 single-bit flips (Lv et al. 2007 multi-probe LSH) keeps
+# SOME band reachable for any <= 7-flip pair — still an equi-join, probe
+# fan-out x17. Same brute-force oracle shape at the wider threshold.
+_DHASH_FAR_PAIRS_SQL = f"""
+WITH {_DHASH_H_CTES}
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+"""
+
+
+@register("image_dhash_far_pairs", _DHASH_FAR_PAIRS_SQL)
+def image_dhash_far_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually near-duplicate image pairs at the WIDER Hamming <= 7
+    radius via single-bit multi-probe banding —
+    operators/multimodal.dhash_near_pairs_multiprobe over the shared
+    mixed-format hash mart."""
+    from .operators.multimodal import dhash_near_pairs_multiprobe
+
+    return dhash_near_pairs_multiprobe(_dhash_mart(spark, sf_dir))
 
 
 # Image near-dup dedup END TO END (r10, r9 verdict item 5): dHash pairs →

@@ -944,6 +944,49 @@ class TestPerceptualDhash:
         with pytest.raises(ValueError, match="pigeonhole"):
             dhash_near_pairs(df, max_hamming=4)
 
+    def test_multiprobe_band_join_is_complete_to_7(self, spark):
+        """dhash_near_pairs_multiprobe must return EXACTLY the brute-force
+        Hamming<=7 set (single-bit multi-probe is pigeonhole-complete at
+        floor(7/4)=1 flip per surviving band), and reject thresholds the
+        scheme can't cover."""
+        import itertools
+        import random
+
+        import pytest
+
+        from pipeline_etl_ecommerce_spark.operators.multimodal import (
+            dhash_near_pairs_multiprobe,
+        )
+
+        rng = random.Random(31)
+        base = [rng.randrange(1 << 32) for _ in range(2)]
+        rows = []
+        for i in range(40):
+            hi, lo = base[0], base[1]
+            for _ in range(rng.randrange(0, 10)):  # flip 0-9 random bits
+                bit = rng.randrange(64)
+                if bit < 32:
+                    hi ^= 1 << (31 - bit)
+                else:
+                    lo ^= 1 << (63 - bit)
+            rows.append((i, 9, 8, hi, lo, "ok"))
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, width long, height long, dhash_hi long, dhash_lo long, hash_status string",
+        )
+        got = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in dhash_near_pairs_multiprobe(df).collect()
+        }
+        expect = {}
+        for (i, _, _, ha, la, _), (j, _, _, hb, lb, _) in itertools.combinations(rows, 2):
+            d = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if d <= 7:
+                expect[(i, j)] = d
+        assert got == expect
+        with pytest.raises(ValueError, match="multi-probe"):
+            dhash_near_pairs_multiprobe(df, max_hamming=8)
+
     def test_dhash_format_independent(self, spark):
         """r10 (r9 verdict item 4): the SAME pixels stored as PPM, BMP, PNG
         and GIF must hash IDENTICALLY — the dHash is a pixel property, and
