@@ -22,7 +22,7 @@ import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
@@ -732,13 +732,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
 # queries() emits). Round-10 rotation, strict oldest-driver-evidence-first:
-# (a) the 7 rows that are NEW or whose PLANS changed this round (the
+# (a) the 8 rows that are NEW or whose PLANS changed this round (the
 # IVF-indexed bitext trio; the mixed-format dhash trio; the image-dedup
 # composition) — never / no-longer driver-proven in their current form;
 # (b) ALL 26 rows whose committed evidence is still r04-age, so after the
 # r10 run no row's evidence predates r05 (the r9 verdict's #6
 # done-criterion); (c) the 18 alphabetically-first r05-age rows fill the
-# window to 50 (the remaining 24 r05 rows rotate in next round). Every row
+# window to 50 (the remaining 25 r05 rows rotate in next round). Every row
 # is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r10.json is the
 # standing full-catalog record); rotated-out greens stay protected by
 # selfcheck+pytest.
@@ -752,6 +752,7 @@ _DRIVER_PRIORITY = [
     "image_dhash_near_pairs",
     "image_dhash_far_pairs",
     "image_dedup_canonical",
+    "bitext_margin_asymmetric",
     # (b) latest driver evidence r04 (all 26, catalog order)
     "freq_items_event_types",
     "idle_rich_customers",
@@ -779,7 +780,7 @@ _DRIVER_PRIORITY = [
     "weighted_doc_sample",
     "winsorized_price_stats",
     "yoy_part_revenue",
-    # (c) latest driver evidence r05, alphabetically-first 17
+    # (c) latest driver evidence r05, alphabetically-first 16
     "bfs_copurchase_distances",
     "brand_price_percent_rank",
     "bucketed_colocated_join",
@@ -796,7 +797,6 @@ _DRIVER_PRIORITY = [
     "knn_cosine_top3",
     "lang_id_heuristic",
     "latest_event_max_by",
-    "listagg_brand_part_names",
 ]
 
 
@@ -4431,13 +4431,12 @@ _BITEXT_COS = (
 )
 
 
-def _bitext_side_ctes(pfx: str, parity: int, k_sql: str) -> str:
+def _bitext_side_ctes(pfx: str, cond: str, k_sql: str) -> str:
     """One side's search index as CTEs: pinned Lloyd's training
-    (``_kmeans_ctes`` on the parity slice), the 2-way spilled inverted
-    lists with per-row norms, and the side's query table with norms."""
-    base = _kmeans_ctes(
-        k_sql, _KMEANS_ITERS, pfx=pfx, where_sql=f"WHERE vec_id % 2 = {parity}"
-    )
+    (``_kmeans_ctes`` on the side's slice, ``cond`` the membership
+    predicate), the 2-way spilled inverted lists with per-row norms, and
+    the side's query table with norms."""
+    base = _kmeans_ctes(k_sql, _KMEANS_ITERS, pfx=pfx, where_sql=f"WHERE {cond}")
     return (
         base
         + f""",
@@ -4484,13 +4483,18 @@ def _bitext_knn_ctes(qpfx: str, lpfx: str, outpfx: str, nprobe_sql: str) -> str:
 )"""
 
 
-_BITEXT_MARGIN_SQL = (
-    _bitext_side_ctes("ga", 0, _BITEXT_KA_SQL)
-    + ",\n"
-    + _bitext_side_ctes("gb", 1, _BITEXT_KB_SQL)[len("WITH ") :]
-    + _bitext_knn_ctes("ga", "gb", "f", _BITEXT_NPB_SQL)
-    + _bitext_knn_ctes("gb", "ga", "b", _BITEXT_NPA_SQL)
-    + f""",
+def _bitext_margin_sql(
+    cond_a: str, cond_b: str, k_a_sql: str, k_b_sql: str, np_a_sql: str, np_b_sql: str
+) -> str:
+    """The full indexed-miner oracle for any two disjoint side predicates:
+    both trainings + spills, both probe legs, the margin algebra."""
+    return (
+        _bitext_side_ctes("ga", cond_a, k_a_sql)
+        + ",\n"
+        + _bitext_side_ctes("gb", cond_b, k_b_sql)[len("WITH ") :]
+        + _bitext_knn_ctes("ga", "gb", "f", np_b_sql)
+        + _bitext_knn_ctes("gb", "ga", "b", np_a_sql)
+        + f""",
 m AS (
     SELECT fk.query_id AS qa, fk.cand_id AS cb, fk.cos_sim,
            ROUND(2 * fk.cos_sim / (ax.ax + ay.ay), 6) AS margin
@@ -4505,39 +4509,65 @@ SELECT qa AS src_id, cb AS tgt_id, cos_sim, margin FROM (
     FROM m) t
 WHERE rn = 1 AND margin >= {_BITEXT_TAU}
 """
+    )
+
+
+_BITEXT_MARGIN_SQL = _bitext_margin_sql(
+    "vec_id % 2 = 0",
+    "vec_id % 2 = 1",
+    _BITEXT_KA_SQL,
+    _BITEXT_KB_SQL,
+    _BITEXT_NPA_SQL,
+    _BITEXT_NPB_SQL,
 )
 
 
 # Per-side search-index marts, shared per (session, sf_dir) like the other
 # ANN marts: each "language" trains its dedicated √n quantizer once and
 # spills its lists once; the miner (and any later query batch) probes them.
-def _bitext_centroids(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+# ``tag`` keys the mart name; ``cond`` is the side's membership predicate
+# over the parsed-vector frame.
+def _bitext_centroids_for(
+    spark: SparkSession, sf_dir: str, tag: str, cond: Column
+) -> DataFrame:
     from .operators.ivf import sublinear_k
 
     def build() -> DataFrame:
-        dv = _emb_dvec(spark, sf_dir).filter(F.col("_vid") % 2 == parity)
+        dv = _emb_dvec(spark, sf_dir).filter(cond)
         return centroids_table(dv, "_v", "_vid", k=sublinear_k(dv.count()), iters=_KMEANS_ITERS)
 
     return _side_table(
-        spark, sf_dir, f"bitext_centroids_p{parity}_i{_KMEANS_ITERS}", build
+        spark, sf_dir, f"bitext_centroids_{tag}_i{_KMEANS_ITERS}", build
     )
 
 
-def _bitext_lists(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+def _bitext_lists_for(
+    spark: SparkSession, sf_dir: str, tag: str, cond: Column
+) -> DataFrame:
     from .operators.ivf import spilled_assignment
 
     return _side_table(
         spark,
         sf_dir,
-        f"bitext_lists_p{parity}_sp{_BITEXT_SPILL}_i{_KMEANS_ITERS}",
+        f"bitext_lists_{tag}_sp{_BITEXT_SPILL}_i{_KMEANS_ITERS}",
         lambda: spilled_assignment(
-            _emb_dvec(spark, sf_dir).filter(F.col("_vid") % 2 == parity),
-            _bitext_centroids(spark, sf_dir, parity),
+            _emb_dvec(spark, sf_dir).filter(cond),
+            _bitext_centroids_for(spark, sf_dir, tag, cond),
             vec_col="_v",
             id_col="_vid",
             spill=_BITEXT_SPILL,
         ),
     )
+
+
+def _bitext_centroids(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    return _bitext_centroids_for(
+        spark, sf_dir, f"p{parity}", F.col("_vid") % 2 == parity
+    )
+
+
+def _bitext_lists(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    return _bitext_lists_for(spark, sf_dir, f"p{parity}", F.col("_vid") % 2 == parity)
 
 
 @register("bitext_margin_pairs", _BITEXT_MARGIN_SQL)
@@ -4639,7 +4669,7 @@ def bitext_margin_exact_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full side B (bounded broadcast baseline); indexed leg = the same queries
 # through side B's spilled lists at the production nprobe.
 _BITEXT_RECALL_SQL = (
-    _bitext_side_ctes("gb", 1, _BITEXT_KB_SQL)
+    _bitext_side_ctes("gb", "vec_id % 2 = 1", _BITEXT_KB_SQL)
     + f""",
 xaq AS (
     SELECT vec_id AS query_id,
@@ -4711,6 +4741,70 @@ def bitext_knn_recall_at4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at4"
             ),
         )
+    )
+
+
+# Asymmetric corpus sizes (r10, the r9 verdict's optional surface): real
+# bitext corpora are never balanced — here side A is the vec_id % 3 == 0
+# third and side B the remaining two thirds, so each direction probes an
+# index built at a DIFFERENT k (√n_a vs √n_b) and nprobe. Same operator,
+# same algebra, same oracle builder — only the side predicates change.
+_BITEXT3_COND_A = "vec_id % 3 = 0"
+_BITEXT3_COND_B = "vec_id % 3 <> 0"
+_BITEXT3_KA_SQL = (
+    "SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
+    f" WHERE {_BITEXT3_COND_A}"
+)
+_BITEXT3_KB_SQL = (
+    "SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
+    f" WHERE {_BITEXT3_COND_B}"
+)
+_BITEXT3_NPA_SQL = (
+    f"SELECT GREATEST(3, CAST(CEIL(SQRT(CAST(({_BITEXT3_KA_SQL}) AS DOUBLE))) AS BIGINT))"
+)
+_BITEXT3_NPB_SQL = (
+    f"SELECT GREATEST(3, CAST(CEIL(SQRT(CAST(({_BITEXT3_KB_SQL}) AS DOUBLE))) AS BIGINT))"
+)
+
+_BITEXT3_MARGIN_SQL = _bitext_margin_sql(
+    _BITEXT3_COND_A,
+    _BITEXT3_COND_B,
+    _BITEXT3_KA_SQL,
+    _BITEXT3_KB_SQL,
+    _BITEXT3_NPA_SQL,
+    _BITEXT3_NPB_SQL,
+)
+
+
+@register("bitext_margin_asymmetric", _BITEXT3_MARGIN_SQL)
+def bitext_margin_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed margin mining across ASYMMETRIC sides (1/3 vs 2/3 of the
+    corpus): each direction probes an index trained at its own √n — the
+    realistic shape where the low-resource side is much smaller than the
+    high-resource one. operators/similarity.margin_mined_pairs_indexed."""
+    from .operators.ivf import sublinear_nprobe
+    from .operators.similarity import margin_mined_pairs_indexed
+
+    dv = _emb_dvec(spark, sf_dir)
+    cond_a = F.col("_vid") % 3 == 0
+    cond_b = F.col("_vid") % 3 != 0
+    la = _bitext_lists_for(spark, sf_dir, "m3a", cond_a)
+    ca = _bitext_centroids_for(spark, sf_dir, "m3a", cond_a)
+    lb = _bitext_lists_for(spark, sf_dir, "m3b", cond_b)
+    cb = _bitext_centroids_for(spark, sf_dir, "m3b", cond_b)
+    return margin_mined_pairs_indexed(
+        dv.filter(cond_a),
+        dv.filter(cond_b),
+        la,
+        ca,
+        lb,
+        cb,
+        vec_col="_v",
+        id_col="_vid",
+        k=_BITEXT_KNN,
+        tau=_BITEXT_TAU,
+        nprobe_a=sublinear_nprobe(ca.count()),
+        nprobe_b=sublinear_nprobe(cb.count()),
     )
 
 
@@ -12396,6 +12490,10 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("ivf_delta_centroids", lambda: _ivf_delta_centroids(spark, sf_dir)),
             ("bitext_centroids_p0", lambda: _bitext_centroids(spark, sf_dir, 0)),
             ("bitext_centroids_p1", lambda: _bitext_centroids(spark, sf_dir, 1)),
+            ("bitext_centroids_m3a", lambda: _bitext_centroids_for(
+                spark, sf_dir, "m3a", F.col("_vid") % 3 == 0)),
+            ("bitext_centroids_m3b", lambda: _bitext_centroids_for(
+                spark, sf_dir, "m3b", F.col("_vid") % 3 != 0)),
             ("pq_codebooks", lambda: _pq_codebooks(spark, sf_dir)),
             ("bpe_merges", lambda: _bpe_merge_list(spark, sf_dir)),
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
@@ -12408,6 +12506,10 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("ivf_search_lists", lambda: _ivf_search_lists(spark, sf_dir)),
             ("bitext_lists_p0", lambda: _bitext_lists(spark, sf_dir, 0)),
             ("bitext_lists_p1", lambda: _bitext_lists(spark, sf_dir, 1)),
+            ("bitext_lists_m3a", lambda: _bitext_lists_for(
+                spark, sf_dir, "m3a", F.col("_vid") % 3 == 0)),
+            ("bitext_lists_m3b", lambda: _bitext_lists_for(
+                spark, sf_dir, "m3b", F.col("_vid") % 3 != 0)),
             ("pq_codes", lambda: _pq_codes(spark, sf_dir)),
         ],
         [

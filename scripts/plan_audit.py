@@ -84,6 +84,8 @@ ALLOWED_NESTED_LOOP = {
                                   # (knn_cosine_top3 shape)
     "bitext_knn_recall_at4",      # composes the bounded exact baseline (10 queries
                                   # broadcast) + the sqrt(n) centroid probe broadcast
+    "bitext_margin_asymmetric",   # same per-side sqrt(n) centroid broadcasts as
+                                  # bitext_margin_pairs, asymmetric side sizes
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
@@ -124,11 +126,13 @@ ALLOWED_PYTHON = {
                              # to the JVM fold, vectorized per inverted list — the
                              # interpreted HOF fold measured 3.1-3.7 s/leg at sf0.1
     "bitext_knn_recall_at4",  # audits the same Arrow kernel leg vs the exact rule
+    "bitext_margin_asymmetric",  # same Arrow cogrouped cosine kernel, asymmetric sides
     "image_dhash",            # r10: reads the mixed-format dhash MART; the persisted
                               # plan prints the mart's synth+decode Arrow kernels
                               # inside InMemoryRelation (build runs once per session)
     "image_dhash_near_pairs",  # same mart, same cached-plan kernels
     "image_dedup_canonical",   # same mart feeding CC + keep-best (both pure JVM)
+    "image_dhash_far_pairs",   # same mart feeding the multi-probe band join (r10)
 }
 
 
