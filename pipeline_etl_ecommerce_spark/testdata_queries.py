@@ -1439,32 +1439,79 @@ FROM ranked WHERE rn = 1
 """
 
 
-@register("image_dedup_canonical", _IMAGE_CANON_SQL)
-def image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical image per perceptual near-dup cluster: dhash_near_pairs
-    edges → connected_components_star closure → keep_best_per_cluster by
-    pixel area (ties → lowest media_id). One new shuffle chain over the
-    shared hash mart; both composed operators reused verbatim from the
-    text dedup path."""
-    from .operators.dedupe import connected_components_star, keep_best_per_cluster
+def _image_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain image components ``(media_id, component_id)`` as a
+    session side mart (the text path's near_dup_components contract: the
+    closure runs ONCE per corpus version, consumers read the persisted
+    table).
+
+    EXACT-COLLAPSE-FIRST plan (the production shape at any scale): images
+    with IDENTICAL 64-bit hashes are one clique by definition (Hamming 0),
+    so collapse them to their min-id representative with one groupBy
+    BEFORE clustering, run dhash_near_pairs + connected_components_star on
+    the DISTINCT-hash representatives only, and map components back to
+    members through the hash group. Identical-hash groups are exactly
+    where near-dup graphs explode (the member-grain pair graph here is
+    82,570 edges at sf0.1 — quadratic per identity group; reps: 1,082
+    nodes / 2,550 edges; at 100 TB an exact-dup image cluster of 10^6
+    members would be 10^12 member-grain edges vs ONE rep node). Components
+    are unchanged: the rep is the group min, so min-label over reps = min
+    media_id over members; isolated multi-member groups (no cross-hash
+    edge) form their own component; singletons without edges stay out
+    (the pair-graph contract, same as the text row)."""
+    from .operators.dedupe import connected_components_star
     from .operators.multimodal import dhash_near_pairs
 
-    hashes = _dhash_mart(spark, sf_dir)
-    edges = dhash_near_pairs(hashes).select(
-        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
-    )
-    comp = connected_components_star(edges).select(
-        F.col("doc_id").alias("media_id"), "component_id"
-    )
-    area = hashes.filter(F.col("hash_status") == "ok").select(
+    def build() -> DataFrame:
+        ok = _dhash_mart(spark, sf_dir).filter(F.col("hash_status") == "ok")
+        grp = ok.groupBy("dhash_hi", "dhash_lo").agg(
+            F.min("media_id").alias("rep_id"), F.count("*").alias("grp_size")
+        )
+        reps = grp.select(
+            F.col("rep_id").alias("media_id"),
+            "dhash_hi",
+            "dhash_lo",
+            F.lit("ok").alias("hash_status"),
+        )
+        rep_edges = dhash_near_pairs(reps).select(
+            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+        )
+        comp_reps = connected_components_star(rep_edges)  # (doc_id=rep, comp)
+        iso = (
+            grp.filter(F.col("grp_size") >= 2)
+            .join(comp_reps, grp["rep_id"] == comp_reps["doc_id"], "left_anti")
+            .select(
+                F.col("rep_id").alias("doc_id"), F.col("rep_id").alias("component_id")
+            )
+        )
+        comp_all = comp_reps.unionByName(iso).withColumnRenamed("doc_id", "rep_id")
+        return (
+            ok.join(
+                grp.select("dhash_hi", "dhash_lo", "rep_id"), ["dhash_hi", "dhash_lo"]
+            )
+            .join(comp_all, "rep_id")
+            .select("media_id", "component_id")
+        )
+
+    return _side_table(spark, sf_dir, "image_components", build)
+
+
+@register("image_dedup_canonical", _IMAGE_CANON_SQL)
+def image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical image per perceptual near-dup cluster: the
+    :func:`_image_components` closure mart (collapse-first dhash pairs →
+    connected_components_star) joined to per-member pixel areas,
+    keep_best_per_cluster by area (ties → lowest media_id) — the text
+    path's near_dup_keep_best composition at the image grain."""
+    from .operators.dedupe import keep_best_per_cluster
+
+    ok = _dhash_mart(spark, sf_dir).filter(F.col("hash_status") == "ok")
+    area = ok.select(
         "media_id", (F.col("width") * F.col("height")).cast("long").alias("pixel_area")
     )
-    return keep_best_per_cluster(comp, area, score_col="pixel_area", id_col="media_id").select(
-        "component_id",
-        "best_media_id",
-        "pixel_area",
-        "n_members",
-    )
+    return keep_best_per_cluster(
+        _image_components(spark, sf_dir), area, score_col="pixel_area", id_col="media_id"
+    ).select("component_id", "best_media_id", "pixel_area", "n_members")
 
 
 # same formula, same oracle — but the payload is a REAL PNG (stdlib-zlib
@@ -12514,6 +12561,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ],
         [
             ("near_dup_components", lambda: _components(spark, sf_dir)),
+            ("image_components", lambda: _image_components(spark, sf_dir)),
         ],
     ]
     timings: dict[str, float] = {}
