@@ -820,6 +820,19 @@ def remove_duplicate_spans(
         (F.col("start_a") - F.col("diag")).alias("s"),
         (F.col("start_a") - F.col("diag") + F.col("span_len")).alias("e"),
     ).distinct()
+    return _cut_intervals(df, iv, text_col, id_col)
+
+
+def _cut_intervals(
+    df: DataFrame, iv: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared removal tail for :func:`remove_duplicate_spans` and
+    :func:`remove_intra_duplicate_spans`: given the input docs and a frame
+    of 1-based half-open char intervals ``(id_col, s, e)`` to cut, merge
+    each doc's intervals (union; touching merge too) and rebuild the text
+    from the kept segments — all as JVM higher-order expressions, no
+    Python stage. Returns ``(id_col, clean_text, n_spans_removed,
+    chars_removed)`` with verbatim pass-through for untouched docs."""
     per_doc = iv.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
     )
@@ -883,6 +896,89 @@ def remove_duplicate_spans(
             F.lit(0),
         ).cast("long").alias("chars_removed"),
     )
+
+
+def remove_intra_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    gram_len: int = 8,
+    min_span: int = 16,
+    max_occ: int = 100,
+) -> DataFrame:
+    """WITHIN-document exact-substring span removal — the intra-document
+    half of the full Lee et al. 2022 rule that
+    :func:`remove_duplicate_spans` deliberately scopes out (its docstring
+    states the across-documents-only narrowing; this operator is the
+    complement, so running both recovers the full removal).
+
+    A maximal run of ``>= min_span`` chars that occurs at two positions of
+    the SAME document keeps its FIRST occurrence and cuts the later one:
+    for every self-match diagonal ``diag = pos_b - pos_a > 0`` the removal
+    interval is ``[start_a + diag, start_a + diag + span_len)``. Periodic
+    (tandem) repeats fall out of the same rule: in ``"ababab…"`` the
+    ``diag = period`` run covers everything past the first period, so the
+    interval union collapses the loop to one period — exactly the
+    repetition a crawled page's templating loop injects. Per-doc interval
+    UNION + rebuild are shared verbatim with the cross-doc operator
+    (:func:`_cut_intervals`).
+
+    Plan: the gram stream is the same map-only explode as
+    :func:`_span_gram_matches`, but the frequency cut is PER (doc, gram)
+    occurrence count (``2..max_occ`` — the analogue of the df cut, so a
+    pathologically self-repetitive doc can't go quadratic; pair with the
+    textstats repetition-ratio gates for those), and the gram join is
+    co-partitioned on ``(doc, gram)`` — at 100 TB this self-join shuffles
+    each document's grams to one place, never across documents, so it
+    scales with the corpus like a per-doc aggregation, not like the
+    cross-doc pair join. Returns the :func:`_cut_intervals` shape.
+    """
+    if gram_len < 2 or min_span < gram_len:
+        raise ValueError("need gram_len >= 2 and min_span >= gram_len")
+    if max_occ < 2:
+        raise ValueError("need max_occ >= 2")
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+        .filter(F.length("_t") >= gram_len)
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (gram_len - 1))
+            ).alias("pos"),
+            "_t",
+        )
+        .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
+        .localCheckpoint(eager=False)
+    )
+    occ = (
+        grams.groupBy("doc", "gram")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_occ))
+    )
+    fg = grams.join(occ.select("doc", "gram"), ["doc", "gram"])
+    a = fg.select("doc", "gram", F.col("pos").alias("pos_a"))
+    b = fg.select("doc", "gram", F.col("pos").alias("pos_b"))
+    matches = (
+        a.join(b, ["doc", "gram"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select("doc", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc", "diag", "rg")
+        .agg(F.min("pos_a").alias("start_a"), F.count("*").alias("run_grams"))
+        .withColumn("span_len", F.col("run_grams") + F.lit(gram_len - 1))
+        .filter(F.col("span_len") >= min_span)
+    )
+    iv = runs.select(
+        F.col("doc").alias(id_col),
+        (F.col("start_a") + F.col("diag")).alias("s"),
+        (F.col("start_a") + F.col("diag") + F.col("span_len")).alias("e"),
+    ).distinct()
+    return _cut_intervals(df, iv, text_col, id_col)
 
 
 def dedup_lines(

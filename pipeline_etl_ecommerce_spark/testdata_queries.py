@@ -753,6 +753,7 @@ _DRIVER_PRIORITY = [
     "image_dhash_far_pairs",
     "image_dedup_canonical",
     "bitext_margin_asymmetric",
+    "span_intra_deduped_documents",
     # (b) latest driver evidence r04 (all 26, catalog order)
     "freq_items_event_types",
     "idle_rich_customers",
@@ -6032,6 +6033,94 @@ def span_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
+    )
+
+
+# WITHIN-document span removal (r10) — the intra-document half of the full
+# Lee et al. 2022 rule (the cross-doc row above deliberately scopes it
+# out; together they recover the complete removal). First occurrence kept,
+# every later same-doc occurrence of a >=16-char run cut; tandem repeats
+# collapse to one period via the diag=period run. gram_len=8/min_span=16
+# because the synthetic corpus repeats short word runs within docs (72
+# spans across 60 docs at sf0.01) but never 40-char ones. The oracle
+# replays the per-(doc,gram) occurrence cut (2..100 — the df cut's
+# analogue), the self-join diagonals, island merge, and the LAG rebuild —
+# clean_text compared character for character.
+_SPAN_INTRA_REMOVAL_SQL = """
+WITH g AS (
+    SELECT doc_id, i AS pos, substr(text, i, 8) AS gram
+    FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
+    WHERE length(text) >= 8
+),
+occ AS (
+    SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram
+    HAVING COUNT(*) BETWEEN 2 AND 100
+),
+fg AS (SELECT g.* FROM g JOIN occ USING (doc_id, gram)),
+m AS (
+    SELECT DISTINCT a.doc_id AS doc, a.pos AS pos_a, b.pos - a.pos AS diag
+    FROM fg a JOIN fg b ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+),
+runs AS (
+    SELECT doc, diag, rg, MIN(pos_a) AS start_a, COUNT(*) AS run_grams
+    FROM (
+        SELECT doc, diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY doc, diag ORDER BY pos_a) AS rg
+        FROM m) t
+    GROUP BY doc, diag, rg
+),
+spans AS (
+    SELECT DISTINCT doc, start_a + diag AS s,
+           start_a + diag + run_grams + 7 AS e
+    FROM runs WHERE run_grams + 7 >= 16
+),
+brk AS (
+    SELECT doc, s, e,
+           CASE WHEN s <= COALESCE(MAX(e) OVER (
+                    PARTITION BY doc ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 0 ELSE 1 END AS is_new
+    FROM spans
+),
+isl AS (SELECT doc, s, e, SUM(is_new) OVER (PARTITION BY doc ORDER BY s, e) AS grp FROM brk),
+mi AS (SELECT doc, grp, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc, grp),
+segs AS (
+    SELECT doc, COALESCE(LAG(e) OVER (PARTITION BY doc ORDER BY s), 1) AS ks, s AS ke FROM mi
+    UNION ALL
+    SELECT doc, MAX(e) AS ks, NULL AS ke FROM mi GROUP BY doc
+),
+pieces AS (
+    SELECT d.doc_id, sg.ks,
+           CASE WHEN sg.ke IS NULL THEN substr(d.text, CAST(sg.ks AS INT))
+                ELSE substr(d.text, CAST(sg.ks AS INT), CAST(greatest(sg.ke - sg.ks, 0) AS INT))
+           END AS piece
+    FROM segs sg JOIN documents d ON d.doc_id = sg.doc
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS clean_text
+    FROM pieces GROUP BY doc_id
+),
+stats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s) AS chars FROM mi GROUP BY doc)
+SELECT d.doc_id, COALESCE(r.clean_text, d.text) AS clean_text,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(st.chars, 0) AS BIGINT) AS chars_removed
+FROM documents d
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+LEFT JOIN stats st ON st.doc = d.doc_id
+"""
+
+
+@register("span_intra_deduped_documents", _SPAN_INTRA_REMOVAL_SQL)
+def span_intra_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its WITHIN-doc >=16-char repeated spans cut
+    (first occurrence kept): operators/dedupe.remove_intra_duplicate_spans
+    — the intra-document complement of span_deduped_documents; the
+    (doc, gram) co-partitioned self-join never crosses documents."""
+    from .operators.dedupe import remove_intra_duplicate_spans
+
+    return remove_intra_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        gram_len=8, min_span=16, max_occ=100,
     )
 
 

@@ -311,3 +311,80 @@ def test_remove_duplicate_spans_overlap_union(spark):
     assert out[3]["clean_text"] == "mmnn"
     assert out[3]["n_spans_removed"] == 1
     assert out[3]["chars_removed"] == len(seg)
+
+
+def test_remove_intra_duplicate_spans_keep_first(spark):
+    """remove_intra_duplicate_spans (r10): a passage repeated twice WITHIN
+    one doc keeps its first occurrence and loses the later one; three
+    occurrences lose the later two; docs without repeats (and other docs
+    sharing the passage ACROSS docs) pass through verbatim — this operator
+    never crosses documents."""
+    from pipeline_etl_ecommerce_spark.operators.dedupe import (
+        remove_intra_duplicate_spans,
+    )
+
+    p = "SHARED-PASSAGE-ALPHA-42"  # 23 chars
+    rows = [
+        (1, "aa" + p + "bb" + p + "cc"),
+        (2, "xx" + p + "yy"),  # cross-doc copy only: untouched here
+        # separators start with DISTINCT chars so the maximal repeated run
+        # is exactly p (with "n1"/"n2"/"n3" it would extend to p + "n")
+        (3, "mm" + p + "u1" + p + "v2" + p + "w3"),
+        (4, "no repetition in this document at all, plainly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_intra_duplicate_spans(
+            df, "text", "doc_id", gram_len=8, min_span=16, max_occ=50
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "aa" + p + "bb" + "cc"
+    assert out[1]["n_spans_removed"] == 1 and out[1]["chars_removed"] == len(p)
+    assert out[2]["clean_text"] == rows[1][1]
+    assert out[2]["n_spans_removed"] == 0
+    assert out[3]["clean_text"] == "mm" + p + "u1" + "v2" + "w3"
+    assert out[3]["n_spans_removed"] == 2
+    assert out[3]["chars_removed"] == 2 * len(p)
+    assert out[4]["clean_text"] == rows[3][1]
+
+
+def test_remove_intra_duplicate_spans_tandem_collapse(spark):
+    """A periodic (tandem) repeat collapses to one period: the
+    diag=period self-match run covers everything past the first period.
+    'ab'*5 with gram_len=2/min_span=4 → union interval [3,11) → 'ab'."""
+    from pipeline_etl_ecommerce_spark.operators.dedupe import (
+        remove_intra_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "ab" * 5)], "doc_id long, text string")
+    (r,) = remove_intra_duplicate_spans(
+        df, "text", "doc_id", gram_len=2, min_span=4, max_occ=50
+    ).collect()
+    assert r["clean_text"] == "ab"
+    assert r["n_spans_removed"] == 1 and r["chars_removed"] == 8
+
+
+def test_remove_intra_duplicate_spans_occ_cut_and_args(spark):
+    """Occurrence cut: a gram repeated more than max_occ times in one doc
+    is excluded from matching (the df-cut analogue), so a hyper-repetitive
+    doc passes through; bad arguments raise."""
+    import pytest as _pytest
+
+    from pipeline_etl_ecommerce_spark.operators.dedupe import (
+        remove_intra_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "z" * 60)], "doc_id long, text string")
+    (r,) = remove_intra_duplicate_spans(
+        df, "text", "doc_id", gram_len=4, min_span=8, max_occ=10
+    ).collect()
+    assert r["clean_text"] == "z" * 60 and r["n_spans_removed"] == 0
+    with _pytest.raises(ValueError):
+        remove_intra_duplicate_spans(df, "text", "doc_id", gram_len=1, min_span=4)
+    with _pytest.raises(ValueError):
+        remove_intra_duplicate_spans(df, "text", "doc_id", gram_len=4, min_span=2)
+    with _pytest.raises(ValueError):
+        remove_intra_duplicate_spans(
+            df, "text", "doc_id", gram_len=4, min_span=8, max_occ=1
+        )
