@@ -721,6 +721,7 @@ def exact_span_pairs(
     gram_len: int = 20,
     min_span: int = 40,
     max_df: int = 100,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated character spans across documents — the
     exact-substring dedup modality (Lee et al. 2022, "Deduplicating
@@ -742,14 +743,21 @@ def exact_span_pairs(
     the gram join bounded by the df cut, and run detection windows
     partition by (pair, diag) — no global sort anywhere. Suffix arrays
     (the paper's structure) don't distribute; for a fixed minimum span
-    this plan finds the identical pairs."""
+    this plan finds the identical pairs.
+
+    ``matches`` — an optional precomputed gram-match frame (the second
+    element of :func:`_span_gram_matches` at the SAME gram_len/max_df,
+    e.g. a persisted signatures-as-a-mart table shared with
+    :func:`remove_duplicate_spans`); when given, the gram stream / df cut
+    / gram join are skipped and only the run merge runs."""
     if gram_len < 2 or min_span < gram_len:
         raise ValueError("need gram_len >= 2 and min_span >= gram_len")
     from pyspark.sql.window import Window
 
-    _fg, matches = _span_gram_matches(
-        df, text_col, id_col, gram_len=gram_len, max_df=max_df
-    )
+    if matches is None:
+        _fg, matches = _span_gram_matches(
+            df, text_col, id_col, gram_len=gram_len, max_df=max_df
+        )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     runs = (
         matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))
@@ -774,6 +782,7 @@ def remove_duplicate_spans(
     gram_len: int = 20,
     min_span: int = 40,
     max_df: int = 100,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring dedup with REMOVAL (r9) — the second half of Lee et
     al. 2022: :func:`exact_span_pairs` only reports the pairs; training
@@ -800,12 +809,17 @@ def remove_duplicate_spans(
     whole rebuild stays in the JVM; no Python stage). Returns one row per
     input doc: ``doc_id, clean_text, n_spans_removed, chars_removed``
     (docs losing nothing pass through verbatim with zeros).
+
+    ``matches`` — optional precomputed gram-match frame, same contract as
+    :func:`exact_span_pairs`; the two operators share the one corpus-scale
+    shuffle through it when the caller persists the frame as a mart.
     """
     if gram_len < 2 or min_span < gram_len:
         raise ValueError("need gram_len >= 2 and min_span >= gram_len")
-    _fg, matches = _span_gram_matches(
-        df, text_col, id_col, gram_len=gram_len, max_df=max_df
-    )
+    if matches is None:
+        _fg, matches = _span_gram_matches(
+            df, text_col, id_col, gram_len=gram_len, max_df=max_df
+        )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     runs = (
         matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))

@@ -5941,14 +5941,36 @@ HAVING MAX(run_grams) + 19 >= 40
 from .operators.dedupe import exact_span_pairs, keep_best_per_cluster  # noqa: E402
 
 
+def _span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared df-cut gram-match frame (doc_a, doc_b, pos_a, diag) at
+    gram_len=20 / max_df=100 — the ONE corpus-scale shuffle behind both
+    exact_span_pairs_docs and span_deduped_documents, persisted once per
+    (session, sf_dir) like the minhash/simhash signature marts. At scale
+    this is an ingest-time table keyed by corpus version: pair reporting
+    and span removal are two cheap consumers of the same postings join."""
+    from .operators.dedupe import _span_gram_matches
+
+    return _side_table(
+        spark,
+        sf_dir,
+        "span_gram_matches_g20_df100",
+        lambda: _span_gram_matches(
+            _t(spark, sf_dir, "documents"), "text", "doc_id",
+            gram_len=20, max_df=100,
+        )[1],
+    )
+
+
 @register("exact_span_pairs_docs", _EXACT_SPAN_SQL)
 def exact_span_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of documents sharing an exact character run >= 40 chars, with
     the longest shared span — the exact-substring dedup signal (catches
-    copy-paste duplication that token-set methods dilute)."""
+    copy-paste duplication that token-set methods dilute). Reads the
+    shared span_gram_matches mart; only the diagonal run merge runs here."""
     return exact_span_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
+        matches=_span_matches(spark, sf_dir),
     )
 
 
@@ -6027,12 +6049,15 @@ LEFT JOIN stats st ON st.doc = d.doc_id
 def span_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document with its >=40-char duplicated spans CUT (lowest-id
     occurrence kept canonical): operators/dedupe.remove_duplicate_spans —
-    see the operator docstring for the keep rule and the HOF rebuild."""
+    see the operator docstring for the keep rule and the HOF rebuild.
+    Reads the shared span_gram_matches mart (one postings join for the
+    whole span family)."""
     from .operators.dedupe import remove_duplicate_spans
 
     return remove_duplicate_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
+        matches=_span_matches(spark, sf_dir),
     )
 
 
@@ -12635,6 +12660,7 @@ def warm_side_tables(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)),
             ("copurchase_edges", lambda: _copurchase_edges(spark, sf_dir)),
             ("image_dhash_mixed", lambda: _dhash_mart(spark, sf_dir)),
+            ("span_gram_matches", lambda: _span_matches(spark, sf_dir)),
         ],
         [
             ("near_dup_verified_pairs", lambda: _verified_pairs(spark, sf_dir)),
