@@ -754,6 +754,7 @@ _DRIVER_PRIORITY = [
     "image_dedup_canonical",
     "bitext_margin_asymmetric",
     "span_intra_deduped_documents",
+    "span_full_deduped_documents",
     # (b) latest driver evidence r04 (all 26, catalog order)
     "freq_items_event_types",
     "idle_rich_customers",
@@ -5983,10 +5984,13 @@ def exact_span_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diagonal runs, island merge (break only when s > running MAX(e)),
 # LAG-based segment rebuild — so clean_text must match CHARACTER FOR
 # CHARACTER, not just in counts.
-_SPAN_REMOVAL_SQL = """
+def _span_removal_sql(src: str = "documents") -> str:
+    """Cross-doc span-removal oracle, parameterized by source relation so
+    the composed full-rule row can replay it over an intermediate CTE."""
+    return f"""
 WITH g AS (
     SELECT doc_id, i AS pos, substr(text, i, 20) AS gram
-    FROM documents, unnest(generate_series(1, greatest(length(text) - 19, 1))) AS u(i)
+    FROM {src}, unnest(generate_series(1, greatest(length(text) - 19, 1))) AS u(i)
     WHERE length(text) >= 20
 ),
 gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
@@ -6029,7 +6033,7 @@ pieces AS (
            CASE WHEN sg.ke IS NULL THEN substr(d.text, CAST(sg.ks AS INT))
                 ELSE substr(d.text, CAST(sg.ks AS INT), CAST(sg.ke - sg.ks AS INT))
            END AS piece
-    FROM segs sg JOIN documents d ON d.doc_id = sg.doc
+    FROM segs sg JOIN {src} d ON d.doc_id = sg.doc
 ),
 rebuilt AS (
     SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS clean_text
@@ -6039,10 +6043,13 @@ stats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s) AS chars FROM mi GROUP BY 
 SELECT d.doc_id, COALESCE(r.clean_text, d.text) AS clean_text,
        CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
        CAST(COALESCE(st.chars, 0) AS BIGINT) AS chars_removed
-FROM documents d
+FROM {src} d
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 LEFT JOIN stats st ON st.doc = d.doc_id
 """
+
+
+_SPAN_REMOVAL_SQL = _span_removal_sql()
 
 
 @register("span_deduped_documents", _SPAN_REMOVAL_SQL)
@@ -6071,10 +6078,13 @@ def span_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the per-(doc,gram) occurrence cut (2..100 — the df cut's
 # analogue), the self-join diagonals, island merge, and the LAG rebuild —
 # clean_text compared character for character.
-_SPAN_INTRA_REMOVAL_SQL = """
+def _span_intra_removal_sql(src: str = "documents") -> str:
+    """Intra-doc span-removal oracle, parameterized by source relation
+    (same reason as :func:`_span_removal_sql`)."""
+    return f"""
 WITH g AS (
     SELECT doc_id, i AS pos, substr(text, i, 8) AS gram
-    FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
+    FROM {src}, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
     WHERE length(text) >= 8
 ),
 occ AS (
@@ -6119,7 +6129,7 @@ pieces AS (
            CASE WHEN sg.ke IS NULL THEN substr(d.text, CAST(sg.ks AS INT))
                 ELSE substr(d.text, CAST(sg.ks AS INT), CAST(greatest(sg.ke - sg.ks, 0) AS INT))
            END AS piece
-    FROM segs sg JOIN documents d ON d.doc_id = sg.doc
+    FROM segs sg JOIN {src} d ON d.doc_id = sg.doc
 ),
 rebuilt AS (
     SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS clean_text
@@ -6129,10 +6139,13 @@ stats AS (SELECT doc, COUNT(*) AS n_spans, SUM(e - s) AS chars FROM mi GROUP BY 
 SELECT d.doc_id, COALESCE(r.clean_text, d.text) AS clean_text,
        CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
        CAST(COALESCE(st.chars, 0) AS BIGINT) AS chars_removed
-FROM documents d
+FROM {src} d
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 LEFT JOIN stats st ON st.doc = d.doc_id
 """
+
+
+_SPAN_INTRA_REMOVAL_SQL = _span_intra_removal_sql()
 
 
 @register("span_intra_deduped_documents", _SPAN_INTRA_REMOVAL_SQL)
@@ -6146,6 +6159,64 @@ def span_intra_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_intra_duplicate_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=8, min_span=16, max_occ=100,
+    )
+
+
+# The FULL Lee et al. 2022 removal (r10): cross-document phase first (the
+# keep rule needs the original texts to decide which doc owns the
+# canonical copy), then the intra-document phase over the CLEANED texts —
+# cutting a cross-doc copy can itself leave a doc whose remaining halves
+# repeat, and intra-first would let a within-doc repeat survive inside a
+# span the cross phase was about to cut. Counts/chars are summed across
+# the phases. The oracle nests both parameterized CTE pipelines (DuckDB
+# scopes the inner WITH per phase) and joins the two one-row-per-doc
+# outputs — clean_text matched character for character through BOTH
+# rebuilds.
+_SPAN_FULL_REMOVAL_SQL = f"""
+WITH cross_out AS (
+{_span_removal_sql("documents")}
+),
+docs2 AS (SELECT doc_id, clean_text AS text FROM cross_out),
+intra_out AS (
+{_span_intra_removal_sql("docs2")}
+)
+SELECT i.doc_id, i.clean_text,
+       CAST(c.n_spans_removed + i.n_spans_removed AS BIGINT) AS n_spans_removed,
+       CAST(c.chars_removed + i.chars_removed AS BIGINT) AS chars_removed
+FROM intra_out i JOIN cross_out c ON c.doc_id = i.doc_id
+"""
+
+
+@register("span_full_deduped_documents", _SPAN_FULL_REMOVAL_SQL)
+def span_full_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Lee et al. 2022 exact-substring removal: cross-doc
+    spans cut first (lowest id keeps the canonical copy, via the shared
+    span_gram_matches mart), then within-doc repeats cut from the cleaned
+    texts; per-doc span/char counts summed across the phases."""
+    from .operators.dedupe import (
+        remove_duplicate_spans,
+        remove_intra_duplicate_spans,
+    )
+
+    crossed = remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        gram_len=20, min_span=40, max_df=100,
+        matches=_span_matches(spark, sf_dir),
+    )
+    intra = remove_intra_duplicate_spans(
+        crossed.select("doc_id", F.col("clean_text").alias("text")),
+        "text", "doc_id", gram_len=8, min_span=16, max_occ=100,
+    )
+    cross_stats = crossed.select(
+        "doc_id",
+        F.col("n_spans_removed").alias("_cn"),
+        F.col("chars_removed").alias("_cc"),
+    )
+    return intra.join(cross_stats, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        (F.col("_cn") + F.col("n_spans_removed")).cast("long").alias("n_spans_removed"),
+        (F.col("_cc") + F.col("chars_removed")).cast("long").alias("chars_removed"),
     )
 
 
