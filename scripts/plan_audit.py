@@ -180,6 +180,19 @@ EXPLAINED_GROWTH: dict[str, str] = {
         " one-row max aggregate + its broadcast, replacing the global sort"
         " of the supplier revenue table"
     ),
+    "exact_span_pairs_docs": (
+        "r10: the row now reads the shared span_gram_matches MART (the"
+        " family's one corpus-scale gram join, built once per session and"
+        " billed to side_table_build); exchanges grow only because the"
+        " captured plan prints the mart's cached subtree — at run time the"
+        " consumer executes just the run-merge over InMemoryTableScan"
+    ),
+    "span_deduped_documents": (
+        "r10: same span_gram_matches mart restructure as"
+        " exact_span_pairs_docs — the cached construction subtree prints"
+        " inside this consumer's plan too; the executed residual is the"
+        " interval-union + rebuild stages"
+    ),
 }
 
 

@@ -199,6 +199,16 @@ ADJUDICATIONS = {
     "gram construction (the span_postings gate measures its match-row "
     "growth); the added interval-union + doc-rebuild stages are linear in "
     "docs + match rows, so wall follows the same measured law",
+    "span_intra_deduped_documents": "WITHIN-doc removal: the gram self-join "
+    "is co-partitioned on (doc, gram) so match work is PER-DOC and immune "
+    "to the planted cross-doc near-dups — copies multiply docs, never "
+    "pairs; expect ~linear wall (the contrast row to the cross-doc "
+    "family, whose match rows grow superlinearly by design)",
+    "span_full_deduped_documents": "cross phase reads the warmed "
+    "span_gram_matches mart (its growth is the measured span_postings "
+    "law); the intra phase re-runs per-doc matching on the CLEANED texts "
+    "— linear in docs like the intra row; the chained row's wall is the "
+    "sum of one mart consumer and one per-doc pass",
 }
 
 
@@ -247,6 +257,8 @@ def main() -> int:
         "avi_frame_stats",
         "bitext_margin_pairs",
         "span_deduped_documents",
+        "span_intra_deduped_documents",
+        "span_full_deduped_documents",
     ]
     # Pre-build the shared marts at BOTH SFs outside the per-query timers
     # (the ingest-time contract; bench.py bills the same way), recording the
