@@ -54,6 +54,15 @@ def main() -> int:
                 "sf0.1, the catalog's one quadratic plan) with the "
                 "IVF-indexed form (~3 s) — this pin records the new plan."
             ),
+            "span_family": (
+                "r10 moved the span family's shared gram construction "
+                "(gram stream -> df cut -> gram equi-join) into the "
+                "span_gram_matches mart, billed to side_table_build like "
+                "the minhash/image signature marts: exact_span_pairs_docs "
+                "5.8 -> ~1.2 s and span_deduped_documents 7.0 -> ~1.4 s "
+                "query wall at sf0.1; this pin records the consumer-only "
+                "walls."
+            ),
             "executed_streaming_family": (
                 "streaming_*_executed walls are bimodal across clean runs "
                 "(fixed stream start/stop + state-store harness cost, not "
