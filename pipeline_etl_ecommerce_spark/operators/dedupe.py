@@ -682,6 +682,13 @@ def _span_gram_matches(
     stress battery can COUNT both frames with the exact production plan:
     matches ≤ max_df × postings is the structural never-cartesian bound,
     and wall growth is judged against measured match growth."""
+    from .importance import _widen
+
+    # byte-based parquet splits undersell this operator's per-byte cost
+    # (one gram row per CHARACTER): a one-split corpus would run the whole
+    # explode+substring stream on one core (the importance._widen lesson);
+    # no-op when the input already carries enough splits
+    df = _widen(df)
     grams = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
         .filter(F.length("_t") >= gram_len)
@@ -939,19 +946,30 @@ def remove_intra_duplicate_spans(
     (:func:`_cut_intervals`).
 
     Plan: the gram stream is the same map-only explode as
-    :func:`_span_gram_matches`, but the frequency cut is PER (doc, gram)
-    occurrence count (``2..max_occ`` — the analogue of the df cut, so a
-    pathologically self-repetitive doc can't go quadratic; pair with the
-    textstats repetition-ratio gates for those), and the gram join is
-    co-partitioned on ``(doc, gram)`` — at 100 TB this self-join shuffles
-    each document's grams to one place, never across documents, so it
-    scales with the corpus like a per-doc aggregation, not like the
-    cross-doc pair join. Returns the :func:`_cut_intervals` shape.
+    :func:`_span_gram_matches`, but self-matching needs NO join at all —
+    one groupBy ``(doc, gram)`` collects each gram's (sorted) position
+    list, the frequency cut is the list size (``2..max_occ`` — the
+    analogue of the df cut, so a pathologically self-repetitive doc can't
+    go quadratic; pair with the textstats repetition-ratio gates for
+    those), and the ``pos_a < pos_b`` pairs expand from the bounded list
+    with a higher-order flatten/transform — every position carries
+    exactly one gram, so the pairs are distinct by construction. At
+    100 TB that is ONE shuffle keyed (doc, gram) — work co-partitioned
+    per document, scaling like a per-doc aggregation, never like the
+    cross-doc pair join (the r10 first cut shuffled the gram stream a
+    second time through a co-partitioned self-join; the aggregation form
+    measured ~2x faster at sf0.1 with identical output). Returns the
+    :func:`_cut_intervals` shape.
     """
     if gram_len < 2 or min_span < gram_len:
         raise ValueError("need gram_len >= 2 and min_span >= gram_len")
     if max_occ < 2:
         raise ValueError("need max_occ >= 2")
+    from .importance import _widen
+
+    # same 1-split escape as _span_gram_matches: the gram stream is one
+    # row per character, so byte-sized splits starve the map side
+    df = _widen(df)
     grams = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
         .filter(F.length("_t") >= gram_len)
@@ -963,22 +981,22 @@ def remove_intra_duplicate_spans(
             "_t",
         )
         .select("doc", "pos", F.expr(f"substring(_t, pos, {gram_len})").alias("gram"))
-        .localCheckpoint(eager=False)
     )
     occ = (
         grams.groupBy("doc", "gram")
-        .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_occ))
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= max_occ))
     )
-    fg = grams.join(occ.select("doc", "gram"), ["doc", "gram"])
-    a = fg.select("doc", "gram", F.col("pos").alias("pos_a"))
-    b = fg.select("doc", "gram", F.col("pos").alias("pos_b"))
-    matches = (
-        a.join(b, ["doc", "gram"])
-        .filter(F.col("pos_a") < F.col("pos_b"))
-        .select("doc", "pos_a", (F.col("pos_b") - F.col("pos_a")).alias("diag"))
-        .distinct()
-    )
+    matches = occ.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS pos_a, y - x AS diag))))"
+            )
+        ).alias("_pr"),
+    ).select("doc", F.col("_pr.pos_a").alias("pos_a"), F.col("_pr.diag").alias("diag"))
     w = Window.partitionBy("doc", "diag").orderBy("pos_a")
     runs = (
         matches.withColumn("rg", F.col("pos_a") - F.row_number().over(w))

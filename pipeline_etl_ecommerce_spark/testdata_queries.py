@@ -6202,7 +6202,7 @@ def span_full_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         gram_len=20, min_span=40, max_df=100,
         matches=_span_matches(spark, sf_dir),
-    )
+    ).localCheckpoint(eager=False)  # one doc-bounded frame, three consumers
     intra = remove_intra_duplicate_spans(
         crossed.select("doc_id", F.col("clean_text").alias("text")),
         "text", "doc_id", gram_len=8, min_span=16, max_occ=100,
