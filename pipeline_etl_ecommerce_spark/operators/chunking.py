@@ -98,6 +98,12 @@ def cdc_chunks(
     # slices, one flat struct-field sum per position, no random access)
     # landed at 1.4 s. Same lesson as the SimHash/word_ngrams notes: keep
     # per-element lambdas few and flat in the O(n·w) hot path.
+    from .importance import _widen
+
+    # O(chars x window) map work: escape the byte-sized-split cliff (the
+    # importance._widen lesson — a one-split corpus ran this whole rolling
+    # hash on one core; no-op when splits already suffice)
+    df = _widen(df)
     shifted = ", ".join(
         f"slice(__codes, {k + 1}, greatest(size(__codes) - {w - 1}, 0))"
         for k in range(w)

@@ -26,6 +26,14 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     distinct count, min/max rendered as strings (min/max computed in the
     native type FIRST — a string-typed min over integers would order
     lexicographically)."""
+    from .importance import _widen
+
+    # the multi-countDistinct expand multiplies rows x(cols+1) BEFORE the
+    # partial aggregate; a one-split input runs that expansion on one core
+    # (the importance._widen lesson — no-op when splits already suffice).
+    # Every aggregate here is order-insensitive, so redistribution cannot
+    # move a value.
+    df = _widen(df)
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
@@ -58,6 +66,13 @@ def sketch_profile(
     ``distinct_col`` and t-digest quantiles of ``numeric_col``. This is the
     shape that survives 100 TB: one shuffle on the group key, sketches
     merged map-side, no row expansion."""
+    from .importance import _widen
+
+    # sketch partials are cheap but not free; a one-split input computes
+    # them all on one core (the importance._widen lesson). HLL and
+    # t-digest are merge-commutative, and the catalog row's oracle bands
+    # the estimates rather than hashing them, so redistribution is safe.
+    df = _widen(df)
     qs = list(quantiles)
     return df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -497,6 +497,11 @@ def char_diversity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Two map-side-combinable aggregates keyed on the doc id — the char
     fan-out never leaves its input partition un-combined."""
+    from .importance import _widen
+
+    # per-CHARACTER fan-out: escape the byte-sized-split cliff (the
+    # importance._widen lesson; no-op when splits already suffice)
+    df = _widen(df)
     per_char = (
         _char_gram_stream(df, text_col, [id_col], 1)
         .groupBy(id_col, "gram")

@@ -193,6 +193,17 @@ EXPLAINED_GROWTH: dict[str, str] = {
         " inside this consumer's plan too; the executed residual is the"
         " interval-union + rebuild stages"
     ),
+    # r10 widen sweep: each row below gained exactly ONE round-robin
+    # exchange — the importance._widen escape from the 1-split cliff
+    # (byte-based parquet splits undersell per-char / expand-multiplied
+    # cost; a no-op on real many-split inputs). Measured at sf0.1:
+    # cdc_chunks 2.2 -> 0.8 s, cdc_chunk_dedup 2.7 -> 1.0 s,
+    # doc_char_diversity 2.3 -> 0.9 s, column_profile 3.2 -> 2.0 s.
+    "cdc_chunks_docs": "r10 widen sweep (see block comment above)",
+    "cdc_chunk_dedup": "r10 widen sweep (see block comment above)",
+    "doc_char_diversity": "r10 widen sweep (see block comment above)",
+    "column_profile": "r10 widen sweep (see block comment above)",
+    "sketch_profile_lineitem": "r10 widen sweep (see block comment above)",
 }
 
 
