@@ -437,11 +437,16 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFr
     is guaranteed; the loop stops when the edge set reaches the fixed point
     (every edge points a node at its component minimum).
     """
+    # lazy localCheckpoints throughout: the NEXT action (each round's
+    # fingerprint collect, the final consumer) materializes and caches in
+    # the same job, instead of paying a separate eager-materialize job per
+    # round (guide §1.2 — per-round fixed job overhead dominated the wall
+    # at bench scale: 8 rounds × an extra scheduled job each).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # nodes from the RAW pairs (before the self-loop filter) so a node whose
     # only edge is a self-loop still gets a singleton row — label-prop's
@@ -450,7 +455,7 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFr
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -471,12 +476,14 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFr
         mins = nbrs.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
+        # no trailing .distinct(): the composed _small_star re-canonicalizes
+        # with its own leading distinct on the (greatest, least) orientation,
+        # so the extra exchange here bought nothing (set semantics unchanged)
         return (
             nbrs.join(mins, "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
