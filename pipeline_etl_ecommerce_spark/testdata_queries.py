@@ -45,6 +45,8 @@ NS_PER_DAY = 86_400_000_000_000
 # applicationId (like _side_table), NOT id(spark): id() values are reused
 # after GC, so a new session could inherit a dead session's probe pass.
 _EVENTS_PROBE_OK: set[tuple[str, str]] = set()
+# per-(session, sf_dir) memo of _events' normalized lazy plan (see _events)
+_EVENTS_DFS: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def register(name: str, sql: str | None = None):
@@ -57,24 +59,27 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-# Per-(session, sf_dir, table) schema memo: the first read infers from the
-# parquet footer as before; every later `_t` passes that schema explicitly,
-# skipping the ~50-100 ms footer-inference round trip that EVERY query paid
-# on EVERY table reference (catalog-wide this was tens of seconds of pure
-# driver-side metadata work per bench run). Caches schema METADATA only —
-# all data is still computed from the parquet inputs on every invocation.
-_TABLE_SCHEMAS: dict[tuple[str, str, str], object] = {}
+# Per-(session, sf_dir, table) base-DataFrame memo. A DataFrame is an
+# immutable LAZY plan — handing the same object to every consumer changes
+# nothing about what executes (each query's transformations derive new
+# plans), but skips the per-call driver work every query paid on every
+# table reference: parquet footer schema inference + DataSource resolution
+# + file listing (~50-100 ms first read, ~22 ms with an explicit schema —
+# measured; catalog-wide this was tens of seconds of pure driver-side
+# metadata work per bench run). Caches plan METADATA only — no .cache()/
+# persist is involved and all data is still computed from the parquet
+# inputs on every invocation. Keyed by applicationId so a fresh session
+# (e.g. the driver's own correctness runs) rebuilds from the footer.
+_TABLE_DFS: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    sch = _TABLE_SCHEMAS.get(key)
-    if sch is None:
-        df = spark.read.parquet(path)
-        _TABLE_SCHEMAS[key] = df.schema
-        return df
-    return spark.read.schema(sch).parquet(path)
+    df = _TABLE_DFS.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_DFS[key] = df
+    return df
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -102,7 +107,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ truncated to micros. Normalize to int64 **nanos** so all
     downstream epoch arithmetic (``ts DIV 1000`` = micros, matching DuckDB's
     ``epoch_us(ts)``) is mode-independent; the day is derived by epoch
-    arithmetic — timezone-free, matching DuckDB's naive CAST(ts AS DATE)."""
+    arithmetic — timezone-free, matching DuckDB's naive CAST(ts AS DATE).
+
+    The normalized result is memoized per (session, sf_dir) like `_t`'s base
+    tables: on the build in this container the ``nanosAsLong`` conf is
+    ignored, so every call took the forced-BIGINT branch whose schema
+    re-inference cost ~195 ms — ×~50 event-query callers ×3 bench reps that
+    was ~30 s of pure driver-side metadata work per bench run. The memo is a
+    lazy plan, not data; every invocation still scans parquet."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _EVENTS_DFS.get(memo_key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
     if not isinstance(df.schema["ts"].dataType, LongType):
@@ -132,10 +148,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             _EVENTS_PROBE_OK.add(cache_key)
         df = df.withColumn("ts", F.col("ts") * F.lit(1000))
-    return df.withColumn(
+    out = df.withColumn(
         "event_date",
         F.date_add(F.lit("1970-01-01").cast("date"), F.floor(F.col("ts") / F.lit(NS_PER_DAY)).cast("int")),
     )
+    _EVENTS_DFS[memo_key] = out
+    return out
 
 
 US_PER_DAY = 86_400_000_000
