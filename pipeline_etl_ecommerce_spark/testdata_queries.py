@@ -2285,10 +2285,60 @@ def _side_table(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame
         # would persist its own copy of the build
         with _side_lock(key):
             if key not in _SIDE_TABLES:
-                df = build().persist()
-                df.count()  # materialize eagerly so callers never re-run the lineage
-                _SIDE_TABLES[key] = df
+                _SIDE_TABLES[key] = _materialize_mart(spark, build(), name)
     return _SIDE_TABLES[key]
+
+
+def _materialize_mart(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Materialize a side mart ONCE and hand every consumer a LEAF-scan
+    DataFrame over the materialized files — the literal "persisted table
+    keyed by corpus version" shape these marts model at scale.
+
+    The previous ``persist() + count()`` kept execution cheap but left every
+    consumer's LOGICAL plan carrying the full build lineage (the ivfadc rows
+    analyzed 200+-Exchange trees per invocation: plan canonicalization for
+    the cache lookup + optimizer passes over the dead lineage cost ~1 s of
+    pure driver time per rep — guide §3.3/§7.3, "very large plans: planning
+    time itself becomes the bottleneck; materialise an intermediate to
+    truncate the plan"). Writing the mart to session scratch parquet and
+    reading it back makes each consumer plan start at a file scan.
+
+    The read-back passes the build's schema explicitly, so empty marts and
+    exact nullability/NTZ round-trip; parquet stores doubles/longs/arrays
+    bit-exactly, so results are unchanged. Falls back to persist() for any
+    frame parquet cannot carry (e.g. a NullType column)."""
+    path = os.path.join(_session_mart_root(spark), name)
+    try:
+        df.write.mode("overwrite").parquet(path)
+    except Exception:
+        kept = df.persist()
+        kept.count()  # materialize eagerly so callers never re-run the lineage
+        return kept
+    return spark.read.schema(df.schema).parquet(path)
+
+
+def _session_mart_root(spark: SparkSession) -> str:
+    """Session-scoped scratch root for materialized side marts (removed at
+    interpreter exit; /dev/shm or $SPARK_GRAFT_SCRATCH, like _scratch_dir)."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root is None and os.path.isdir("/dev/shm"):
+        root = "/dev/shm/spark-graft-scratch"
+    if root is None:
+        import tempfile as _tf
+
+        root = _tf.gettempdir()
+    mart_root = os.path.join(root, f"marts-{spark.sparkContext.applicationId}")
+    if mart_root not in _MART_ROOTS_CLEANUP:
+        import atexit
+        import shutil as _shutil
+
+        _MART_ROOTS_CLEANUP.add(mart_root)
+        atexit.register(_shutil.rmtree, mart_root, ignore_errors=True)
+    os.makedirs(mart_root, exist_ok=True)
+    return mart_root
+
+
+_MART_ROOTS_CLEANUP: set[str] = set()
 
 
 def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
