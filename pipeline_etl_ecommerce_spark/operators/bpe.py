@@ -110,38 +110,55 @@ def learn_bpe_merges(df: DataFrame, text_col: str, *, rounds: int = 6) -> DataFr
     return reduce(DataFrame.unionByName, merges)
 
 
+def split_words(text_col: str) -> "F.Column":
+    """The corpus word array: space-split with empty tokens dropped — the
+    shared definition every BPE consumer derives words from."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def bpe_tokens_expr(words, merges: list[tuple[str, str]]) -> "F.Column":
+    """Document token array under a learned merge list, as ONE pure
+    higher-order expression over the word array — per word: the ``|sym ``
+    marker encoding, the merge ``replace`` chain in training order, then
+    the split/rtrim decode; per document the word token lists flatten in
+    word order. Map-only by construction: no explode, no shuffle, the
+    merge list is a plan literal."""
+
+    def tokenize(w):
+        enc = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.concat(F.lit("|"), F.substring(w, i, F.lit(1)), F.lit(" ")),
+            ),
+            "",
+        )
+        for left, right in merges:
+            enc = F.replace(
+                enc, F.lit(f"|{left} |{right} "), F.lit(f"|{left}{right} ")
+            )
+        return F.transform(
+            F.filter(F.split(enc, "\\|"), lambda x: x != F.lit("")),
+            lambda x: F.rtrim(x),
+        )
+
+    return F.flatten(F.transform(words, tokenize))
+
+
 def apply_bpe_merges(
     df: DataFrame, merges: list[tuple[str, str]], text_col: str, id_col: str
 ) -> DataFrame:
     """Tokenize with a LEARNED merge list (e.g. ``learn_bpe_merges``
     output collected once as the shipped model): per word, apply each
     merge in training order. Map-only — the merge list is a plan
-    literal, the corpus streams through codegen ``replace`` chains.
+    literal, the corpus streams through codegen ``replace`` chains via
+    ``bpe_tokens_expr`` (r10: formerly a posexplode + groupBy/collect_list
+    round trip — a full corpus shuffle — now zero exchanges; token order
+    and values are identical, and wordless documents still produce no
+    row, matching the old groupBy's semantics).
     Returns ``(id_col, tokens array<string>)`` for the whole document."""
-    word = F.expr(_ENCODE.format(w="word"))
-    for left, right in merges:
-        word = F.replace(
-            word, F.lit(f"|{left} |{right} "), F.lit(f"|{left}{right} ")
-        )
-    toks = F.transform(
-        F.filter(F.split(word, "\\|"), lambda x: x != F.lit("")),
-        lambda x: F.rtrim(x),
-    )
-    exploded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-        ).alias("pos", "word"),
-    )
+    words = split_words(text_col)
     return (
-        exploded.select(id_col, "pos", toks.alias("wt"))
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "wt"))),
-                    lambda st: st["wt"],
-                )
-            ).alias("tokens")
-        )
+        df.select(F.col(id_col), words.alias("__w"))
+        .where(F.size("__w") > 0)
+        .select(id_col, bpe_tokens_expr(F.col("__w"), merges).alias("tokens"))
     )

@@ -8620,9 +8620,6 @@ FROM ap GROUP BY doc_id
 
 _BPE_TOKENIZE_SQL = _bpe_apply_sql(_BPE_ROUNDS)
 
-from .operators.bpe import apply_bpe_merges  # noqa: E402
-
-
 def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """The learned merge table as a collected model artifact, shared per
     (session, sf_dir) like the other marts — training runs once, the
@@ -8644,13 +8641,23 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     does) and baked into a map-only codegen replace chain over the
     corpus; output is per-doc word and subword-token counts. The oracle
     re-learns AND re-applies the merges entirely in SQL."""
+    # r10: one map-only pass (operators/bpe.bpe_tokens_expr) — the former
+    # apply_bpe_merges explode/groupBy plus doc_id re-join computed the
+    # same counts through a corpus shuffle and a join; this plan has zero
+    # exchanges. The where-clause keeps the old inner join's semantics:
+    # wordless documents emit no row.
+    from .operators.bpe import bpe_tokens_expr, split_words
+
     d = _t(spark, sf_dir, "documents")
-    toks = apply_bpe_merges(d, _bpe_merge_list(spark, sf_dir), "text", "doc_id")
-    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+    merges = _bpe_merge_list(spark, sf_dir)
     return (
-        d.select("doc_id", n_words.cast("long").alias("n_words"))
-        .join(toks, "doc_id")
-        .select("doc_id", "n_words", F.size("tokens").cast("long").alias("n_subwords"))
+        d.select("doc_id", split_words("text").alias("__w"))
+        .where(F.size("__w") > 0)
+        .select(
+            "doc_id",
+            F.size("__w").cast("long").alias("n_words"),
+            F.size(bpe_tokens_expr(F.col("__w"), merges)).cast("long").alias("n_subwords"),
+        )
     )
 
 
@@ -9168,13 +9175,21 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subwords/word) under the learned
     merge table — the multilingual-vocabulary fairness metric. Same
     shipped-merge-list plan as bpe_tokenized_docs, reduced by language."""
+    # r10: same map-only restructure as bpe_tokenized_docs — per-doc word
+    # and token counts in one pass (no explode/groupBy, no doc_id re-join;
+    # integer sums are order-independent so the reduction is unchanged).
+    from .operators.bpe import bpe_tokens_expr, split_words
+
     d = _t(spark, sf_dir, "documents")
-    toks = apply_bpe_merges(d, _bpe_merge_list(spark, sf_dir), "text", "doc_id")
-    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+    merges = _bpe_merge_list(spark, sf_dir)
     per_doc = (
-        d.select("doc_id", "lang", n_words.cast("long").alias("nw"))
-        .join(toks, "doc_id")
-        .select("lang", "nw", F.size("tokens").cast("long").alias("ns"))
+        d.select("lang", split_words("text").alias("__w"))
+        .where(F.size("__w") > 0)
+        .select(
+            "lang",
+            F.size("__w").cast("long").alias("nw"),
+            F.size(bpe_tokens_expr(F.col("__w"), merges)).cast("long").alias("ns"),
+        )
     )
     return per_doc.groupBy("lang").agg(
         F.sum("nw").alias("n_words"),
@@ -9911,7 +9926,11 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = items.select("l_orderkey").distinct().count()
+    # r10: the basket count used to be a construction-time .count() — an
+    # extra distinct+count job chain EVERY invocation paid before the real
+    # query even started. As a 1-row broadcast joined into the plan the
+    # same value reaches the lift formula in one composite job.
+    n_orders = items.agg(F.count_distinct("l_orderkey").alias("__n_orders"))
     freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
@@ -9927,12 +9946,13 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(fa, "part_a")
         .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             F.col("pair_count").cast("long").alias("pair_count"),
             F.round(
-                F.col("pair_count").cast("double") * F.lit(n_orders)
+                F.col("pair_count").cast("double") * F.col("__n_orders")
                 / (F.col("ca") * F.col("cb")),
                 6,
             ).alias("lift"),
