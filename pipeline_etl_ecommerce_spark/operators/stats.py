@@ -74,11 +74,15 @@ def group_percentiles(
     percentiles: Sequence[float],
     *,
     out_names: Sequence[str] | None = None,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Exact nearest-rank (type-1) percentiles per group: the value at rank
     ``ceil(p * n)`` in ascending order. Integer rank selection — identical
     on every engine, no interpolation. One shuffle; the rank filter keeps
-    only the selected rows before the final pivot-style aggregation."""
+    only the selected rows before the final pivot-style aggregation.
+    ``n_col`` additionally emits the group row count — it rides the window
+    pass's existing ``count(*) OVER`` column, so callers that need n (e.g.
+    ``group_mad``) skip a separate counting scan."""
     names = list(out_names) if out_names is not None else [
         f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in percentiles
     ]
@@ -96,6 +100,8 @@ def group_percentiles(
         ).alias(name)
         for p, name in zip(percentiles, names)
     ]
+    if n_col is not None:
+        aggs.append(F.max("__n").alias(n_col))
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
@@ -228,12 +234,16 @@ def group_mad(
     of x, broadcast back (one row per group), then median of |x - med|.
     Output: group cols, n, median, mad."""
     gl = list(group_cols)
-    med = group_percentiles(df, gl, value_col, [0.5], out_names=["median"])
+    # r10: the median pass emits the group count from its own window
+    # column (n_col) — the previous separate count(*) scan over df and its
+    # third join bought nothing.
+    med = group_percentiles(
+        df, gl, value_col, [0.5], out_names=["median"], n_col="n"
+    )
     dev = (
         df.select(*gl, value_col)
         .join(F.broadcast(med), gl)
         .withColumn("__dev", F.abs(F.col(value_col) - F.col("median")))
     )
     mad = group_percentiles(dev, gl, "__dev", [0.5], out_names=["mad"])
-    n = df.groupBy(*gl).agg(F.count("*").alias("n"))
-    return n.join(med, gl).join(mad, gl).select(*gl, "n", "median", "mad")
+    return med.join(mad, gl).select(*gl, "n", "median", "mad")
