@@ -26,6 +26,15 @@ from .imagecodec import DecodeError
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# Decompression-bomb guard: a 13-byte header may declare a logical screen up
+# to 65535x65535 (a 12.9 GB RGB canvas) with no relation to payload size —
+# LZW legitimately compresses, so payload length cannot bound the canvas the
+# way PPM/BMP raster checks do. Real decoders cap decoded pixels for exactly
+# this reason (e.g. Pillow's MAX_IMAGE_PIXELS); 2^24 pixels (a 4096x4096
+# canvas, 48 MB RGB) is orders of magnitude above anything this engine
+# encodes while keeping worst-case decode work bounded.
+MAX_CANVAS_PIXELS = 1 << 24
+
 
 def _interlaced_row_order(height: int) -> list[int]:
     out = []
@@ -235,8 +244,13 @@ def iter_gif_frames(payload: bytes):
         pos += 3 * n
     if sw <= 0 or sh <= 0:
         raise DecodeError("gif: empty logical screen")
+    if sw * sh > MAX_CANVAS_PIXELS:
+        raise DecodeError("gif: logical screen exceeds decoder pixel limit")
     bg_rgb = gct[3 * bg : 3 * bg + 3] if gct and 3 * bg + 3 <= len(gct) else b"\x00\x00\x00"
-    canvas = bytearray(bg_rgb * (sw * sh))
+    # Allocated lazily at the first image descriptor: malformed payloads
+    # (the fuzz corpus) mostly die in block parsing and must not pay a
+    # canvas-sized fill first.
+    canvas: bytearray | None = None
     saw_image = False
     while pos < len(payload):
         block = payload[pos]
@@ -290,6 +304,8 @@ def iter_gif_frames(payload: bytes):
                 raise DecodeError("gif: truncated image sub-block")
             data.extend(payload[pos : pos + sz])
             pos += sz
+        if canvas is None:
+            canvas = bytearray(bg_rgb * (sw * sh))
         indices = _lzw_decode(bytes(data), mcs, w * h)
         ncolors = len(ct) // 3
         if any(i >= ncolors for i in indices):

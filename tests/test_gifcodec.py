@@ -95,6 +95,26 @@ class TestGuards:
         # the table is hard to splice — instead shrink the GCT flag bits
         assert decode_gif(g)["raster"] == r  # sanity on the base image
 
+    def test_huge_logical_screen_rejected_before_allocation(self):
+        # Decompression-bomb guard: a 13-byte header declaring a
+        # 65535x65535 screen (12.9 GB RGB canvas) must die at the cap,
+        # not grind through a canvas fill — this exact shape wedged a
+        # fuzz run for 40+ minutes before the guard existed.
+        import time
+
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x00" * 20
+        t0 = time.time()
+        with pytest.raises(DecodeError, match="pixel limit"):
+            decode_gif(hdr)
+        assert time.time() - t0 < 5.0
+
+    def test_junk_after_header_does_not_pay_canvas(self):
+        # Lazy canvas: a large-but-legal screen whose payload is junk must
+        # fail in block parsing without allocating the canvas first.
+        hdr = b"GIF89a" + struct.pack("<HHBBB", 4000, 4000, 0, 0, 0) + b"\xff\xff"
+        with pytest.raises(DecodeError):
+            decode_gif(hdr)
+
     def test_truncation_totality(self):
         w, h, r = synth_raster(5)
         g = encode_gif(w, h, r, interlace=True)
