@@ -2324,7 +2324,19 @@ def _materialize_mart(spark: SparkSession, df: DataFrame, name: str) -> DataFram
     The read-back passes the build's schema explicitly, so empty marts and
     exact nullability/NTZ round-trip; parquet stores doubles/longs/arrays
     bit-exactly, so results are unchanged. Falls back to persist() for any
-    frame parquet cannot carry (e.g. a NullType column)."""
+    frame parquet cannot carry (e.g. a NullType column).
+
+    The read-back is re-widened and persist()-ed: a freshly written mart
+    is a handful of small files, so the scan packs into ONE input split
+    (openCostInBytes swamps the tiny files) and every consumer's
+    join/probe stage would run single-core — the leaf-scan-only variant
+    doubled simhash_near_pairs (0.55 -> 1.12 s, bisected to exactly this:
+    the banded self-join's probe side inherited the cache's 1 partition,
+    where the pre-parquet cached build carried its shuffle's 32).
+    Repartitioning once at build time (billed to side_table_build, like
+    an ingest choosing its write layout) and persisting hands consumers a
+    tiny logical plan, full parallelism, AND cache-speed repeated reads;
+    MEMORY_AND_DISK spills gracefully if marts outgrow storage memory."""
     path = os.path.join(_session_mart_root(spark), name)
     try:
         df.write.mode("overwrite").parquet(path)
@@ -2332,7 +2344,11 @@ def _materialize_mart(spark: SparkSession, df: DataFrame, name: str) -> DataFram
         kept = df.persist()
         kept.count()  # materialize eagerly so callers never re-run the lineage
         return kept
-    return spark.read.schema(df.schema).parquet(path)
+    scan = spark.read.schema(df.schema).parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if scan.rdd.getNumPartitions() < target:
+        scan = scan.repartition(target)
+    return scan.persist()
 
 
 def _session_mart_root(spark: SparkSession) -> str:
