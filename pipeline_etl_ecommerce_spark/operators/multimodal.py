@@ -1293,20 +1293,25 @@ def dhash_near_pairs_multiprobe(hashes: DataFrame, *, max_hamming: int = 7) -> D
         F.col("dhash_lo").alias("__lb"),
     ).select("band.b", "band.v", "media_b", "__hb", "__lb")
     # probe side: each band value and its 16 single-bit flips, built as a
-    # flat 68-struct literal-mask array (mask 0 keeps the exact key)
+    # flat 68-struct literal-mask array (mask 0 keeps the exact key). The
+    # array is generated as ONE SQL string for a single F.expr call: the
+    # Column-API loop issued ~300 py4j round trips and cost ~1 s of pure
+    # driver-side construction per invocation (measured, guide §7.3) for
+    # the identical codegen'd plan.
+    band_sql = [
+        "(shiftright(dhash_hi, 16) & 65535)",
+        "(dhash_hi & 65535)",
+        "(shiftright(dhash_lo, 16) & 65535)",
+        "(dhash_lo & 65535)",
+    ]
+    masks = [0] + [1 << i for i in range(16)]
+    probe_structs = ",".join(
+        f"named_struct('b', {b}, 'v', ({expr} ^ {mask}))"
+        for b, expr in enumerate(band_sql)
+        for mask in masks
+    )
     probes = h.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        bv["b"].alias("b"),
-                        bv["v"].bitwiseXOR(F.lit(mask)).alias("v"),
-                    )
-                    for bv in band_vals
-                    for mask in [0] + [1 << i for i in range(16)]
-                ]
-            )
-        ).alias("probe"),
+        F.expr(f"explode(array({probe_structs}))").alias("probe"),
         F.col("media_id").alias("media_a"),
         F.col("dhash_hi").alias("__ha"),
         F.col("dhash_lo").alias("__la"),

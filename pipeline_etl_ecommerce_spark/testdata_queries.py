@@ -3012,7 +3012,14 @@ def dpp_quarter_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_path = os.path.join(base, "dim")
     try:
         (
-            o.withColumn("month", F.month("o_orderdate").cast("int"))
+            # project to the two columns the query touches BEFORE the write
+            # (guide §2.3): the DPP demo needs the partition column and the
+            # measure, not the whole order row — writing/scanning the other
+            # seven columns tripled the mart's bytes for nothing
+            o.select(
+                F.month("o_orderdate").cast("int").alias("month"),
+                "o_totalprice",
+            )
             .write.partitionBy("month")
             .mode("overwrite")
             .parquet(fact_path)
