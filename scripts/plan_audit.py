@@ -86,6 +86,9 @@ ALLOWED_NESTED_LOOP = {
                                   # broadcast) + the sqrt(n) centroid probe broadcast
     "bitext_margin_asymmetric",   # same per-side sqrt(n) centroid broadcasts as
                                   # bitext_margin_pairs, asymmetric side sizes
+    "copurchase_part_pairs",      # one-row distinct-basket-count broadcast (the
+                                  # lift denominator rides the plan instead of a
+                                  # construction-time collect, r10) — O(n) probe
 }
 
 # Queries that intentionally run Arrow-batched Python kernels.
@@ -204,6 +207,35 @@ EXPLAINED_GROWTH: dict[str, str] = {
     "doc_char_diversity": "r10 widen sweep (see block comment above)",
     "column_profile": "r10 widen sweep (see block comment above)",
     "sketch_profile_lineitem": "r10 widen sweep (see block comment above)",
+    "approx_percentile_prices": (
+        "r10 widen sweep, keyed variant: one _widen_by hash exchange over"
+        " the one-split scan feeding order-independent percentile buffers"
+        " (1.47 -> ~1.1 s measured); no-op on real multi-split inputs"
+    ),
+    # r10 mart re-widen: the persisted mart read-back repartitions to
+    # defaultParallelism ONCE at build (the leaf-scan-only variant packed a
+    # freshly written mart into one input split and every consumer's probe
+    # stage ran single-core — simhash_near_pairs doubled, bisected). The
+    # repartition Exchange sits INSIDE the persisted InMemoryRelation
+    # subtree, which explain prints once per mart REFERENCE, so consumers'
+    # textual exchange counts grow by (references x cached-subtree
+    # exchanges) while zero additional exchanges execute per query (the
+    # cache materializes once per session, billed to side_table_build).
+    "minhash_band_buckets": "r10 mart re-widen (see block comment above)",
+    "minhash_candidate_pairs": "r10 mart re-widen (see block comment above)",
+    "minhash_incremental_pairs": "r10 mart re-widen (see block comment above)",
+    "winnow_fingerprints": "r10 mart re-widen (see block comment above)",
+    "winnow_containment_pairs": "r10 mart re-widen (see block comment above)",
+    "near_dup_components": "r10 mart re-widen (see block comment above)",
+    "near_dup_keep_best": "r10 mart re-widen (see block comment above)",
+    "curated_documents_best": "r10 mart re-widen (see block comment above)",
+    "streaming_ingest_pairs_converged": "r10 mart re-widen (see block comment above)",
+    "copurchase_part_pairs": (
+        "r10: mart re-widen exchanges in the cached subtree (see block"
+        " comment above) + the lift denominator now rides the plan as a"
+        " one-row count_distinct broadcast instead of a construction-time"
+        " collect (nested_loop 0->1, allowlisted: singleton probe)"
+    ),
 }
 
 
