@@ -17,6 +17,7 @@ Mapping of reference tables → testdata (FIXTURES.md §2):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import threading
 from collections.abc import Callable
@@ -2303,11 +2304,13 @@ def _side_table(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame
         # would persist its own copy of the build
         with _side_lock(key):
             if key not in _SIDE_TABLES:
-                _SIDE_TABLES[key] = _materialize_mart(spark, build(), name)
+                _SIDE_TABLES[key] = _materialize_mart(spark, build(), name, sf_dir)
     return _SIDE_TABLES[key]
 
 
-def _materialize_mart(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+def _materialize_mart(
+    spark: SparkSession, df: DataFrame, name: str, sf_dir: str
+) -> DataFrame:
     """Materialize a side mart ONCE and hand every consumer a LEAF-scan
     DataFrame over the materialized files — the literal "persisted table
     keyed by corpus version" shape these marts model at scale.
@@ -2337,7 +2340,14 @@ def _materialize_mart(spark: SparkSession, df: DataFrame, name: str) -> DataFram
     an ingest choosing its write layout) and persisting hands consumers a
     tiny logical plan, full parallelism, AND cache-speed repeated reads;
     MEMORY_AND_DISK spills gracefully if marts outgrow storage memory."""
-    path = os.path.join(_session_mart_root(spark), name)
+    # The on-disk path must carry the SF-dir identity like the memo key
+    # does: a session that touches two sf_dirs (the 10x stress battery, a
+    # driver harness sweeping SFs) would otherwise have the second build
+    # OVERWRITE the first's files while the first's read-back frames still
+    # point at them — caught by the stress run reading sf1-sized marts for
+    # the sf0.1 measurement.
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(_session_mart_root(spark), sf_tag, name)
     try:
         df.write.mode("overwrite").parquet(path)
     except Exception:

@@ -133,3 +133,37 @@ def test_tz_day_tracks_dst_offsets(spark):
     us_w = int(dt.datetime(2018, 7, 15, 2, 30, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     got_w = spark.range(1).select(_tz_day(F.lit(us_w)).alias("d")).collect()[0]["d"]
     assert got_w == dt.date(2018, 7, 14)
+
+
+def test_side_marts_isolated_per_sf_dir(spark, tmp_path):
+    """One session touching TWO sf_dirs must keep their materialized side
+    marts independent: the scratch-parquet mart path used to key on
+    (applicationId, name) only, so the second SF's build OVERWROTE the
+    first's files while the first's read-back frames still pointed at them
+    (caught by the 10x stress battery reading sf1-sized marts for its
+    sf0.1 measurement)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pipeline_etl_ecommerce_spark.testdata_queries import _side_table
+
+    dirs = []
+    for n_rows in (3, 7):
+        d = tmp_path / f"sf_fake_{n_rows}"
+        d.mkdir()
+        _pq.write_table(
+            _pa.table({"doc_id": _pa.array(list(range(n_rows)), _pa.int64())}),
+            str(d / "docs.parquet"),
+        )
+        dirs.append(str(d))
+
+    def build(path):
+        return lambda: spark.read.parquet(os.path.join(path, "docs.parquet"))
+
+    a = _side_table(spark, dirs[0], "iso_probe", build(dirs[0]))
+    b = _side_table(spark, dirs[1], "iso_probe", build(dirs[1]))
+    # the second build must not clobber the first's files: both frames
+    # (and fresh re-reads through the memo) keep their own row counts
+    assert b.count() == 7
+    assert a.count() == 3
+    assert _side_table(spark, dirs[0], "iso_probe", build(dirs[0])).count() == 3
