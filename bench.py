@@ -84,7 +84,20 @@ def _gate_params(query: str) -> tuple[float, float]:
     return _BASELINE_THRESHOLD, 0.5
 
 
-def _baseline_gate(timings: dict[str, float]) -> dict:
+# Mart-build gate (r10 verdict item 4): the untimed side_table_build phase
+# must not silently absorb timed work or drift. Per-mart attribution spans
+# are measured under wave concurrency (a span includes scheduler waits while
+# wave-mates share the cores), so their clean-run spread is far wider than a
+# query's min-of-reps — the 5 s floor keeps the 2x threshold from flagging
+# that structural noise while still catching a relocated query (the r10
+# span/image relocation moved ~13 s into this phase — exactly the size this
+# floor passes through to the threshold check).
+_MART_THRESHOLD = 2.0
+_MART_FLOOR = 5.0
+MART_ADJUDICATIONS: dict[str, str] = {}
+
+
+def _baseline_gate(timings: dict[str, float], marts: dict[str, float] | None = None) -> dict:
     if not os.path.exists(_BASELINE_PATH):
         return {"status": "no-baseline", "file": "BENCH_BASELINE.json"}
     with open(_BASELINE_PATH) as fh:
@@ -108,23 +121,52 @@ def _baseline_gate(timings: dict[str, float]) -> dict:
             }
             if not reason:
                 unadjudicated.append(q)
+    mart_regressions: dict[str, dict] = {}
+    marts_unadjudicated: list[str] = []
+    marts_unpinned: list[str] = []
+    base_m = base.get("marts", {})
+    if marts is not None:
+        marts_unpinned = [m for m in marts if m != "__wall" and m not in base_m]
+        for mname, now in marts.items():
+            b = base_m.get(mname)
+            if b is None:
+                continue
+            if now > _MART_THRESHOLD * b and now - b > _MART_FLOOR:
+                reason = MART_ADJUDICATIONS.get(mname)
+                mart_regressions[mname] = {
+                    "baseline_s": b,
+                    "now_s": now,
+                    "threshold": _MART_THRESHOLD,
+                    "adjudication": reason,
+                }
+                if not reason:
+                    marts_unadjudicated.append(mname)
+    failures = []
+    if unadjudicated:
+        failures.append(
+            f"{len(unadjudicated)} unadjudicated >threshold "
+            f"({', '.join(sorted(unadjudicated)[:5])})"
+        )
+    if marts_unadjudicated:
+        failures.append(
+            f"{len(marts_unadjudicated)} mart builds >threshold "
+            f"({', '.join(sorted(marts_unadjudicated)[:5])})"
+        )
     return {
         "file": "BENCH_BASELINE.json",
         "pinned_from": base.get("pinned_from"),
         "threshold": _BASELINE_THRESHOLD,
         "streaming_threshold": _STREAMING_THRESHOLD,
+        "mart_threshold": _MART_THRESHOLD,
         # every catalog row must be pinned (r9 verdict item 2: six r9 rows
         # ran entirely ungated); new rows are reported here and the gate
         # stays "ok" only long enough to produce the clean run that pins
         # them — pin_bench_baseline.py refuses dirty runs
         "unpinned": sorted(unpinned),
+        "marts_unpinned": sorted(marts_unpinned),
         "regressions": regressions,
-        "status": (
-            "ok"
-            if not unadjudicated
-            else f"failed: {len(unadjudicated)} unadjudicated >"
-            f"threshold ({', '.join(sorted(unadjudicated)[:5])})"
-        ),
+        "mart_regressions": mart_regressions,
+        "status": ("ok" if not failures else "failed: " + "; ".join(failures)),
     }
 
 
@@ -197,7 +239,7 @@ def run() -> None:
         if reps > 1:
             spreads[name] = round(max(samples) - min(samples), 3)
 
-    gate_result = _baseline_gate(timings)
+    gate_result = _baseline_gate(timings, side_tables)
 
     # Regime-retry pass (r10, guide §1/§7 "measure correctly"): the host
     # shows minutes-long slow regimes invisible to loadavg (two back-to-back
@@ -214,8 +256,15 @@ def run() -> None:
     # design was considered and rejected: it defeats the JVM codegen cache
     # — 100 entries, LRU — across 273 queries, systematically inflating
     # every sub-second row's minimum.)
+    total_pre_retry = round(sum(timings.values()), 3)
     retried: dict[str, dict] = {}
-    for name in sorted(gate_result.get("regressions", {})):
+    # gate-flagged rows AND unpinned rows (r10 verdict item 7): a new row's
+    # first sample would otherwise pin high forever if it landed on a slow
+    # regime — exactly what the mart pins would then inherit.
+    retry_names = sorted(
+        set(gate_result.get("regressions", {})) | set(gate_result.get("unpinned", []))
+    )
+    for name in retry_names:
         if BASELINE_ADJUDICATIONS.get(name):
             continue
         samples = []
@@ -224,10 +273,19 @@ def run() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         new_min = round(min(timings[name], min(samples)), 3)
-        retried[name] = {"first_pass_s": timings[name], "retry_min_s": round(min(samples), 3)}
+        retried[name] = {
+            "first_pass_s": timings[name],
+            "retry_min_s": round(min(samples), 3),
+            "retry_spread_s": round(max(samples) - min(samples), 3),
+        }
+        # keep the recorded spread consistent with the reported min (r10
+        # ADVICE item 3): recompute over ALL samples of both passes
+        if reps > 1:
+            first_max = timings[name] + spreads.get(name, 0.0)
+            spreads[name] = round(max(first_max, max(samples)) - new_min, 3)
         timings[name] = new_min
     if retried:
-        gate_result = _baseline_gate(timings)
+        gate_result = _baseline_gate(timings, side_tables)
 
     load_end = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
@@ -254,6 +312,7 @@ def run() -> None:
         detail["spread"] = spreads  # max-min per query across reps
     if retried:
         detail["retried"] = retried  # gate-flagged rows re-sampled (regime escape)
+        detail["total_pre_retry"] = total_pre_retry
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(
@@ -270,6 +329,11 @@ def run() -> None:
                 "load_gate": load_gate["status"],
                 "baseline_gate": gate_result["status"],
                 "side_table_build_sec": side_total,
+                # regime-retry symmetry (r10 verdict item 7): the one-sided
+                # retry estimator is visible in the headline record, so
+                # cross-round totals stay comparable at a glance
+                "total_pre_retry": total_pre_retry,
+                "n_retried": len(retried),
                 "queries_file": "bench_detail.json",
             }
         )

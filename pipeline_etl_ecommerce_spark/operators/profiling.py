@@ -34,8 +34,10 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     # Every aggregate here is order-insensitive, so redistribution cannot
     # move a value. r10: keyed _widen_by — round-robin paid a
     # sort-before-repartition pass over the whole input on the one core
-    # the widen exists to relieve.
-    df = _widen_by(df, cols[0])
+    # the widen exists to relieve. r11 (verdict item 9): key by ALL
+    # profiled columns — hashing a single, possibly low-cardinality column
+    # can concentrate the very partitions the widen exists to spread.
+    df = _widen_by(df, *cols)
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
@@ -75,7 +77,9 @@ def sketch_profile(
     # t-digest are merge-commutative, and the catalog row's oracle bands
     # the estimates rather than hashing them, so redistribution is safe.
     # r10: keyed by the distinct column — no round-robin sort pass.
-    df = _widen_by(df, distinct_col)
+    # r11 (verdict item 9): all three consumed columns in the key, so one
+    # low-cardinality column cannot concentrate the hash.
+    df = _widen_by(df, group_col, numeric_col, distinct_col)
     qs = list(quantiles)
     return df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -72,7 +72,36 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_accumulator_gc_spam(spark)
+    return spark
+
+
+def _silence_accumulator_gc_spam(spark: SparkSession) -> None:
+    """Drop the known-benign "Failed to update accumulator" ERROR class.
+
+    The CC star loop's lazy ``localCheckpoint`` truncates lineage whose
+    original stages' accumulators can be GC'd before a straggler task
+    completion reports in; the DAGScheduler then logs one benign ERROR
+    ("Failed to update accumulator N ... attempted to access non-existent
+    accumulator") per such completion — rc=0, results unaffected, but the
+    spam buries real errors in a captured stderr tail (r10 verdict item
+    8). Attach a DENY RegexFilter for exactly that message to the
+    DAGScheduler logger — narrower than restoring eager checkpoints
+    (which re-adds one scheduled job per CC round) or muting the logger
+    class. Best-effort: any log4j2 API drift leaves logging untouched."""
+    try:
+        jvm = spark.sparkContext._jvm
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        filt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*Failed to update accumulator.*", None, False, result.DENY, result.NEUTRAL
+        )
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.scheduler.DAGScheduler"
+        )
+        logger.addFilter(filt)
+    except Exception:
+        pass
 
 
 def tune_session(spark: SparkSession, *, tz: str | None = None) -> SparkSession:
@@ -89,4 +118,5 @@ def tune_session(spark: SparkSession, *, tz: str | None = None) -> SparkSession:
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
+    _silence_accumulator_gc_spam(spark)
     return spark

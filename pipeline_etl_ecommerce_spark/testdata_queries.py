@@ -2296,7 +2296,12 @@ def _side_lock(key: tuple[str, str, str]) -> "threading.Lock":
 
 
 def _side_table(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # abspath: the on-disk mart path is keyed by os.path.abspath(sf_dir), so
+    # the memo key must be too — two spellings of one directory (relative vs
+    # absolute, trailing slash) would otherwise create two memo entries that
+    # both overwrite the SAME parquet path while the first read-back frame
+    # still points at it (r10 ADVICE item 1).
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     if key not in _SIDE_TABLES:
         # per-key lock: warm_side_tables builds marts from a thread pool and
         # several wave-mates read the same upstream mart (all three centroid
@@ -2358,7 +2363,13 @@ def _materialize_mart(
     target = spark.sparkContext.defaultParallelism
     if scan.rdd.getNumPartitions() < target:
         scan = scan.repartition(target)
-    return scan.persist()
+    kept = scan.persist()
+    # Eager fill (r10 ADVICE item 2): persist() is lazy, so the cache fill
+    # (read-back + re-widen shuffle) would otherwise be paid by each mart's
+    # FIRST CONSUMER action — billed to an arbitrary query instead of
+    # side_table_build, contradicting the documented attribution.
+    kept.count()
+    return kept
 
 
 def _session_mart_root(spark: SparkSession) -> str:
@@ -2891,8 +2902,12 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot move the result. Measured 1.47 -> 1.05s (min-of-7).
     from .operators.importance import _widen_by
 
+    # r11 (verdict item 9): both projected columns in the key — a single
+    # low-cardinality hash key could concentrate the partitions the widen
+    # exists to spread.
     li = _widen_by(
         _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
         "l_extendedprice",
     )
     agg = li.groupBy("l_returnflag").agg(
@@ -3596,20 +3611,48 @@ FROM lineitem GROUP BY l_returnflag
 
 @register("sketch_profile_lineitem", _SKETCH_PROFILE_SQL)
 def sketch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sk = sketch_profile(
-        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_partkey"
+    """Band-check the sketch tier against the exact tier in ONE aggregation
+    pass (r10 verdict item 6, guide §2.4): the sketch aggregates (HLL,
+    t-digest — the same expressions operators/profiling.sketch_profile
+    runs at 100 TB) and their exact companions (count_distinct, exact
+    percentile — test-SF-only band references) ride a single groupBy over
+    a single scan, instead of two scans + two shuffles + a join. Every
+    aggregate computes the identical value over the identical rows; only
+    the plan shape changed (verified: 2 scans/10 Exchanges -> 1 scan, no
+    join — plans/r11/sketch_profile_lineitem_{before,after}.txt)."""
+    from .operators.importance import _widen_by
+
+    # same widen sketch_profile applies: the sf-scale file is one split, so
+    # every partial would run on one core; keyed by all consumed columns
+    # (verdict item 9), no-op on real multi-split inputs.
+    li = _widen_by(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_partkey"
+        ),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_partkey",
     )
-    exact = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("n_distinct_exact"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))"
-            ).alias("qb"),
-        )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_distinct"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95], 10000
+        ).alias("approx_quantiles"),
+        # size(collect_set) = exact distinct (both ignore NULLs) WITHOUT
+        # the distinct-aggregate Expand rewrite, which would re-key phase 1
+        # by (returnflag, partkey) and instantiate every heavy percentile
+        # buffer per fine group instead of per returnflag (measured: the
+        # count_distinct form was 1.3 s SLOWER than the join it replaced).
+        # The set is bounded by the per-group distinct count — this exact
+        # tier is the test-SF band reference; at 100 TB the sketch alone
+        # ships (module docstring above).
+        F.size(F.collect_set("l_partkey")).cast("long").alias("n_distinct_exact"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))"
+        ).alias("qb"),
     )
-    return sk.join(exact, "l_returnflag").select(
+    return agg.select(
         "l_returnflag",
         "n_rows",
         "n_distinct_exact",

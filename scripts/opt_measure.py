@@ -1,6 +1,6 @@
 """Optimization-round measurement harness (guide §1): isolate queries with
 the noop sink, time min-of-N, and capture .explain("formatted") to
-plans/r10/<query>_<tag>.txt so plan claims are checkable offline.
+plans/$SPARK_GRAFT_PLANS_TAG (default r11)/<query>_<tag>.txt so plan claims are checkable offline.
 
 Usage:
   python scripts/opt_measure.py --explain --tag before q1 q2 ...
@@ -31,7 +31,7 @@ from pipeline_etl_ecommerce_spark.session import get_spark  # noqa: E402
 from pipeline_etl_ecommerce_spark import testdata_queries  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLANS_DIR = os.path.join(REPO, "plans", "r10")
+PLANS_DIR = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r11"))
 
 # Rows whose callable EXECUTES work (streams, sink writes, backfills) before
 # returning a materialized result: their returned DF is a localCheckpoint /

@@ -36,6 +36,12 @@ def main() -> int:
         "loadavg_start": detail.get("loadavg_start"),
         "total": detail.get("total"),
         "queries": detail["queries"],
+        # per-mart build pins (r10 verdict item 4): the untimed
+        # side_table_build phase is gated like queries (2x with a 5 s
+        # floor — spans are measured under wave concurrency) so it cannot
+        # silently absorb timed work or drift between rounds.
+        "marts": detail.get("side_table_build", {}).get("marts", {}),
+        "side_table_build_wall": detail.get("side_table_build", {}).get("total"),
         # Adjudication record carried with the baseline so the next reader
         # of a bench diff sees the prior round's verdicts in-artifact.
         "notes": {

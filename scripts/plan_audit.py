@@ -151,92 +151,51 @@ ALLOWED_PYTHON = {
 # (importance._widen, clustering._assign, multimodal.synthesize_images —
 # the latter cost-BASED since r8: ppm/bmp skip the exchange, png*/jpeg
 # keep it).
-EXPLAINED_GROWTH: dict[str, str] = {
-    "bitext_margin_pairs": (
-        "r10 (r9 verdict item 1): the two unbounded broadcast cross-join kNN"
-        " legs were replaced by per-side sublinear IVF probes + Arrow"
-        " cogrouped cosine kernels; exchanges/python grow because the legs"
-        " now shuffle bounded candidate tables instead of nested-looping the"
-        " full corpus product — the quadratic plan is gone"
-    ),
-    "image_dhash": (
-        "r10 (r9 verdict items 4-5): the row now reads the shared"
-        " mixed-format hash MART instead of hashing inline; the counters"
-        " grow because the captured plan prints the mart's cached subtree"
-        " (4 per-format synth kernels + the dhash kernel + their widen"
-        " exchanges) — built once per session, billed to side_table_build"
-    ),
-    "image_dhash_near_pairs": (
-        "r10: same mart restructure as image_dhash — the cached subtree's"
-        " kernels/exchanges now print inside this consumer's plan too"
-    ),
-    "order_clv_deciles": (
-        "r9 (r8 verdict item 1): the single-reducer global ntile window was"
-        " replaced by the distributed range-partition + offset plan; the two"
-        " added exchanges shuffle only the <=32-row partition-stats table"
-        " (SinglePartition + hash(_pid)), while the former unbounded global"
-        " sort is gone"
-    ),
-    "top_supplier_quarter": (
-        "r9 (r8 verdict item 1): rank-over-aggregates global window ->"
-        " scalar-max broadcast equi-join; the added exchanges are the"
-        " one-row max aggregate + its broadcast, replacing the global sort"
-        " of the supplier revenue table"
-    ),
-    "exact_span_pairs_docs": (
-        "r10: the row now reads the shared span_gram_matches MART (the"
-        " family's one corpus-scale gram join, built once per session and"
-        " billed to side_table_build); exchanges grow only because the"
-        " captured plan prints the mart's cached subtree — at run time the"
-        " consumer executes just the run-merge over InMemoryTableScan"
-    ),
-    "span_deduped_documents": (
-        "r10: same span_gram_matches mart restructure as"
-        " exact_span_pairs_docs — the cached construction subtree prints"
-        " inside this consumer's plan too; the executed residual is the"
-        " interval-union + rebuild stages"
-    ),
-    # r10 widen sweep: each row below gained exactly ONE round-robin
-    # exchange — the importance._widen escape from the 1-split cliff
-    # (byte-based parquet splits undersell per-char / expand-multiplied
-    # cost; a no-op on real many-split inputs). Measured at sf0.1:
-    # cdc_chunks 2.2 -> 0.8 s, cdc_chunk_dedup 2.7 -> 1.0 s,
-    # doc_char_diversity 2.3 -> 0.9 s, column_profile 3.2 -> 2.0 s.
-    "cdc_chunks_docs": "r10 widen sweep (see block comment above)",
-    "cdc_chunk_dedup": "r10 widen sweep (see block comment above)",
-    "doc_char_diversity": "r10 widen sweep (see block comment above)",
-    "column_profile": "r10 widen sweep (see block comment above)",
-    "sketch_profile_lineitem": "r10 widen sweep (see block comment above)",
-    "approx_percentile_prices": (
-        "r10 widen sweep, keyed variant: one _widen_by hash exchange over"
-        " the one-split scan feeding order-independent percentile buffers"
-        " (1.47 -> ~1.1 s measured); no-op on real multi-split inputs"
-    ),
-    # r10 mart re-widen: the persisted mart read-back repartitions to
-    # defaultParallelism ONCE at build (the leaf-scan-only variant packed a
-    # freshly written mart into one input split and every consumer's probe
-    # stage ran single-core — simhash_near_pairs doubled, bisected). The
-    # repartition Exchange sits INSIDE the persisted InMemoryRelation
-    # subtree, which explain prints once per mart REFERENCE, so consumers'
-    # textual exchange counts grow by (references x cached-subtree
-    # exchanges) while zero additional exchanges execute per query (the
-    # cache materializes once per session, billed to side_table_build).
-    "minhash_band_buckets": "r10 mart re-widen (see block comment above)",
-    "minhash_candidate_pairs": "r10 mart re-widen (see block comment above)",
-    "minhash_incremental_pairs": "r10 mart re-widen (see block comment above)",
-    "winnow_fingerprints": "r10 mart re-widen (see block comment above)",
-    "winnow_containment_pairs": "r10 mart re-widen (see block comment above)",
-    "near_dup_components": "r10 mart re-widen (see block comment above)",
-    "near_dup_keep_best": "r10 mart re-widen (see block comment above)",
-    "curated_documents_best": "r10 mart re-widen (see block comment above)",
-    "streaming_ingest_pairs_converged": "r10 mart re-widen (see block comment above)",
-    "copurchase_part_pairs": (
-        "r10: mart re-widen exchanges in the cached subtree (see block"
-        " comment above) + the lift denominator now rides the plan as a"
-        " one-row count_distinct broadcast instead of a construction-time"
-        " collect (nested_loop 0->1, allowlisted: singleton probe)"
-    ),
-}
+EXPLAINED_GROWTH: dict[str, str] = {}
+# Cleared r11: the committed r10 baseline already priced in every prior
+# entry (bitext IVF restructure, mart/widen sweeps, the r9 window
+# replacements), and r11's _strip_cached_subtrees makes the audit count
+# RESIDUAL plans only — the whole "cached mart subtree prints inside the
+# consumer" class (nine r10 entries) is structurally gone, so keeping the
+# entries would only mask future REAL growth on those queries. The widen
+# adjudications live at their definitions (importance._widen/_widen_by,
+# clustering._assign, multimodal.synthesize_images).
+
+
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop the INSIDE of every InMemoryRelation subtree from the printed
+    plan before counting.
+
+    A persisted side mart's build lineage (with its exchanges and AQE
+    Final/Initial sections) prints once per mart REFERENCE inside every
+    consumer's plan, but executes zero times per query — the cache
+    materializes once per session, billed to side_table_build. Counting
+    those tokens made the audit's per-query numbers depend on HOW the
+    cached subtree happens to print (r10 carried nine 'mart re-widen'
+    allowlist entries for exactly this textual noise, and r11's eager
+    cache fill changed the printing again — materialized AQE subtrees
+    print both Final and Initial plans). The per-query truth the audit
+    gates is the RESIDUAL plan above the InMemoryTableScan leaves; this
+    keeps it, and only it."""
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(":
+            i += 1
+        return i
+
+    for line in plan.splitlines():
+        d = depth(line)
+        if skip_deeper_than is not None:
+            if line.strip() and d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_deeper_than = depth(line)
+    return "\n".join(out)
 
 
 def diff_against_baseline(
@@ -299,6 +258,7 @@ def main() -> int:
             failures.append(name)
             results[name] = {"error": str(ex)[:200]}
             continue
+        plan = _strip_cached_subtrees(plan)
         m = {
             "exchanges": plan.count("Exchange "),
             "broadcast_joins": plan.count("BroadcastHashJoin"),
