@@ -803,74 +803,72 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Driver correctness window (the driver records rows for the FIRST 50 names
-# queries() emits). Round-10 rotation, strict oldest-driver-evidence-first:
-# (a) the 8 rows that are NEW or whose PLANS changed this round (the
-# IVF-indexed bitext trio; the mixed-format dhash trio; the image-dedup
-# composition) — never / no-longer driver-proven in their current form;
-# (b) ALL 26 rows whose committed evidence is still r04-age, so after the
-# r10 run no row's evidence predates r05 (the r9 verdict's #6
-# done-criterion); (c) the 18 alphabetically-first r05-age rows fill the
-# window to 50 (the remaining 25 r05 rows rotate in next round). Every row
-# is selfcheck-green at sf0.001/0.01 this round (SELFCHECK_r10.json is the
-# standing full-catalog record); rotated-out greens stay protected by
-# selfcheck+pytest.
+# queries() emits). Round-11 rotation, strict oldest-driver-evidence-first:
+# (a) the 8 rows whose plans changed or whose walls were adjudicated this
+# round (single-pass sketch profile; the re-keyed _widen_by profile rows;
+# the ivfadc family recovered by the eager mart fill; the simhash/CC star
+# mart consumers) — their current form needs fresh driver evidence;
+# (b) ALL 27 rows whose committed evidence is still r05-age, so after the
+# r11 run no row's evidence predates r06 (the r10 verdict's #10
+# done-criterion); (c) the 15 alphabetically-first r06-age rows fill the
+# window to 50. Every row is selfcheck-green at sf0.001/0.01 this round
+# (SELFCHECK_r11.json is the standing full-catalog record); rotated-out
+# greens stay protected by selfcheck+pytest.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) new/changed-plan r10 rows
-    "bitext_margin_pairs",
-    "bitext_margin_exact_slice",
-    "bitext_knn_recall_at4",
-    "image_dhash",
-    "image_dhash_near_pairs",
-    "image_dhash_far_pairs",
-    "image_dedup_canonical",
-    "bitext_margin_asymmetric",
-    "span_intra_deduped_documents",
-    "span_full_deduped_documents",
-    # (b) latest driver evidence r04 (all 26, catalog order)
-    "freq_items_event_types",
-    "idle_rich_customers",
-    "lang_confusion_matrix",
-    "model_scored_documents",
-    "orc_source_roundtrip",
-    "parts_discontinued_after_1996",
-    "per_lang_eval_sample",
-    "pii_redacted_documents",
-    "ppm_decode_stats",
-    "ppm_resize_stats",
-    "ppm_stream_frame_stats",
-    "price_mad_by_returnflag",
-    "price_percentiles_cont",
-    "pseudonymized_events",
-    "q11_brand_revenue_fraction",
-    "q2_style_min_price_parts",
-    "range_stack_calendar",
-    "rolling_weekly_active_users",
-    "semantic_decontamination",
-    "semantic_search_docs",
-    "streaming_outer_join_executed",
-    "udtf_chunk_windows",
-    "user_moving_avg_rows",
-    "weighted_doc_sample",
-    "winsorized_price_stats",
-    "yoy_part_revenue",
-    # (c) latest driver evidence r05, alphabetically-first 16
-    "bfs_copurchase_distances",
-    "brand_price_percent_rank",
-    "bucketed_colocated_join",
-    "ccnet_perplexity_buckets",
-    "coalesce_key_agg",
-    "copurchase_triangles",
-    "dedup_exact_documents",
-    "distinct_segments",
-    "doc_feature_correlation",
-    "doc_fingerprint",
-    "first_lineitem_per_order",
-    "grouped_head_tail_docs",
-    "insert_if_absent_users",
-    "knn_cosine_top3",
+    # (a) changed-plan / adjudicated r11 rows
+    "sketch_profile_lineitem",
+    "column_profile",
+    "approx_percentile_prices",
+    "ivfadc_top3",
+    "ivfadc_refined_top3",
+    "ivfadc_recall_at3",
+    "simhash_near_pairs",
+    "near_dup_components_star",
+    # (b) all rows with r05-age driver evidence (27)
     "lang_id_heuristic",
     "latest_event_max_by",
+    "listagg_brand_part_names",
+    "listagg_distinct_types",
+    "minhash_candidate_pairs",
+    "near_dup_verified_pairs",
+    "ntile_price_quartiles",
+    "posexplode_embeddings",
+    "q12_priority_lines_by_status",
+    "rank_capture_events",
+    "recursive_hierarchy_rollup",
+    "regex_token_extracts",
+    "region_customer_rollup",
+    "rocksdb_user_totals_executed",
+    "simhash_documents",
+    "streaming_static_enrichment",
+    "supplier_same_nation_pairs",
+    "table_checksum_by_day",
+    "text_quality_score",
+    "token_budget_mixture",
+    "top3_parts_per_brand",
+    "train_val_test_split",
+    "trigram_perplexity_scores",
+    "union_active_parts",
+    "unpivot_flag_metrics",
+    "watermark_d3_events",
+    "xml_source_roundtrip",
+    # (c) alphabetically-first r06-age rows, filling the window to 50
+    "active_day_streaks",
+    "bitmap_exact_distinct_users",
+    "bm25_query_scores",
+    "cdc_apply_snapshot",
+    "clicks_before_purchase",
+    "corpus_top_terms",
+    "cube_status_priority",
+    "customers_without_orders",
+    "daily_event_rollup",
+    "decontamination_report",
+    "doc_repetition_stats",
+    "event_sessions",
+    "event_type_transitions",
+    "flagship_consolidation",
+    "freight_allocation",
 ]
 
 
